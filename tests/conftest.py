@@ -1,0 +1,32 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Tests must run without TPU hardware; multi-chip sharding is validated on
+virtual CPU devices (xla_force_host_platform_device_count=8). This must be
+set before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import pytest  # noqa: E402
+
+
+REFERENCE_TOKENIZER_DIR = "/root/reference/tokenizer"
+
+
+@pytest.fixture(scope="session")
+def tokenizer_dir():
+    if not os.path.isdir(REFERENCE_TOKENIZER_DIR):
+        pytest.skip("reference tokenizer data not available")
+    return REFERENCE_TOKENIZER_DIR
