@@ -1,0 +1,202 @@
+"""Model configuration dataclasses.
+
+JSON-compatible with the reference's burn `Config` .cfg files
+(`Config::load`, /root/reference/src/bin/sample/main.rs:28-51):
+  - CLIPConfig            (clip/mod.rs:19-28)
+  - UNetConfig            (unet/mod.rs:59-69)
+  - DiffuserConfig        (stablediffusion/mod.rs:269-278)
+  - EmbedderConfig        (stablediffusion/mod.rs:626-630)
+  - LatentDecoderConfig   (stablediffusion/mod.rs:176-179)
+
+Field names match the burn structs so the same .cfg JSON files load
+unchanged. Presets encode the SDXL 1.0 base/refiner hyperparameters
+(SURVEY.md §2 "Model hyperparameters").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import List, Tuple
+
+
+@dataclass(frozen=True)
+class CLIPConfig:
+    n_vocab: int = 49408
+    n_state: int = 768
+    embed_dim: int = 768
+    n_head: int = 12
+    n_ctx: int = 77
+    n_layer: int = 12
+    quick_gelu: bool = True
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_state // self.n_head
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    adm_in_channels: int = 2816
+    in_channels: int = 4
+    out_channels: int = 4
+    model_channels: int = 320
+    channel_mults: Tuple[int, ...] = (1, 2, 4)
+    n_head_channels: int = 64
+    transformer_depths: Tuple[int, ...] = (1, 2, 10)
+    context_dim: int = 2048
+
+    def __post_init__(self):
+        object.__setattr__(self, "channel_mults", tuple(self.channel_mults))
+        object.__setattr__(self, "transformer_depths", tuple(self.transformer_depths))
+        assert self.model_channels % self.n_head_channels == 0, (
+            "The number of head channels must evenly divide the model channels."
+        )
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.model_channels * 4
+
+
+@dataclass(frozen=True)
+class DiffuserConfig:
+    adm_in_channels: int = 2816
+    model_channels: int = 320
+    channel_mults: Tuple[int, ...] = (1, 2, 4)
+    num_head_channels: int = 64
+    transformer_depths: Tuple[int, ...] = (1, 2, 10)
+    context_dim: int = 2048
+    is_refiner: bool = False
+    n_steps: int = 1000  # DDPM table length (stablediffusion/mod.rs:282)
+
+    def __post_init__(self):
+        object.__setattr__(self, "channel_mults", tuple(self.channel_mults))
+        object.__setattr__(self, "transformer_depths", tuple(self.transformer_depths))
+
+    def unet_config(self) -> UNetConfig:
+        # Diffuser hardwires in/out = 4 latent channels
+        # (stablediffusion/mod.rs:285-295).
+        return UNetConfig(
+            adm_in_channels=self.adm_in_channels,
+            in_channels=4,
+            out_channels=4,
+            model_channels=self.model_channels,
+            channel_mults=self.channel_mults,
+            n_head_channels=self.num_head_channels,
+            transformer_depths=self.transformer_depths,
+            context_dim=self.context_dim,
+        )
+
+
+@dataclass(frozen=True)
+class EmbedderConfig:
+    clip_config: CLIPConfig = field(default_factory=CLIPConfig)
+    open_clip_config: CLIPConfig = field(
+        default_factory=lambda: OPEN_CLIP_BIGG_CONFIG
+    )
+
+
+@dataclass(frozen=True)
+class LatentDecoderConfig:
+    scale_factor: float = 0.13025  # dumped from sgm (python/dump.py:37)
+
+
+@dataclass(frozen=True)
+class AutoencoderConfig:
+    """VAE channel plan (autoencoder/mod.rs:29-35)."""
+
+    encoder_channels: Tuple[Tuple[int, int], ...] = (
+        (128, 128),
+        (128, 256),
+        (256, 512),
+        (512, 512),
+    )
+    decoder_channels: Tuple[Tuple[int, int], ...] = (
+        (512, 512),
+        (512, 512),
+        (512, 256),
+        (256, 128),
+    )
+    n_group: int = 32
+    n_channels_out: int = 8  # encoder quant channels (4 mean + 4 logvar)
+    latent_channels: int = 4
+
+
+# ---------------------------------------------------------------------------
+# SDXL 1.0 presets (SURVEY.md §2 hyperparameter table)
+# ---------------------------------------------------------------------------
+
+CLIP_VIT_L_CONFIG = CLIPConfig(
+    n_vocab=49408, n_state=768, embed_dim=768, n_head=12, n_ctx=77, n_layer=12,
+    quick_gelu=True,
+)
+
+OPEN_CLIP_BIGG_CONFIG = CLIPConfig(
+    n_vocab=49408, n_state=1280, embed_dim=1280, n_head=20, n_ctx=77, n_layer=32,
+    quick_gelu=False,
+)
+
+SDXL_BASE_DIFFUSER = DiffuserConfig(
+    adm_in_channels=2816,
+    model_channels=320,
+    channel_mults=(1, 2, 4),
+    num_head_channels=64,
+    transformer_depths=(1, 2, 10),
+    context_dim=2048,
+    is_refiner=False,
+)
+
+SDXL_REFINER_DIFFUSER = DiffuserConfig(
+    adm_in_channels=2560,
+    model_channels=384,
+    channel_mults=(1, 2, 4, 4),
+    num_head_channels=64,
+    transformer_depths=(4, 4, 4, 4),
+    context_dim=1280,
+    is_refiner=True,
+)
+
+SDXL_EMBEDDER = EmbedderConfig(
+    clip_config=CLIP_VIT_L_CONFIG, open_clip_config=OPEN_CLIP_BIGG_CONFIG
+)
+
+
+# ---------------------------------------------------------------------------
+# burn .cfg JSON interop
+# ---------------------------------------------------------------------------
+
+def _from_dict(cls, data):
+    if dataclasses.is_dataclass(cls) and isinstance(data, dict):
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        kwargs = {}
+        for k, v in data.items():
+            if k not in fields:
+                continue  # tolerate extra keys (burn serializes all fields)
+            ftype = fields[k].type
+            if k.endswith("_config"):
+                kwargs[k] = _from_dict(CLIPConfig, v)
+            else:
+                kwargs[k] = tuple(v) if isinstance(v, list) else v
+        return cls(**kwargs)
+    return data
+
+
+def load_cfg(path: str, cls):
+    """Load a burn-format .cfg JSON file into a config dataclass."""
+    with open(path, "r", encoding="utf-8") as f:
+        return _from_dict(cls, json.load(f))
+
+
+def save_cfg(path: str, cfg) -> None:
+    def encode(obj):
+        if dataclasses.is_dataclass(obj):
+            return {
+                f.name: encode(getattr(obj, f.name)) for f in dataclasses.fields(obj)
+            }
+        if isinstance(obj, tuple):
+            return list(obj)
+        return obj
+
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(encode(cfg), f, indent=2)
