@@ -1,0 +1,357 @@
+"""SDXL diffusion UNet (base + refiner) in NHWC.
+
+Reimplements /root/reference/src/model/unet/mod.rs as a config-driven block
+plan + pure forward function:
+
+  - timestep sinusoid embedding, cos-first (unet/mod.rs:21-39)
+  - time/label 2-layer SiLU MLPs (unet/mod.rs:80-88, 458-468)
+  - block plan generator (unet/mod.rs:115-173 input, 238-248 middle,
+    250-328 output): transformers only at levels 1 and 2, downsample =
+    stride-2 3x3 conv, upsample = nearest-2x + 3x3 conv, skip-cat U-Net
+    topology (unet/mod.rs:470-491)
+  - ResBlock: GN -> SiLU -> conv + time-emb inject -> GN -> SiLU -> conv
+    (+1x1 skip) (unet/mod.rs:1082-1106)
+  - SpatialTransformer: GN -> flatten HW -> linear proj_in -> N pre-LN
+    transformer blocks (self-attn, cross-attn vs 77x2048 context, GEGLU
+    MLP) -> proj_out + residual (unet/mod.rs:820-891)
+
+The same generator covers the refiner (4 levels, model_channels=384,
+depth-4 transformers, context 1280, resnet_upsample at the deepest level),
+matching the reference's config-driven construction.
+
+Runs in bf16 on the MXU (reference uses f16; bf16 is the TPU-native
+half precision with the same f32 softmax/norm islands).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import UNetConfig
+from ..ops.attention import qkv_attention
+from ..ops.conv import conv1x1, conv2d, upsample_nearest_2x
+from ..ops.embeddings import timestep_embedding
+from ..ops.linear import linear, linear_nobias
+from ..ops.norms import groupnorm_nhwc, layernorm_affine
+
+
+# ---------------------------------------------------------------------------
+# Block plan (static; mirrors UNetConfig::init, unet/mod.rs:71-430)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class BlockSpec:
+    kind: str  # conv | res | down | res_t | res_t_up | res_up
+    ch_in: int = 0
+    ch_out: int = 0
+    n_head: int = 0
+    depth: int = 0
+
+
+@functools.lru_cache(maxsize=None)
+def unet_block_plan(cfg: UNetConfig) -> Tuple[Tuple[BlockSpec, ...], BlockSpec, Tuple[BlockSpec, ...]]:
+    mc = cfg.model_channels
+    mults = cfg.channel_mults
+    n_levels = len(mults)
+    heads = lambda ch: ch // cfg.n_head_channels  # noqa: E731
+
+    inputs: List[BlockSpec] = [BlockSpec("conv", cfg.in_channels, mc)]
+    for level in range(n_levels):
+        ch_in = mults[max(level - 1, 0)] * mc
+        ch_out = mults[level] * mc
+        if level not in (1, 2):
+            inputs.append(BlockSpec("res", ch_in, ch_out))
+            inputs.append(BlockSpec("res", ch_out, ch_out))
+        else:
+            d = cfg.transformer_depths[level]
+            inputs.append(BlockSpec("res_t", ch_in, ch_out, heads(ch_out), d))
+            inputs.append(BlockSpec("res_t", ch_out, ch_out, heads(ch_out), d))
+        if level != n_levels - 1:
+            inputs.append(BlockSpec("down", ch_out, ch_out))
+
+    ch_mid = mults[-1] * mc
+    middle = BlockSpec(
+        "res_t_res", ch_mid, ch_mid, heads(ch_mid), cfg.transformer_depths[-1]
+    )
+
+    outputs: List[BlockSpec] = []
+    for level in reversed(range(n_levels)):
+        next_level = level + 1 if level != n_levels - 1 else level
+        ch_out = mults[level] * mc
+        ch_in1 = mults[next_level] * mc + ch_out
+        ch_in2 = 2 * ch_out
+        ch_in3 = ch_out + mults[max(level - 1, 0)] * mc
+        if level not in (1, 2):
+            outputs.append(BlockSpec("res", ch_in1, ch_out))
+            outputs.append(BlockSpec("res", ch_in2, ch_out))
+            kind3 = "res_up" if level != 0 else "res"
+            outputs.append(BlockSpec(kind3, ch_in3, ch_out))
+        else:
+            d = cfg.transformer_depths[level]
+            h = heads(ch_out)
+            outputs.append(BlockSpec("res_t", ch_in1, ch_out, h, d))
+            outputs.append(BlockSpec("res_t", ch_in2, ch_out, h, d))
+            outputs.append(BlockSpec("res_t_up", ch_in3, ch_out, h, d))
+
+    return tuple(inputs), middle, tuple(outputs)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def _res_block(p, x, emb):
+    """ResBlock::forward (unet/mod.rs:1083-1105); emb injected per channel."""
+    h = conv2d(p["conv_in"], silu(groupnorm_nhwc(x, **p["norm_in"])))
+    emb_out = linear(p["lin_embed"], silu(emb)).astype(h.dtype)
+    h = h + emb_out[:, None, None, :]
+    h = conv2d(p["conv_out"], silu(groupnorm_nhwc(h, **p["norm_out"])))
+    if "skip" in p:
+        x = conv1x1(p["skip"], x)
+    return x + h
+
+
+def _geglu_mlp(p, x):
+    """GEGLU MLP (unet/mod.rs:916-955): proj -> split -> x * gelu(gate)."""
+    projected = linear(p["proj"], x)
+    a, gate = jnp.split(projected, 2, axis=-1)
+    return linear(p["lin"], a * jax.nn.gelu(gate, approximate=False))
+
+
+def _mha(p, x, context, n_head):
+    """MultiHeadAttention (unet/mod.rs:1005-1023): no-bias qkv, bias out."""
+    ctx = x if context is None else context
+    q = linear_nobias(p["q"], x)
+    k = linear_nobias(p["k"], ctx)
+    v = linear_nobias(p["v"], ctx)
+    return linear(p["out"], qkv_attention(q, k, v, None, n_head))
+
+
+def _transformer_block(p, x, context, n_head):
+    x = x + _mha(p["attn1"], layernorm_affine(x, **p["norm1"]), None, n_head)
+    x = x + _mha(p["attn2"], layernorm_affine(x, **p["norm2"]), context, n_head)
+    return x + _geglu_mlp(p["mlp"], layernorm_affine(x, **p["norm3"]))
+
+
+def _spatial_transformer(p, x, context, n_head):
+    """SpatialTransformer (unet/mod.rs:820-845) over NHWC."""
+    b, h, w, c = x.shape
+    x_in = x
+    y = groupnorm_nhwc(x, **p["norm"])
+    y = y.reshape(b, h * w, c)
+    y = linear(p["proj_in"], y)
+    for bp in p["blocks"]:
+        y = _transformer_block(bp, y, context, n_head)
+    y = linear(p["proj_out"], y).reshape(b, h, w, c)
+    return x_in + y
+
+
+def _apply_block(spec: BlockSpec, p, x, emb, context):
+    if spec.kind == "conv":
+        return conv2d(p["conv"], x)
+    if spec.kind == "res":
+        return _res_block(p["res"], x, emb)
+    if spec.kind == "down":
+        return conv2d(p["conv"], x, stride=2)
+    if spec.kind == "res_t":
+        x = _res_block(p["res"], x, emb)
+        return _spatial_transformer(p["transformer"], x, context, spec.n_head)
+    if spec.kind == "res_t_up":
+        x = _res_block(p["res"], x, emb)
+        x = _spatial_transformer(p["transformer"], x, context, spec.n_head)
+        return conv2d(p["upsample"], upsample_nearest_2x(x))
+    if spec.kind == "res_up":
+        x = _res_block(p["res"], x, emb)
+        return conv2d(p["upsample"], upsample_nearest_2x(x))
+    raise ValueError(f"unknown block kind {spec.kind}")
+
+
+def unet_forward(
+    params,
+    cfg: UNetConfig,
+    x: jnp.ndarray,
+    timesteps: jnp.ndarray,
+    context: jnp.ndarray,
+    label: jnp.ndarray,
+) -> jnp.ndarray:
+    """UNet::forward (unet/mod.rs:449-493). x: [B,h,w,4] NHWC latent."""
+    dtype = x.dtype
+
+    t_emb = timestep_embedding(timesteps, cfg.model_channels).astype(dtype)
+    t_emb = linear(params["time_embed"]["lin2"], silu(linear(params["time_embed"]["lin1"], t_emb)))
+
+    label_emb = linear(
+        params["label_embed"]["lin2"],
+        silu(linear(params["label_embed"]["lin1"], label.astype(dtype))),
+    )
+    emb = t_emb + label_emb
+
+    in_plan, mid_spec, out_plan = unet_block_plan(cfg)
+
+    saved = []
+    for spec, p in zip(in_plan, params["input_blocks"]):
+        x = _apply_block(spec, p, x, emb, context)
+        saved.append(x)
+
+    mp = params["middle_block"]
+    x = _res_block(mp["res1"], x, emb)
+    x = _spatial_transformer(mp["transformer"], x, context, mid_spec.n_head)
+    x = _res_block(mp["res2"], x, emb)
+
+    for spec, p in zip(out_plan, params["output_blocks"]):
+        x = jnp.concatenate([x, saved.pop()], axis=-1)
+        x = _apply_block(spec, p, x, emb, context)
+
+    x = silu(groupnorm_nhwc(x, **params["norm_out"]))
+    return conv2d(params["conv_out"], x)
+
+
+# ---------------------------------------------------------------------------
+# Initialization (tests / bring-up without real weights)
+# ---------------------------------------------------------------------------
+
+def _dense(key, d_in, d_out, dtype, scale=0.02, bias=True):
+    p = {"w": jax.random.normal(key, (d_in, d_out), dtype) * scale}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), dtype)
+    return p
+
+
+def _conv(key, kh, kw, cin, cout, dtype, scale=0.02):
+    return {
+        "w": jax.random.normal(key, (kh, kw, cin, cout), dtype) * scale,
+        "b": jnp.zeros((cout,), dtype),
+    }
+
+
+def _gn(c, dtype):
+    return {"gamma": jnp.ones((c,), dtype), "beta": jnp.zeros((c,), dtype)}
+
+
+def _ln(c, dtype):
+    return {"gamma": jnp.ones((c,), dtype), "beta": jnp.zeros((c,), dtype)}
+
+
+def _init_res(key, cin, cout, emb_dim, dtype):
+    ks = jax.random.split(key, 4)
+    p = {
+        "norm_in": _gn(cin, dtype),
+        "conv_in": _conv(ks[0], 3, 3, cin, cout, dtype),
+        "lin_embed": _dense(ks[1], emb_dim, cout, dtype),
+        "norm_out": _gn(cout, dtype),
+        "conv_out": _conv(ks[2], 3, 3, cout, cout, dtype),
+    }
+    if cin != cout:
+        p["skip"] = _conv(ks[3], 1, 1, cin, cout, dtype)
+    return p
+
+
+def _init_transformer_block(key, c, ctx_dim, dtype):
+    ks = jax.random.split(key, 10)
+    attn = lambda k0, k1, k2, k3, kv_dim: {  # noqa: E731
+        "q": _dense(k0, c, c, dtype, bias=False),
+        "k": _dense(k1, kv_dim, c, dtype, bias=False),
+        "v": _dense(k2, kv_dim, c, dtype, bias=False),
+        "out": _dense(k3, c, c, dtype),
+    }
+    return {
+        "norm1": _ln(c, dtype),
+        "attn1": attn(ks[0], ks[1], ks[2], ks[3], c),
+        "norm2": _ln(c, dtype),
+        "attn2": attn(ks[4], ks[5], ks[6], ks[7], ctx_dim),
+        "norm3": _ln(c, dtype),
+        "mlp": {
+            "proj": _dense(ks[8], c, 8 * c, dtype),
+            "lin": _dense(ks[9], 4 * c, c, dtype),
+        },
+    }
+
+
+def _init_spatial_transformer(key, c, ctx_dim, depth, dtype):
+    ks = jax.random.split(key, depth + 2)
+    return {
+        "norm": _gn(c, dtype),
+        "proj_in": _dense(ks[0], c, c, dtype),
+        "blocks": [
+            _init_transformer_block(ks[i + 1], c, ctx_dim, dtype)
+            for i in range(depth)
+        ],
+        "proj_out": _dense(ks[-1], c, c, dtype),
+    }
+
+
+def _init_block(key, spec: BlockSpec, cfg: UNetConfig, dtype):
+    ks = jax.random.split(key, 3)
+    emb_dim = cfg.time_embed_dim
+    if spec.kind == "conv":
+        return {"conv": _conv(ks[0], 3, 3, spec.ch_in, spec.ch_out, dtype)}
+    if spec.kind == "down":
+        return {"conv": _conv(ks[0], 3, 3, spec.ch_in, spec.ch_out, dtype)}
+    if spec.kind == "res":
+        return {"res": _init_res(ks[0], spec.ch_in, spec.ch_out, emb_dim, dtype)}
+    if spec.kind == "res_up":
+        return {
+            "res": _init_res(ks[0], spec.ch_in, spec.ch_out, emb_dim, dtype),
+            "upsample": _conv(ks[1], 3, 3, spec.ch_out, spec.ch_out, dtype),
+        }
+    if spec.kind == "res_t":
+        return {
+            "res": _init_res(ks[0], spec.ch_in, spec.ch_out, emb_dim, dtype),
+            "transformer": _init_spatial_transformer(
+                ks[1], spec.ch_out, cfg.context_dim, spec.depth, dtype
+            ),
+        }
+    if spec.kind == "res_t_up":
+        return {
+            "res": _init_res(ks[0], spec.ch_in, spec.ch_out, emb_dim, dtype),
+            "transformer": _init_spatial_transformer(
+                ks[1], spec.ch_out, cfg.context_dim, spec.depth, dtype
+            ),
+            "upsample": _conv(ks[2], 3, 3, spec.ch_out, spec.ch_out, dtype),
+        }
+    raise ValueError(spec.kind)
+
+
+def init_unet(key, cfg: UNetConfig, dtype=jnp.bfloat16):
+    in_plan, mid_spec, out_plan = unet_block_plan(cfg)
+    n = len(in_plan) + len(out_plan) + 8
+    keys = jax.random.split(key, n)
+    ki = iter(keys)
+
+    emb_dim = cfg.time_embed_dim
+    mc = cfg.model_channels
+
+    return {
+        "time_embed": {
+            "lin1": _dense(next(ki), mc, emb_dim, dtype),
+            "lin2": _dense(next(ki), emb_dim, emb_dim, dtype),
+        },
+        "label_embed": {
+            "lin1": _dense(next(ki), cfg.adm_in_channels, emb_dim, dtype),
+            "lin2": _dense(next(ki), emb_dim, emb_dim, dtype),
+        },
+        "input_blocks": [
+            _init_block(next(ki), spec, cfg, dtype) for spec in in_plan
+        ],
+        "middle_block": {
+            "res1": _init_res(next(ki), mid_spec.ch_in, mid_spec.ch_out, emb_dim, dtype),
+            "transformer": _init_spatial_transformer(
+                next(ki), mid_spec.ch_out, cfg.context_dim, mid_spec.depth, dtype
+            ),
+            "res2": _init_res(next(ki), mid_spec.ch_in, mid_spec.ch_out, emb_dim, dtype),
+        },
+        "norm_out": _gn(mc, dtype),
+        "conv_out": _conv(next(ki), 3, 3, mc, cfg.out_channels, dtype),
+        "output_blocks": [
+            _init_block(next(ki), spec, cfg, dtype) for spec in out_plan
+        ],
+    }
