@@ -1,0 +1,24 @@
+from .conditioning import Conditioning, text_to_conditioning
+from .sampler import (
+    ddim_timesteps,
+    diffuse_latent,
+    refine_latent,
+    sample_latent,
+    scaled_linear_alphas_cumprod,
+)
+from .latent import decode_latent_to_images, encode_images_to_latent
+from .resolutions import RESOLUTIONS, validate_resolution
+
+__all__ = [
+    "Conditioning",
+    "text_to_conditioning",
+    "ddim_timesteps",
+    "diffuse_latent",
+    "refine_latent",
+    "sample_latent",
+    "scaled_linear_alphas_cumprod",
+    "decode_latent_to_images",
+    "encode_images_to_latent",
+    "RESOLUTIONS",
+    "validate_resolution",
+]

@@ -1,0 +1,247 @@
+"""High-level SDXL pipeline: prompt -> PNG-ready uint8 images.
+
+Orchestrates the stages exactly as the reference `sample` binary does
+(/root/reference/src/bin/sample/main.rs:130-291):
+
+  embedder (f32) -> conditioning (cast to UNet dtype) -> base UNet DDIM
+  loop (bf16) -> optional refiner (re-noise @ t=800) -> VAE decode (f32)
+  -> uint8 RGB
+
+plus the latent-space crop-window inpainting path (main.rs:135-197).
+
+Unlike the reference there is no host round-trip between stages and every
+stage is one jitted program; precision staging is a device-side cast.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import (
+    AutoencoderConfig,
+    DiffuserConfig,
+    EmbedderConfig,
+    SDXL_BASE_DIFFUSER,
+    SDXL_EMBEDDER,
+    SDXL_REFINER_DIFFUSER,
+)
+from ..tokenizer import ClipTokenizer, OpenClipTokenizer
+from ..utils import StageTimer, log
+from .conditioning import Conditioning, text_to_conditioning
+from .latent import decode_latent_to_images, encode_images_to_latent
+from .resolutions import RESOLUTIONS, validate_resolution
+from .sampler import refine_latent, sample_latent, scaled_linear_alphas_cumprod
+
+
+@dataclass
+class SDXLPipeline:
+    embedder_cfg: EmbedderConfig
+    embedder_params: dict
+    diffuser_cfg: DiffuserConfig
+    unet_params: dict
+    alphas_cumprod: jnp.ndarray
+    vae_cfg: AutoencoderConfig
+    vae_params: dict
+    scale_factor: float = 0.13025
+    refiner_cfg: Optional[DiffuserConfig] = None
+    refiner_params: Optional[dict] = None
+    refiner_alphas: Optional[jnp.ndarray] = None
+    clip_tokenizer: ClipTokenizer = None
+    open_clip_tokenizer: OpenClipTokenizer = None
+    compute_dtype: jnp.dtype = jnp.bfloat16
+    timer: StageTimer = field(default_factory=StageTimer)
+
+    # -- conditioning --------------------------------------------------------
+
+    def conditioning(
+        self,
+        prompts,
+        resolution: Tuple[int, int],
+        crop: Tuple[int, int] = (0, 0),
+        negative_prompt: str = "",
+    ) -> Conditioning:
+        with self.timer.stage("embedder"):
+            cond = text_to_conditioning(
+                self.embedder_params,
+                self.embedder_cfg,
+                self.clip_tokenizer,
+                self.open_clip_tokenizer,
+                prompts,
+                resolution,
+                crop,
+                negative_prompt,
+            )
+            jax.block_until_ready(cond.context_full)
+        return cond
+
+    # -- generation ----------------------------------------------------------
+
+    def txt2img(
+        self,
+        prompts,
+        resolution: Tuple[int, int] = (1024, 1024),
+        n_steps: int = 30,
+        guidance_scale: float = 7.5,
+        seed: int = 0,
+        use_refiner: bool = False,
+        refiner_step_start: int = 800,
+        negative_prompt: str = "",
+        inpaint_reference: Optional[np.ndarray] = None,
+        inpaint_mask: Optional[jnp.ndarray] = None,
+    ) -> np.ndarray:
+        """Full pipeline; returns [B, H, W, 3] uint8."""
+        cond = self.conditioning(prompts, resolution, negative_prompt=negative_prompt)
+        cond_half = cond.astype(self.compute_dtype)
+
+        key = jax.random.PRNGKey(seed)
+        base_key, refiner_key = jax.random.split(key)
+
+        reference_latent = None
+        if inpaint_reference is not None:
+            with self.timer.stage("vae_encode"):
+                reference_latent = encode_images_to_latent(
+                    self.vae_params, self.vae_cfg, jnp.asarray(inpaint_reference),
+                    self.scale_factor,
+                )
+                jax.block_until_ready(reference_latent)
+
+        with self.timer.stage("diffuser"):
+            latent = sample_latent(
+                self.unet_params,
+                self.diffuser_cfg,
+                self.alphas_cumprod,
+                cond_half,
+                base_key,
+                guidance_scale,
+                n_steps,
+                self.compute_dtype,
+                reference=reference_latent,
+                mask=inpaint_mask,
+            )
+            jax.block_until_ready(latent)
+
+        if use_refiner:
+            if self.refiner_params is None:
+                raise ValueError("refiner weights not loaded")
+            with self.timer.stage("refiner"):
+                latent = refine_latent(
+                    self.refiner_params,
+                    self.refiner_cfg,
+                    self.refiner_alphas
+                    if self.refiner_alphas is not None
+                    else self.alphas_cumprod,
+                    latent,
+                    cond_half,
+                    refiner_key,
+                    guidance_scale,
+                    refiner_step_start,
+                    n_steps,
+                    self.compute_dtype,
+                )
+                jax.block_until_ready(latent)
+
+        with self.timer.stage("vae_decode"):
+            images = decode_latent_to_images(
+                self.vae_params, self.vae_cfg, latent, self.scale_factor
+            )
+            jax.block_until_ready(images)
+        return np.asarray(images)
+
+    def inpaint(
+        self,
+        prompts,
+        reference_images: np.ndarray,  # [B, H, W, 3] uint8
+        crop_left: Optional[int] = None,
+        crop_right: Optional[int] = None,
+        crop_top: Optional[int] = None,
+        crop_bottom: Optional[int] = None,
+        crop_out: bool = False,
+        **kw,
+    ) -> np.ndarray:
+        """Crop-window latent inpainting (sample/main.rs:135-197)."""
+        _, height, width, _ = reference_images.shape
+        if not validate_resolution(height, width):
+            raise ValueError(
+                f"Reference image dimensions {height}x{width} are incompatible. "
+                f"Compatible (H, W): {RESOLUTIONS}"
+            )
+        crop_left = 0 if crop_left is None else crop_left
+        crop_right = width if crop_right is None else crop_right
+        crop_top = 0 if crop_top is None else crop_top
+        crop_bottom = height if crop_bottom is None else crop_bottom
+        if not (
+            crop_right <= width and crop_bottom <= height
+            and (crop_left < crop_right or crop_top < crop_bottom)
+        ):
+            raise ValueError("Invalid crop parameters.")
+
+        # latent-space window (÷8), mask true = generated region
+        lh, lw = height // 8, width // 8
+        scale = height // lh
+        l, r = crop_left // scale, crop_right // scale
+        t, b = crop_top // scale, crop_bottom // scale
+        mask = np.zeros((1, lh, lw, 1), dtype=bool)
+        mask[:, t:b, l:r, :] = True
+        if crop_out:
+            mask = ~mask
+        mask = jnp.asarray(np.broadcast_to(mask, (1, lh, lw, 4)))
+
+        return self.txt2img(
+            prompts,
+            resolution=(height, width),
+            inpaint_reference=reference_images,
+            inpaint_mask=mask,
+            **kw,
+        )
+
+
+def random_pipeline(
+    seed: int = 0,
+    embedder_cfg: EmbedderConfig = SDXL_EMBEDDER,
+    diffuser_cfg: DiffuserConfig = SDXL_BASE_DIFFUSER,
+    refiner_cfg: Optional[DiffuserConfig] = None,
+    vae_cfg: AutoencoderConfig = AutoencoderConfig(),
+    compute_dtype=jnp.bfloat16,
+    param_dtype_unet=jnp.bfloat16,
+    tokenizer_dir: Optional[str] = None,
+) -> SDXLPipeline:
+    """Pipeline with random weights — bring-up, tests, benchmarks."""
+    from ..models.clip import init_clip
+    from ..models.unet import init_unet
+    from ..models.vae import init_autoencoder
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), 5)
+    log("initializing random weights (no checkpoint)")
+    embedder_params = {
+        "clip": init_clip(keys[0], embedder_cfg.clip_config),
+        "open_clip": init_clip(keys[1], embedder_cfg.open_clip_config),
+    }
+    unet_params = init_unet(keys[2], diffuser_cfg.unet_config(), param_dtype_unet)
+    refiner_params = (
+        init_unet(keys[3], refiner_cfg.unet_config(), param_dtype_unet)
+        if refiner_cfg
+        else None
+    )
+    vae_params = init_autoencoder(keys[4], vae_cfg)
+    alphas = jnp.asarray(scaled_linear_alphas_cumprod())
+
+    return SDXLPipeline(
+        embedder_cfg=embedder_cfg,
+        embedder_params=embedder_params,
+        diffuser_cfg=diffuser_cfg,
+        unet_params=unet_params,
+        alphas_cumprod=alphas,
+        vae_cfg=vae_cfg,
+        vae_params=vae_params,
+        refiner_cfg=refiner_cfg,
+        refiner_params=refiner_params,
+        refiner_alphas=alphas if refiner_cfg else None,
+        clip_tokenizer=ClipTokenizer(tokenizer_dir),
+        open_clip_tokenizer=OpenClipTokenizer(tokenizer_dir),
+        compute_dtype=compute_dtype,
+    )

@@ -1,0 +1,118 @@
+"""Tiny end-to-end pipeline test: prompt -> uint8 image, all stages."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdxl_tpu.configs import (
+    AutoencoderConfig,
+    CLIPConfig,
+    DiffuserConfig,
+    EmbedderConfig,
+)
+from sdxl_tpu.pipeline.pipeline import random_pipeline
+
+TINY_EMBEDDER = EmbedderConfig(
+    clip_config=CLIPConfig(
+        n_vocab=49408, n_state=32, embed_dim=32, n_head=4, n_ctx=77, n_layer=2,
+        quick_gelu=True,
+    ),
+    open_clip_config=CLIPConfig(
+        n_vocab=49408, n_state=32, embed_dim=32, n_head=4, n_ctx=77, n_layer=3,
+        quick_gelu=False,
+    ),
+)
+
+TINY_DIFFUSER = DiffuserConfig(
+    adm_in_channels=32 + 6 * 256,  # pooled(32) + 6 sinusoid ints
+    model_channels=32,
+    channel_mults=(1, 2, 4),
+    num_head_channels=8,
+    transformer_depths=(1, 1, 2),
+    context_dim=64,  # 32 + 32
+    is_refiner=False,
+)
+
+TINY_REFINER = DiffuserConfig(
+    adm_in_channels=32 + 5 * 256,
+    model_channels=32,
+    channel_mults=(1, 2, 4, 4),
+    num_head_channels=8,
+    transformer_depths=(1, 1, 1, 1),
+    context_dim=32,
+    is_refiner=True,
+)
+
+TINY_VAE = AutoencoderConfig(
+    encoder_channels=((16, 16), (16, 32), (32, 32), (32, 32)),
+    decoder_channels=((32, 32), (32, 32), (32, 16), (16, 16)),
+    n_group=4,
+)
+
+
+@pytest.fixture(scope="module")
+def pipe(tokenizer_dir):
+    return random_pipeline(
+        embedder_cfg=TINY_EMBEDDER,
+        diffuser_cfg=TINY_DIFFUSER,
+        refiner_cfg=TINY_REFINER,
+        vae_cfg=TINY_VAE,
+        compute_dtype=jnp.float32,
+        param_dtype_unet=jnp.float32,
+        tokenizer_dir=tokenizer_dir,
+    )
+
+
+def test_txt2img_end_to_end(pipe):
+    imgs = pipe.txt2img(
+        "a photo of a cat", resolution=(64, 64), n_steps=2, seed=7
+    )
+    assert imgs.shape == (1, 64, 64, 3)
+    assert imgs.dtype == np.uint8
+    assert imgs.std() > 0  # not constant
+
+
+def test_txt2img_seeded_determinism(pipe):
+    a = pipe.txt2img("a cat", resolution=(64, 64), n_steps=2, seed=3)
+    b = pipe.txt2img("a cat", resolution=(64, 64), n_steps=2, seed=3)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_txt2img_with_refiner(pipe):
+    imgs = pipe.txt2img(
+        "a cat", resolution=(64, 64), n_steps=2, seed=1, use_refiner=True
+    )
+    assert imgs.shape == (1, 64, 64, 3)
+
+
+def test_inpaint_path(pipe):
+    # 1024x1024 is in RESOLUTIONS; build a small fake by monkeypatching the
+    # table is overkill — use the real smallest bucket divided... the VAE is
+    # resolution-agnostic, so patch validate via a bucket-size reference.
+    ref = (np.random.default_rng(0).integers(0, 255, (1, 512, 2048, 3))).astype(
+        np.uint8
+    )
+    # full-size window inpaint at the smallest bucket would be slow; crop the
+    # latent path short by using few steps.
+    imgs = pipe.inpaint(
+        "a cat",
+        ref,
+        crop_left=0,
+        crop_right=256,
+        crop_top=0,
+        crop_bottom=256,
+        n_steps=2,
+        seed=5,
+    )
+    assert imgs.shape == (1, 512, 2048, 3)
+
+
+def test_inpaint_rejects_bad_resolution(pipe):
+    ref = np.zeros((1, 100, 100, 3), np.uint8)
+    with pytest.raises(ValueError, match="incompatible"):
+        pipe.inpaint("a cat", ref)
+
+
+def test_batched_prompts_e2e(pipe):
+    imgs = pipe.txt2img(["a cat", "a dog"], resolution=(64, 64), n_steps=2)
+    assert imgs.shape == (2, 64, 64, 3)
