@@ -1,0 +1,169 @@
+"""Checkpoint loading: reference-compatible model dirs and npy dumps.
+
+Reference model dir layout (sample/main.rs:28-51, 217-278):
+    {model_dir}/embedder.mpk        + embedder.cfg
+    {model_dir}/diffuser.mpk        + diffuser.cfg
+    {model_dir}/refiner.mpk         + refiner.cfg        (optional)
+    {model_dir}/latent_decoder.mpk  + latent_decoder.cfg
+
+Also accepted: the intermediate .npy dump tree consumed by the reference's
+`convert` binary (convert/main.rs:72-121):
+    {dump_dir}/embedder/{clip,open_clip}
+    {dump_dir}/diffuser/{alphas_cumprod.npy, diffuser_base}
+    {dump_dir}/diffuser/diffuser_refiner
+    {dump_dir}/latent_decoder/{autoencoder, scale_factor.npy}
+
+Plus this framework's native format (save_native/load_native): one
+safetensors file per stage + the same .cfg JSON — fast mmap loads, no
+Python-object parsing on the hot path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import (
+    AutoencoderConfig,
+    DiffuserConfig,
+    EmbedderConfig,
+    LatentDecoderConfig,
+    load_cfg,
+)
+from ..utils import log
+from .burn_mpk import parse_mpk_file
+from .npy_tree import NpyTreeSource
+from .params_builder import build_autoencoder, build_clip, build_unet
+
+
+# ---------------------------------------------------------------------------
+# Reference formats
+# ---------------------------------------------------------------------------
+
+def load_embedder_mpk(model_dir: str, dtype=jnp.float32):
+    cfg = load_cfg(os.path.join(model_dir, "embedder.cfg"), EmbedderConfig)
+    src = parse_mpk_file(os.path.join(model_dir, "embedder.mpk"))
+    params = {
+        "clip": build_clip(src.child("clip"), cfg.clip_config, dtype),
+        "open_clip": build_clip(src.child("open_clip"), cfg.open_clip_config, dtype),
+    }
+    return cfg, params
+
+
+def load_diffuser_mpk(model_dir: str, name: str = "diffuser", dtype=jnp.bfloat16):
+    cfg = load_cfg(os.path.join(model_dir, f"{name}.cfg"), DiffuserConfig)
+    src = parse_mpk_file(os.path.join(model_dir, f"{name}.mpk"))
+    unet = build_unet(src.child("diffusion"), cfg.unet_config(), dtype)
+    alphas = jnp.asarray(
+        src.tensor("alpha_cumulative_products", 1), dtype=jnp.float32
+    )
+    return cfg, unet, alphas
+
+
+def load_latent_decoder_mpk(model_dir: str, dtype=jnp.float32):
+    cfg = load_cfg(
+        os.path.join(model_dir, "latent_decoder.cfg"), LatentDecoderConfig
+    )
+    src = parse_mpk_file(os.path.join(model_dir, "latent_decoder.mpk"))
+    vae = build_autoencoder(src.child("autoencoder"), AutoencoderConfig(), dtype)
+    return cfg, vae
+
+
+def load_embedder_npy(dump_dir: str, cfg: EmbedderConfig, dtype=jnp.float32):
+    root = NpyTreeSource(os.path.join(dump_dir, "embedder"))
+    return {
+        "clip": build_clip(root.child("clip"), cfg.clip_config, dtype),
+        "open_clip": build_clip(root.child("open_clip"), cfg.open_clip_config, dtype),
+    }
+
+
+def load_diffuser_npy(
+    dump_dir: str, cfg: DiffuserConfig, is_refiner: bool = False, dtype=jnp.bfloat16
+):
+    root = NpyTreeSource(os.path.join(dump_dir, "diffuser"))
+    name = "diffuser_refiner" if is_refiner else "diffuser_base"
+    unet = build_unet(root.child(name), cfg.unet_config(), dtype)
+    alphas = jnp.asarray(root.tensor("alphas_cumprod", 1), dtype=jnp.float32)
+    return unet, alphas
+
+
+def load_latent_decoder_npy(dump_dir: str, dtype=jnp.float32):
+    root = NpyTreeSource(os.path.join(dump_dir, "latent_decoder"))
+    vae = build_autoencoder(
+        root.child("autoencoder"), AutoencoderConfig(), dtype
+    )
+    scale = root.scalar("scale_factor") or 0.13025
+    return vae, scale
+
+
+# ---------------------------------------------------------------------------
+# Native format: flat safetensors + cfg JSON
+# ---------------------------------------------------------------------------
+
+def flatten_pytree(tree, prefix=""):
+    flat = {}
+
+    def rec(node, path):
+        if node is None:
+            return
+        if isinstance(node, dict):
+            for k, v in node.items():
+                rec(v, f"{path}.{k}" if path else k)
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                rec(v, f"{path}.{i}" if path else str(i))
+        else:
+            flat[path] = np.asarray(node)
+
+    rec(tree, prefix)
+    return flat
+
+
+def unflatten_pytree(flat):
+    root: dict = {}
+    for path, arr in flat.items():
+        keys = path.split(".")
+        node = root
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = arr
+
+    def listify(node):
+        if isinstance(node, dict):
+            if node and all(k.isdigit() for k in node):
+                return [listify(node[str(i)]) for i in range(len(node))]
+            return {k: listify(v) for k, v in node.items()}
+        return node
+
+    return listify(root)
+
+
+def save_native(path: str, tree, metadata: Optional[dict] = None) -> None:
+    from safetensors.numpy import save_file
+
+    flat = flatten_pytree(tree)
+    meta = {k: str(v) for k, v in (metadata or {}).items()}
+    save_file(flat, path, metadata=meta)
+
+
+def load_native(path: str, dtype=None):
+    from safetensors.numpy import load_file
+
+    flat = load_file(path)
+    if dtype is not None:
+        npdt = np.dtype(
+            jnp.dtype(dtype).name if not isinstance(dtype, np.dtype) else dtype
+        ) if jnp.dtype(dtype) != jnp.bfloat16 else None
+        if npdt is not None:
+            flat = {k: v.astype(npdt) for k, v in flat.items()}
+    tree = unflatten_pytree(flat)
+    import jax
+
+    return jax.tree.map(
+        lambda a: jnp.asarray(a, dtype=dtype) if dtype is not None else jnp.asarray(a),
+        tree,
+    )
