@@ -1,0 +1,131 @@
+"""Device mesh + sharding rules for multi-chip SDXL inference.
+
+The reference is strictly single-GPU (one LibTorchDevice::Cuda(0),
+sample/main.rs:131; no NCCL/MPI anywhere — SURVEY.md §5). The TPU-native
+scaling design uses a 2-axis ``jax.sharding.Mesh``:
+
+  - "data":  batch-parallel sampling — prompts shard across chips; the
+    only cross-chip traffic is the final image gather (pure pjit sharding,
+    collectives ride ICI)
+  - "model": tensor parallelism over attention heads / MLP hidden dims of
+    the UNet + CLIP transformer linears (column-parallel qkv/fc1/geglu,
+    row-parallel out/fc2) for latency scaling; GSPMD inserts the matching
+    all-reduces. Convolutions are replicated: at SDXL sizes they are
+    bandwidth-bound and GN's channel statistics would force extra
+    collectives per block.
+
+No explicit collective calls appear anywhere — shardings are annotated on
+params/batch and XLA's SPMD partitioner inserts ICI collectives
+(scaling-book recipe: pick mesh, annotate, let XLA do the rest).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: Optional[int] = None,
+    devices=None,
+) -> Mesh:
+    """Build a (data, model) mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n_data is None and n_model is None:
+        n_model = 1
+        n_data = n
+    elif n_data is None:
+        n_data = n // n_model
+    elif n_model is None:
+        n_model = n // n_data
+    assert n_data * n_model == n, f"{n_data}x{n_model} != {n} devices"
+    arr = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+# (path regex, PartitionSpec) — first match wins; default replicated.
+# Paths are dot-joined pytree key paths, e.g.
+# "input_blocks.4.transformer.blocks.0.attn1.q.w".
+_TP_RULES: Sequence = (
+    # column-parallel: split output features over MODEL
+    (re.compile(r"\.attn\d?\.(q|k|v)\.w$"), P(None, MODEL_AXIS)),
+    (re.compile(r"\.mlp\.proj\.w$"), P(None, MODEL_AXIS)),
+    (re.compile(r"\.mlp\.fc1\.w$"), P(None, MODEL_AXIS)),
+    (re.compile(r"\.mlp\.proj\.b$"), P(MODEL_AXIS)),
+    (re.compile(r"\.mlp\.fc1\.b$"), P(MODEL_AXIS)),
+    # row-parallel: split input features over MODEL (output all-reduced)
+    (re.compile(r"\.attn\d?\.out\.w$"), P(MODEL_AXIS, None)),
+    (re.compile(r"\.mlp\.fc2\.w$"), P(MODEL_AXIS, None)),
+    (re.compile(r"\.mlp\.lin\.w$"), P(MODEL_AXIS, None)),
+)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return ".".join(parts)
+
+
+def partition_spec_for(path: str, tensor_parallel: bool) -> P:
+    if tensor_parallel:
+        for rx, spec in _TP_RULES:
+            if rx.search("." + path):
+                return spec
+    return P()
+
+
+def shard_params(params, mesh: Mesh, tensor_parallel: bool = True):
+    """Place a parameter pytree on the mesh per the TP rules.
+
+    With tensor_parallel=False (or a size-1 model axis) everything is
+    replicated — the pure data-parallel throughput mode.
+    """
+    tp = tensor_parallel and mesh.shape[MODEL_AXIS] > 1
+
+    def place(path, leaf):
+        if leaf is None:
+            return None
+        spec = partition_spec_for(_path_str(path), tp)
+        # TP rules target 2-D linear weights / 1-D biases only (the VAE
+        # mid-attention reuses q/k/v names for 4-D conv kernels — replicate)
+        if len(spec) > 0 and leaf.ndim > 2:
+            spec = P()
+        # guard: axes must divide the dim; otherwise replicate
+        for dim, axis in zip(leaf.shape, spec):
+            if axis is not None and dim % mesh.shape[axis] != 0:
+                spec = P()
+                break
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params, is_leaf=lambda x: x is None)
+
+
+def shard_batch(tree, mesh: Mesh):
+    """Shard leading (batch) axis over the data axis; used for latents,
+    contexts and channel contexts in batched sampling."""
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+    def place(leaf):
+        if leaf is None:
+            return None
+        if leaf.ndim == 0 or leaf.shape[0] % mesh.shape[DATA_AXIS] != 0:
+            return jax.device_put(leaf, NamedSharding(mesh, P()))
+        spec = P(DATA_AXIS, *([None] * (leaf.ndim - 1)))
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, tree, is_leaf=lambda x: x is None)

@@ -1,0 +1,101 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdxl_tpu.configs import DiffuserConfig, UNetConfig
+from sdxl_tpu.models.unet import init_unet, unet_forward
+from sdxl_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+from sdxl_tpu.pipeline.conditioning import Conditioning
+from sdxl_tpu.pipeline.sampler import sample_latent, scaled_linear_alphas_cumprod
+
+TINY = UNetConfig(
+    adm_in_channels=24,
+    in_channels=4,
+    out_channels=4,
+    model_channels=32,
+    channel_mults=(1, 2, 4),
+    n_head_channels=8,
+    transformer_depths=(1, 1, 2),
+    context_dim=16,
+)
+
+
+def _inputs(batch=4):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, 16, 16, 4)), jnp.float32)
+    t = jnp.full((batch,), 500, jnp.int32)
+    ctx = jnp.asarray(rng.standard_normal((batch, 7, 16)), jnp.float32)
+    label = jnp.asarray(rng.standard_normal((batch, 24)), jnp.float32)
+    return x, t, ctx, label
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_tp_unet_matches_single_device():
+    params = init_unet(jax.random.PRNGKey(0), TINY, jnp.float32)
+    x, t, ctx, label = _inputs()
+
+    ref = unet_forward(params, TINY, x, t, ctx, label)
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    p_sh = shard_params(params, mesh, tensor_parallel=True)
+    x_sh, t_sh, ctx_sh, label_sh = shard_batch((x, t, ctx, label), mesh)
+
+    f = jax.jit(lambda p, a, b, c, d: unet_forward(p, TINY, a, b, c, d))
+    out = f(p_sh, x_sh, t_sh, ctx_sh, label_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_tp_actually_shards_linears():
+    mesh = make_mesh(n_data=1, n_model=8)
+    params = init_unet(jax.random.PRNGKey(0), TINY, jnp.float32)
+    p_sh = shard_params(params, mesh, tensor_parallel=True)
+    # a depth-2 transformer lives at input block 7 (level 2)
+    qw = p_sh["input_blocks"][7]["transformer"]["blocks"][0]["attn1"]["q"]["w"]
+    shard_shapes = {s.data.shape for s in qw.addressable_shards}
+    assert shard_shapes == {(qw.shape[0], qw.shape[1] // 8)}
+    # conv kernels stay replicated
+    cw = p_sh["input_blocks"][0]["conv"]["w"]
+    assert all(s.data.shape == cw.shape for s in cw.addressable_shards)
+
+
+def test_full_sampler_on_mesh():
+    """The whole scan-based DDIM sampler runs dp+tp sharded."""
+    cfg = DiffuserConfig(
+        adm_in_channels=24, model_channels=32, channel_mults=(1, 2, 4),
+        num_head_channels=8, transformer_depths=(1, 1, 2), context_dim=48,
+        is_refiner=False,
+    )
+    params = init_unet(jax.random.PRNGKey(0), cfg.unet_config(), jnp.float32)
+    alphas = jnp.asarray(scaled_linear_alphas_cumprod())
+    batch = 4
+    k = jax.random.PRNGKey(9)
+    ks = jax.random.split(k, 8)
+    cond = Conditioning(
+        unconditional_context_full=jax.random.normal(ks[0], (1, 7, 48)),
+        unconditional_context_open_clip=jax.random.normal(ks[1], (1, 7, 32)),
+        context_full=jax.random.normal(ks[2], (batch, 7, 48)),
+        context_open_clip=jax.random.normal(ks[3], (batch, 7, 32)),
+        unconditional_channel_context=jax.random.normal(ks[4], (1, 24)),
+        unconditional_channel_context_refiner=jax.random.normal(ks[5], (1, 20)),
+        channel_context=jax.random.normal(ks[6], (batch, 24)),
+        channel_context_refiner=jax.random.normal(ks[7], (batch, 20)),
+        resolution=(64, 64),
+    )
+    ref = sample_latent(
+        params, cfg, alphas, cond, jax.random.PRNGKey(1), 7.5, 2, jnp.float32
+    )
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    p_sh = shard_params(params, mesh)
+    cond_sh = shard_batch(cond, mesh)
+    out = sample_latent(
+        p_sh, cfg, alphas, cond_sh, jax.random.PRNGKey(1), 7.5, 2, jnp.float32
+    )
+    assert out.shape == (batch, 8, 8, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
