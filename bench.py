@@ -58,8 +58,9 @@ def main():
             params, cfg, alphas, cond, jax.random.PRNGKey(seed),
             guidance_scale=7.5, n_steps=n_steps,
         )
-        jax.block_until_ready(out)
-        return out
+        # NOTE: on the axon tunnel platform jax.block_until_ready does not
+        # synchronize; a scalar readback is the only reliable fence.
+        return float(jnp.sum(out))
 
     log("compiling + warmup run...")
     t0 = time.perf_counter()

@@ -1,0 +1,129 @@
+"""`sample` CLI: text-to-image / inpainting / refiner.
+
+Flag names and defaults mirror the reference binary
+(/root/reference/src/bin/sample/main.rs:71-119); outputs are written as
+{output_dir}{i}.png (main.rs:341-348). Strict additions over the
+reference: --seed (it has no RNG control), --negative-prompt, --batch,
+--height/--width, --random-weights (bring-up without a checkpoint).
+
+Usage:
+  python -m sdxl_tpu.cli.sample --model-dir ./weights \
+      --prompt "a crab" --output-dir ./out/crab
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Stable Diffusion XL on TPU")
+    p.add_argument("--model-dir", type=str, default=None,
+                   help="Directory of the model weights")
+    p.add_argument("--use-refiner", action="store_true",
+                   help="Use the refiner model?")
+    p.add_argument("--reference-img", type=str, default=None,
+                   help="Path of the reference image for inpainting")
+    p.add_argument("--crop-left", type=int, default=None,
+                   help="Left-most pixel of the crop window")
+    p.add_argument("--crop-right", type=int, default=None,
+                   help="Right-most pixel of the crop window")
+    p.add_argument("--crop-top", type=int, default=None,
+                   help="Top-most pixel of the crop window")
+    p.add_argument("--crop-bottom", type=int, default=None,
+                   help="Bottom-most pixel of the crop window")
+    p.add_argument("--crop-out", action="store_true",
+                   help="Crop outside or inside the specified crop window?")
+    p.add_argument("--unconditional-guidance-scale", "-gs", type=float,
+                   default=7.5,
+                   help="Controls the strength of the adherence to the prompt")
+    p.add_argument("--n-diffusion-steps", "-steps", type=int, default=30,
+                   help="Number of diffusion iterations")
+    p.add_argument("--prompt", "-pr", type=str, required=True)
+    p.add_argument("--output-dir", "-od", type=str, required=True,
+                   help="Prefix for the image outputs ({output_dir}{i}.png)")
+    # --- additions over the reference ---
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--negative-prompt", type=str, default="")
+    p.add_argument("--batch", type=int, default=1,
+                   help="Number of images to sample in one batch")
+    p.add_argument("--height", type=int, default=1024)
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--tokenizer-dir", type=str, default=None)
+    p.add_argument("--random-weights", action="store_true",
+                   help="Run with random weights (pipeline bring-up)")
+    p.add_argument("--f32", action="store_true",
+                   help="Run the UNet in float32 instead of bfloat16")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from ..io.images import load_images, save_images
+    from ..pipeline.pipeline import random_pipeline
+    from ..utils import log
+
+    dtype = jnp.float32 if args.f32 else jnp.bfloat16
+
+    if args.random_weights or args.model_dir is None:
+        if not args.random_weights:
+            print("error: --model-dir is required (or pass --random-weights)",
+                  file=sys.stderr)
+            return 1
+        from ..configs import SDXL_REFINER_DIFFUSER
+
+        pipe = random_pipeline(
+            refiner_cfg=SDXL_REFINER_DIFFUSER if args.use_refiner else None,
+            compute_dtype=dtype,
+            tokenizer_dir=args.tokenizer_dir,
+        )
+    else:
+        from ..pipeline.loader import load_pipeline
+
+        pipe = load_pipeline(
+            args.model_dir, args.use_refiner, dtype, args.tokenizer_dir
+        )
+
+    prompts = [args.prompt] * args.batch
+
+    if args.reference_img is not None:
+        ref = load_images([args.reference_img])
+        images = pipe.inpaint(
+            prompts,
+            ref,
+            crop_left=args.crop_left,
+            crop_right=args.crop_right,
+            crop_top=args.crop_top,
+            crop_bottom=args.crop_bottom,
+            crop_out=args.crop_out,
+            n_steps=args.n_diffusion_steps,
+            guidance_scale=args.unconditional_guidance_scale,
+            seed=args.seed,
+            use_refiner=args.use_refiner,
+            negative_prompt=args.negative_prompt,
+        )
+    else:
+        images = pipe.txt2img(
+            prompts,
+            resolution=(args.height, args.width),
+            n_steps=args.n_diffusion_steps,
+            guidance_scale=args.unconditional_guidance_scale,
+            seed=args.seed,
+            use_refiner=args.use_refiner,
+            negative_prompt=args.negative_prompt,
+        )
+
+    paths = save_images(np.asarray(images), args.output_dir)
+    log(f"saved: {paths}")
+    log(pipe.timer.summary())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

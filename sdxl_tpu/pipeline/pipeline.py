@@ -31,7 +31,7 @@ from ..configs import (
     SDXL_REFINER_DIFFUSER,
 )
 from ..tokenizer import ClipTokenizer, OpenClipTokenizer
-from ..utils import StageTimer, log
+from ..utils import StageTimer, fence, log
 from .conditioning import Conditioning, text_to_conditioning
 from .latent import decode_latent_to_images, encode_images_to_latent
 from .resolutions import RESOLUTIONS, validate_resolution
@@ -76,7 +76,7 @@ class SDXLPipeline:
                 crop,
                 negative_prompt,
             )
-            jax.block_until_ready(cond.context_full)
+            fence(cond.context_full)
         return cond
 
     # -- generation ----------------------------------------------------------
@@ -108,7 +108,7 @@ class SDXLPipeline:
                     self.vae_params, self.vae_cfg, jnp.asarray(inpaint_reference),
                     self.scale_factor,
                 )
-                jax.block_until_ready(reference_latent)
+                fence(reference_latent)
 
         with self.timer.stage("diffuser"):
             latent = sample_latent(
@@ -123,7 +123,7 @@ class SDXLPipeline:
                 reference=reference_latent,
                 mask=inpaint_mask,
             )
-            jax.block_until_ready(latent)
+            fence(latent)
 
         if use_refiner:
             if self.refiner_params is None:
@@ -143,13 +143,13 @@ class SDXLPipeline:
                     n_steps,
                     self.compute_dtype,
                 )
-                jax.block_until_ready(latent)
+                fence(latent)
 
         with self.timer.stage("vae_decode"):
             images = decode_latent_to_images(
                 self.vae_params, self.vae_cfg, latent, self.scale_factor
             )
-            jax.block_until_ready(images)
+            fence(images)
         return np.asarray(images)
 
     def inpaint(

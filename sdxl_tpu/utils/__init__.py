@@ -1,3 +1,4 @@
 from .logging import StageTimer, log
+from .sync import fence
 
-__all__ = ["StageTimer", "log"]
+__all__ = ["StageTimer", "log", "fence"]

@@ -37,7 +37,9 @@ class StageTimer:
         with ctx:
             yield
             if sync is not None:
-                jax.block_until_ready(sync)
+                from .sync import fence
+
+                fence(sync)
         dt = time.perf_counter() - t0
         self.stages[name] = self.stages.get(name, 0.0) + dt
         log(f"{name}: {dt:.3f}s")
