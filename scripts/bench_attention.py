@@ -17,13 +17,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(f, *args, iters=20):
-    out = f(*args)
-    _ = float(jnp.sum(out.astype(jnp.float32)))  # compile+warm
+def timeit(f, *args, iters=50):
+    g = jax.jit(lambda *a: jnp.sum(f(*a).astype(jnp.float32)))
+    _ = float(g(*args))  # compile+warm
     t0 = time.perf_counter()
+    acc = 0.0
     for _ in range(iters):
-        out = f(*args)
-    _ = float(jnp.sum(out.astype(jnp.float32)))
+        acc += 0.0  # keep loop body trivial
+        out = g(*args)
+    _ = float(out)
     return (time.perf_counter() - t0) / iters
 
 

@@ -43,14 +43,26 @@ def qkv_attention(
     mask: jnp.ndarray | None = None,
     n_head: int = 1,
 ) -> jnp.ndarray:
-    """softmax(q kᵀ / sqrt(d) + mask) v over heads; [B, T, C] in and out."""
+    """softmax(q kᵀ / sqrt(d) + mask) v over heads; [B, T, C] in and out.
+
+    Long unmasked self-attention (the UNet's spatial tokens) dispatches to
+    the Pallas flash kernel; short-kv cross-attention and masked CLIP
+    attention stay on the XLA path, which is already fusion-optimal there.
+    """
     b, tq, c = q.shape
+    tk = k.shape[1]
     d = c // n_head
     scale = d ** -0.5
 
     qh = _split_heads(q, n_head)
     kh = _split_heads(k, n_head)
     vh = _split_heads(v, n_head)
+
+    from .flash_attention import flash_attention_bhtd, use_flash
+
+    if use_flash(tq, tk, d, mask is not None):
+        o = flash_attention_bhtd(qh, kh, vh)
+        return o.transpose(0, 2, 1, 3).reshape(b, tq, c)
 
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", qh * scale, kh, preferred_element_type=jnp.float32

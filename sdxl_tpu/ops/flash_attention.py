@@ -1,0 +1,142 @@
+"""Pallas TPU flash attention for the UNet's spatial self-attention.
+
+The XLA attention path materializes the [B,H,T,T] logits in HBM (f32
+softmax over 4096x4096 at level 1 costs ~3 GB of HBM round-trips per
+SpatialTransformer). This kernel keeps the running softmax in VMEM
+(online-softmax/flash algorithm): per (batch*head, q-block) it streams
+k/v blocks, maintaining the running max m, normalizer l and the f32
+accumulator, and writes each output tile exactly once.
+
+Targets the SDXL shapes: T in {1024, 4096} (32x32 / 64x64 latents),
+head_dim 64, bf16 in/out with f32 accumulation — numerically matching the
+reference attention semantics (backend.rs:88-128 up to f32 softmax).
+
+Grid: (B*H, T/BQ, T/BK), the k dimension innermost — TPU grid steps run
+sequentially per core so the VMEM scratch carries across k blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, n_k):
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # (BQ, D) bf16
+    k = k_ref[0]  # (BK, D)
+    v = v_ref[0]  # (BK, D)
+
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (BQ, BK) f32
+
+    m_prev = m_ref[:, :1]  # (BQ, 1), lanes replicated
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+
+    p = jnp.exp(s - m_new)  # (BQ, BK)
+    alpha = jnp.exp(m_prev - m_new)  # (BQ, 1)
+
+    l_ref[:] = jnp.broadcast_to(
+        alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True), l_ref.shape
+    )
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BQ, D) f32
+    acc_ref[:] = acc_ref[:] * alpha + pv
+
+    @pl.when(ik == n_k - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def _default_blocks(tq: int, tk: int, d: int):
+    """Tuned on v5e (scripts/bench_attention.py): large q blocks win at 4096
+    tokens; small q blocks at 1024. Shrink for wide heads (VAE d=512) to
+    stay inside VMEM."""
+    if d > 128:
+        return 256, 512
+    if tq >= 4096:
+        return 1024, 1024
+    return 256, 1024
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def flash_attention_bhtd(
+    q: jnp.ndarray,  # [B, H, Tq, D]
+    k: jnp.ndarray,  # [B, H, Tk, D]
+    v: jnp.ndarray,  # [B, H, Tk, D]
+    block_q: int = 0,
+    block_k: int = 0,
+) -> jnp.ndarray:
+    """Unmasked flash attention over [B, H, T, D]; softmax scale 1/sqrt(D)."""
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    dbq, dbk = _default_blocks(tq, tk, d)
+    block_q = min(block_q or dbq, tq)
+    block_k = min(block_k or dbk, tk)
+    assert tq % block_q == 0 and tk % block_k == 0, (tq, tk, block_q, block_k)
+    n_k = tk // block_k
+    scale = d ** -0.5
+
+    qf = q.reshape(b * h, tq, d)
+    kf = k.reshape(b * h, tk, d)
+    vf = v.reshape(b * h, tk, d)
+
+    grid = (b * h, tq // block_q, n_k)
+
+    # CPU (tests / dryrun): no Mosaic backend — run the kernel interpreted
+    interpret = jax.default_backend() == "cpu"
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, n_k=n_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda ibh, iq, ik: (ibh, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda ibh, iq, ik: (ibh, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda ibh, iq, ik: (ibh, ik, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda ibh, iq, ik: (ibh, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),  # running max
+            pltpu.VMEM((block_q, _LANES), jnp.float32),  # running normalizer
+            pltpu.VMEM((block_q, d), jnp.float32),       # output accumulator
+        ],
+        interpret=interpret,
+    )(qf, kf, vf)
+
+    return out.reshape(b, h, tq, d)
+
+
+def use_flash(tq: int, tk: int, d: int, has_mask: bool) -> bool:
+    """Flash pays off for the long spatial self-attentions (UNet levels 1-2
+    and the VAE mid-attention at 16k tokens); short-kv cross attention (77
+    text tokens) and masked CLIP attention stay on XLA."""
+    return (
+        not has_mask
+        and tq == tk
+        and tq >= 1024
+        and tq % 512 == 0
+        and (d in (64, 128) or (tq >= 4096 and d <= 512 and d % 128 == 0))
+    )

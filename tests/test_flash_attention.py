@@ -1,0 +1,59 @@
+"""Flash-attention kernel correctness (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdxl_tpu.ops.attention import qkv_attention
+from sdxl_tpu.ops.flash_attention import flash_attention_bhtd, use_flash
+
+
+def xla_ref(q, k, v):
+    d = q.shape[-1]
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q * (d**-0.5), k, preferred_element_type=jnp.float32
+    )
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+
+@pytest.mark.parametrize("shape,blocks", [
+    ((1, 2, 1024, 64), (256, 512)),   # UNet level-2 shape class
+    ((1, 1, 1024, 128), (512, 1024)), # single k block (n_k=1)
+])
+def test_flash_matches_xla(shape, blocks):
+    b, h, t, d = shape
+    q = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), shape, jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), shape, jnp.float32)
+    ref = np.asarray(xla_ref(q, k, v))
+    got = np.asarray(flash_attention_bhtd(q, k, v, *blocks))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_flash_dispatch_matches_xla_path():
+    """qkv_attention must give the same result whether or not it routes to
+    the flash kernel."""
+    b, t, c, h = 1, 1024, 128, 2
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, t, c))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, t, c))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, t, c))
+    assert use_flash(t, t, c // h, False)
+    out = qkv_attention(q, k, v, None, h)
+
+    qh = q.reshape(b, t, h, c // h).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, t, h, c // h).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, t, h, c // h).transpose(0, 2, 1, 3)
+    ref = np.asarray(xla_ref(qh, kh, vh))
+    got = np.asarray(out.reshape(b, t, h, c // h).transpose(0, 2, 1, 3))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_use_flash_gating():
+    assert not use_flash(77, 77, 64, False)        # short text tokens
+    assert not use_flash(4096, 77, 64, False)      # cross-attn
+    assert not use_flash(1024, 1024, 64, True)     # masked (CLIP causal)
+    assert use_flash(4096, 4096, 64, False)        # UNet L1 self
+    assert use_flash(16384, 16384, 512, False)     # VAE mid attn @1024px
+    assert not use_flash(15808, 15808, 512, False) # odd bucket -> XLA
