@@ -126,11 +126,20 @@ class Tokenizer:
         self._cache: Dict[str, str] = (
             {SOT_TEXT: SOT_TEXT, EOT_TEXT: EOT_TEXT} if cache_specials else {}
         )
+        # native (C++) merge core; None falls back to the Python loop below
+        from .native import try_native_bpe
+
+        self._native = try_native_bpe(merges)
 
     def bpe(self, token: str) -> str:
         cached = self._cache.get(token)
         if cached is not None:
             return cached
+
+        if self._native is not None:
+            out = self._native.apply(token)
+            self._cache[token] = out
+            return out
 
         word: List[str] = list(token)
         if word:
