@@ -57,13 +57,27 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Run with random weights (pipeline bring-up)")
     p.add_argument("--f32", action="store_true",
                    help="Run the UNet in float32 instead of bfloat16")
+    p.add_argument("--trace", type=str, default=None,
+                   help="Write a jax.profiler trace to this directory")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="Enable jax.config.debug_nans for bring-up")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    from ..utils.cache import init_compilation_cache
+
+    init_compilation_cache()
+
+    import jax
     import jax.numpy as jnp
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    if args.trace:
+        jax.profiler.start_trace(args.trace)
 
     from ..io.images import load_images, save_images
     from ..pipeline.pipeline import random_pipeline
@@ -119,9 +133,16 @@ def main(argv=None) -> int:
             negative_prompt=args.negative_prompt,
         )
 
+    if args.trace:
+        jax.profiler.stop_trace()
+
     paths = save_images(np.asarray(images), args.output_dir)
     log(f"saved: {paths}")
     log(pipe.timer.summary())
+    total = pipe.timer.total()
+    if total > 0:
+        log(f"throughput: {60.0 * len(prompts) / total:.2f} images/min "
+            f"(p50-equivalent latency {total / len(prompts):.2f}s/image)")
     return 0
 
 

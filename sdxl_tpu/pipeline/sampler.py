@@ -53,6 +53,31 @@ def scaled_linear_alphas_cumprod(n_steps: int = N_STEPS_TOTAL) -> np.ndarray:
     return np.cumprod(1.0 - betas).astype(np.float32)
 
 
+def cosine_schedule(n_steps: int = N_STEPS_TOTAL) -> np.ndarray:
+    """Signal-rate cosine schedule (stablediffusion/mod.rs:805-810).
+
+    Vestigial in the reference (the real ᾱ table ships with the weights)
+    but part of its public surface; kept for parity.
+    """
+    times = np.arange(1, n_steps + 1, dtype=np.float64)
+    return np.cos(times * (np.pi * 0.5 / n_steps)).astype(np.float32)
+
+
+def offset_cosine_schedule(n_steps: int = N_STEPS_TOTAL) -> np.ndarray:
+    """Offset cosine signal rates, min/max 0.02/0.95 (mod.rs:812-822)."""
+    min_signal_rate, max_signal_rate = 0.02, 0.95
+    start_angle = np.arccos(max_signal_rate)
+    end_angle = np.arccos(min_signal_rate)
+    times = np.arange(1, n_steps + 1, dtype=np.float64)
+    angles = times * ((end_angle - start_angle) / n_steps) + start_angle
+    return np.cos(angles).astype(np.float32)
+
+
+def offset_cosine_schedule_cumprod(n_steps: int = N_STEPS_TOTAL) -> np.ndarray:
+    """Squared offset-cosine signal rates = ᾱ table (mod.rs:824-829)."""
+    return (offset_cosine_schedule(n_steps) ** 2).astype(np.float32)
+
+
 def ddim_timesteps(step_start: int, n_steps: int) -> np.ndarray:
     """(0..1000-step_start).rev().step_by(1000/n_steps) (mod.rs:400-406)."""
     step_size = N_STEPS_TOTAL // n_steps
