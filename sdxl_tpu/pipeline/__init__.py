@@ -1,7 +1,10 @@
 from .conditioning import Conditioning, text_to_conditioning
 from .sampler import (
+    cosine_schedule,
     ddim_timesteps,
     diffuse_latent,
+    offset_cosine_schedule,
+    offset_cosine_schedule_cumprod,
     refine_latent,
     sample_latent,
     scaled_linear_alphas_cumprod,

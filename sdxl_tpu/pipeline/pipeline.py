@@ -93,8 +93,14 @@ class SDXLPipeline:
         negative_prompt: str = "",
         inpaint_reference: Optional[np.ndarray] = None,
         inpaint_mask: Optional[jnp.ndarray] = None,
+        device_output: bool = False,
     ) -> np.ndarray:
-        """Full pipeline; returns [B, H, W, 3] uint8."""
+        """Full pipeline; returns [B, H, W, 3] uint8.
+
+        device_output=True returns the fenced on-device uint8 array without
+        the host copy (benchmarking; over the axon tunnel the host link is
+        ~10 MB/s and would dominate the measurement, unlike real PCIe).
+        """
         cond = self.conditioning(prompts, resolution, negative_prompt=negative_prompt)
         cond_half = cond.astype(self.compute_dtype)
 
@@ -150,6 +156,8 @@ class SDXLPipeline:
                 self.vae_params, self.vae_cfg, latent, self.scale_factor
             )
             fence(images)
+        if device_output:
+            return images
         return np.asarray(images)
 
     def inpaint(
