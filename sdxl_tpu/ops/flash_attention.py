@@ -123,6 +123,18 @@ def flash_attention_bhtd(
             pltpu.VMEM((block_q, _LANES), jnp.float32),  # running normalizer
             pltpu.VMEM((block_q, d), jnp.float32),       # output accumulator
         ],
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(
+            # bh and q-block grid axes are independent; only the k axis
+            # carries state through the scratch accumulators
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * tq * tk * d,
+            bytes_accessed=(tq * d * 2 + 2 * tk * d) * b * h * q.dtype.itemsize,
+            transcendentals=b * h * tq * tk,
+        ),
         interpret=interpret,
     )(qf, kf, vf)
 
