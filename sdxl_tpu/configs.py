@@ -18,7 +18,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import List, Tuple
+from typing import Tuple
 
 
 @dataclass(frozen=True)

@@ -20,9 +20,8 @@ Python-object parsing on the hot path.
 
 from __future__ import annotations
 
-import json
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -34,7 +33,6 @@ from ..configs import (
     LatentDecoderConfig,
     load_cfg,
 )
-from ..utils import log
 from .burn_mpk import parse_mpk_file
 from .npy_tree import NpyTreeSource
 from .params_builder import build_autoencoder, build_clip, build_unet

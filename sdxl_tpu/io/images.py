@@ -7,7 +7,7 @@ RGB8 buffers, all inputs must share dimensions, outputs are written as
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import numpy as np
 from PIL import Image

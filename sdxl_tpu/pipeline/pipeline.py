@@ -16,7 +16,7 @@ stage is one jitted program; precision staging is a device-side cast.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,6 @@ from ..configs import (
     EmbedderConfig,
     SDXL_BASE_DIFFUSER,
     SDXL_EMBEDDER,
-    SDXL_REFINER_DIFFUSER,
 )
 from ..tokenizer import ClipTokenizer, OpenClipTokenizer
 from ..utils import StageTimer, fence, log
@@ -101,6 +100,14 @@ class SDXLPipeline:
         the host copy (benchmarking; over the axon tunnel the host link is
         ~10 MB/s and would dominate the measurement, unlike real PCIe).
         """
+        h, w = resolution
+        if h % 8 or w % 8:
+            raise ValueError(f"resolution {h}x{w} must be a multiple of 8")
+        if not validate_resolution(h, w):
+            # SDXL was trained on the RESOLUTIONS buckets; off-bucket sizes
+            # run fine but degrade quality (mod.rs:583-624)
+            log(f"warning: {h}x{w} is not an SDXL-trained resolution bucket")
+
         cond = self.conditioning(prompts, resolution, negative_prompt=negative_prompt)
         cond_half = cond.astype(self.compute_dtype)
 

@@ -29,7 +29,7 @@ accuracy; the UNet runs in bf16 (reference: f16 UNet, sample/main.rs:122).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
