@@ -1,0 +1,334 @@
+"""Import SDXL weights from a diffusers model directory.
+
+Capability extension over the reference (which only reads its own dump):
+the `stabilityai/stable-diffusion-xl-base-1.0` repository layout loads
+directly:
+
+    {dir}/unet/diffusion_pytorch_model*.safetensors
+    {dir}/vae/diffusion_pytorch_model*.safetensors
+    {dir}/text_encoder/model*.safetensors      (CLIP ViT-L, HF layout)
+    {dir}/text_encoder_2/model*.safetensors    (bigG, HF *WithProjection*)
+    {dir}/scheduler/scheduler_config.json      (beta schedule)
+
+diffusers block indices map onto the reference/ldm block order:
+  down_blocks.{L}.resnets.{j}   -> input_blocks[1 + 3L + j]
+  down_blocks.{L}.downsamplers  -> input_blocks[3(L+1)]
+  up_blocks.{i} (deep->shallow) -> output_blocks[3i .. 3i+2]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import AutoencoderConfig, CLIPConfig, UNetConfig
+from ..models.unet import unet_block_plan
+from .hf_sdxl import _KeyStore, _as, build_clip_from_hf
+
+
+def _load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
+    from safetensors.numpy import load_file
+
+    files = sorted(
+        glob.glob(os.path.join(path, "*.safetensors"))
+        + glob.glob(os.path.join(path, "*.sft"))
+    )
+    if not files:
+        raise FileNotFoundError(f"no safetensors under {path}")
+    out: Dict[str, np.ndarray] = {}
+    for f in files:
+        out.update(load_file(f))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# UNet
+# ---------------------------------------------------------------------------
+
+def _dif_res(ks: _KeyStore, key: str, cast):
+    s = ks.sub(key)
+    p = {
+        "norm_in": s.norm("norm1", cast),
+        "conv_in": s.conv("conv1", cast),
+        "lin_embed": s.linear("time_emb_proj", cast),
+        "norm_out": s.norm("norm2", cast),
+        "conv_out": s.conv("conv2", cast),
+    }
+    if s.has("conv_shortcut.weight"):
+        p["skip"] = s.conv("conv_shortcut", cast)
+    return p
+
+
+def _dif_attn(ks: _KeyStore, key: str, cast):
+    s = ks.sub(key)
+    return {
+        "q": s.linear("to_q", cast),
+        "k": s.linear("to_k", cast),
+        "v": s.linear("to_v", cast),
+        "out": s.linear("to_out.0", cast),
+    }
+
+
+def _dif_spatial(ks: _KeyStore, key: str, cast):
+    s = ks.sub(key)
+    blocks = []
+    i = 0
+    while s.has(f"transformer_blocks.{i}.norm1.weight"):
+        b = s.sub(f"transformer_blocks.{i}")
+        blocks.append(
+            {
+                "norm1": b.norm("norm1", cast),
+                "attn1": _dif_attn(b, "attn1", cast),
+                "norm2": b.norm("norm2", cast),
+                "attn2": _dif_attn(b, "attn2", cast),
+                "norm3": b.norm("norm3", cast),
+                "mlp": {
+                    "proj": b.linear("ff.net.0.proj", cast),
+                    "lin": b.linear("ff.net.2", cast),
+                },
+            }
+        )
+        i += 1
+    return {
+        "norm": s.norm("norm", cast),
+        "proj_in": s.linear("proj_in", cast),
+        "blocks": blocks,
+        "proj_out": s.linear("proj_out", cast),
+    }
+
+
+def build_unet_from_diffusers(
+    tensors: Dict[str, np.ndarray], cfg: UNetConfig, dtype=jnp.bfloat16
+):
+    cast = _as(dtype)
+    ks = _KeyStore(tensors)
+    in_plan, _, out_plan = unet_block_plan(cfg)
+    n_levels = len(cfg.channel_mults)
+
+    input_blocks = [{"conv": ks.conv("conv_in", cast)}]
+    for level in range(n_levels):
+        d = ks.sub(f"down_blocks.{level}")
+        has_attn = d.has("attentions.0.norm.weight")
+        for j in range(2):
+            p = {"res": _dif_res(d, f"resnets.{j}", cast)}
+            if has_attn:
+                p["transformer"] = _dif_spatial(d, f"attentions.{j}", cast)
+            input_blocks.append(p)
+        if d.has("downsamplers.0.conv.weight"):
+            input_blocks.append({"conv": d.conv("downsamplers.0.conv", cast)})
+
+    mid = ks.sub("mid_block")
+    middle = {
+        "res1": _dif_res(mid, "resnets.0", cast),
+        "transformer": _dif_spatial(mid, "attentions.0", cast),
+        "res2": _dif_res(mid, "resnets.1", cast),
+    }
+
+    output_blocks = []
+    for i in range(n_levels):  # up_blocks are already deep->shallow
+        u = ks.sub(f"up_blocks.{i}")
+        has_attn = u.has("attentions.0.norm.weight")
+        for j in range(3):
+            p = {"res": _dif_res(u, f"resnets.{j}", cast)}
+            if has_attn:
+                p["transformer"] = _dif_spatial(u, f"attentions.{j}", cast)
+            if j == 2 and u.has("upsamplers.0.conv.weight"):
+                p["upsample"] = u.conv("upsamplers.0.conv", cast)
+            output_blocks.append(p)
+
+    params = {
+        "time_embed": {
+            "lin1": ks.linear("time_embedding.linear_1", cast),
+            "lin2": ks.linear("time_embedding.linear_2", cast),
+        },
+        "label_embed": {
+            "lin1": ks.linear("add_embedding.linear_1", cast),
+            "lin2": ks.linear("add_embedding.linear_2", cast),
+        },
+        "input_blocks": input_blocks,
+        "middle_block": middle,
+        "output_blocks": output_blocks,
+        "norm_out": ks.norm("conv_norm_out", cast),
+        "conv_out": ks.conv("conv_out", cast),
+    }
+
+    # structural validation against the generated plan
+    if len(input_blocks) != len(in_plan) or len(output_blocks) != len(out_plan):
+        raise ValueError(
+            f"diffusers UNet block count mismatch: got "
+            f"{len(input_blocks)}/{len(output_blocks)}, plan expects "
+            f"{len(in_plan)}/{len(out_plan)} — wrong config for these weights?"
+        )
+    for spec, p in zip(in_plan + out_plan, input_blocks + output_blocks):
+        if spec.kind in ("res_t", "res_t_up") and "transformer" not in p:
+            raise ValueError(f"plan expects a transformer at a {spec.kind} block")
+    return params
+
+
+# ---------------------------------------------------------------------------
+# VAE
+# ---------------------------------------------------------------------------
+
+def _dif_vae_res(ks: _KeyStore, key: str, cast):
+    s = ks.sub(key)
+    p = {
+        "norm1": s.norm("norm1", cast),
+        "conv1": s.conv("conv1", cast),
+        "norm2": s.norm("norm2", cast),
+        "conv2": s.conv("conv2", cast),
+    }
+    if s.has("conv_shortcut.weight"):
+        p["nin_shortcut"] = s.conv("conv_shortcut", cast)
+    return p
+
+
+def _lin_as_conv1x1(s: _KeyStore, key: str, cast):
+    """diffusers VAE attention uses Linear where ldm uses 1x1 convs."""
+    w = s.get(f"{key}.weight")  # [out, in]
+    p = {"w": cast(w.T[None, None])}  # -> [1,1,in,out] HWIO
+    if s.has(f"{key}.bias"):
+        p["b"] = cast(s.get(f"{key}.bias"))
+    return p
+
+
+def _dif_vae_mid(ks: _KeyStore, key: str, cast):
+    s = ks.sub(key)
+    a = s.sub("attentions.0")
+    return {
+        "block_1": _dif_vae_res(s, "resnets.0", cast),
+        "attn": {
+            "norm": a.norm("group_norm", cast),
+            "q": _lin_as_conv1x1(a, "to_q", cast),
+            "k": _lin_as_conv1x1(a, "to_k", cast),
+            "v": _lin_as_conv1x1(a, "to_v", cast),
+            "proj_out": _lin_as_conv1x1(a, "to_out.0", cast),
+        },
+        "block_2": _dif_vae_res(s, "resnets.1", cast),
+    }
+
+
+def build_vae_from_diffusers(
+    tensors: Dict[str, np.ndarray], cfg=None, dtype=jnp.float32
+):
+    cfg = cfg or AutoencoderConfig()
+    cast = _as(dtype)
+    ks = _KeyStore(tensors)
+    n_levels = len(cfg.encoder_channels)
+
+    enc_blocks = []
+    for i in range(n_levels):
+        s = ks.sub(f"encoder.down_blocks.{i}")
+        bp = {
+            "res1": _dif_vae_res(s, "resnets.0", cast),
+            "res2": _dif_vae_res(s, "resnets.1", cast),
+        }
+        if s.has("downsamplers.0.conv.weight"):
+            bp["downsampler"] = s.conv("downsamplers.0.conv", cast)
+        enc_blocks.append(bp)
+
+    dec_blocks = []
+    for i in range(n_levels):  # up_blocks already deep->shallow
+        s = ks.sub(f"decoder.up_blocks.{i}")
+        bp = {
+            "res1": _dif_vae_res(s, "resnets.0", cast),
+            "res2": _dif_vae_res(s, "resnets.1", cast),
+            "res3": _dif_vae_res(s, "resnets.2", cast),
+        }
+        if s.has("upsamplers.0.conv.weight"):
+            bp["upsampler"] = s.conv("upsamplers.0.conv", cast)
+        dec_blocks.append(bp)
+
+    return {
+        "encoder": {
+            "conv_in": ks.conv("encoder.conv_in", cast),
+            "blocks": enc_blocks,
+            "mid": _dif_vae_mid(ks, "encoder.mid_block", cast),
+            "norm_out": ks.norm("encoder.conv_norm_out", cast),
+            "conv_out": ks.conv("encoder.conv_out", cast),
+        },
+        "decoder": {
+            "conv_in": ks.conv("decoder.conv_in", cast),
+            "mid": _dif_vae_mid(ks, "decoder.mid_block", cast),
+            "blocks": dec_blocks,
+            "norm_out": ks.norm("decoder.conv_norm_out", cast),
+            "conv_out": ks.conv("decoder.conv_out", cast),
+        },
+        "quant_conv": ks.conv("quant_conv", cast),
+        "post_quant_conv": ks.conv("post_quant_conv", cast),
+    }
+
+
+# ---------------------------------------------------------------------------
+# top-level directory loader
+# ---------------------------------------------------------------------------
+
+def load_sdxl_diffusers_dir(
+    model_dir: str,
+    diffuser_cfg,
+    embedder_cfg=None,
+    unet_dtype=jnp.bfloat16,
+):
+    """Load a diffusers-layout SDXL directory.
+
+    Returns (embedder_params | None, unet_params, vae_params,
+    alphas_cumprod | None, vae_scale_factor | None).
+    """
+    unet = build_unet_from_diffusers(
+        _load_safetensors_dir(os.path.join(model_dir, "unet")),
+        diffuser_cfg.unet_config(),
+        unet_dtype,
+    )
+    vae = build_vae_from_diffusers(
+        _load_safetensors_dir(os.path.join(model_dir, "vae"))
+    )
+
+    embedder = None
+    te1 = os.path.join(model_dir, "text_encoder")
+    te2 = os.path.join(model_dir, "text_encoder_2")
+    if embedder_cfg is not None and os.path.isdir(te1) and os.path.isdir(te2):
+        embedder = {
+            "clip": build_clip_from_hf(
+                _load_safetensors_dir(te1), embedder_cfg.clip_config,
+                prefix="text_model",
+            ),
+            # the bigG tower ships as HF CLIPTextModelWithProjection: same
+            # text_model.* layout plus a top-level text_projection
+            "open_clip": build_clip_from_hf(
+                {
+                    (k if k.startswith("text_model") else f"text_model.{k}"): v
+                    for k, v in _load_safetensors_dir(te2).items()
+                },
+                embedder_cfg.open_clip_config,
+                prefix="text_model",
+            ),
+        }
+
+    alphas = None
+    sched = os.path.join(model_dir, "scheduler", "scheduler_config.json")
+    if os.path.isfile(sched):
+        with open(sched) as f:
+            sc = json.load(f)
+        if sc.get("beta_schedule", "scaled_linear") == "scaled_linear":
+            betas = (
+                np.linspace(
+                    sc.get("beta_start", 0.00085) ** 0.5,
+                    sc.get("beta_end", 0.012) ** 0.5,
+                    sc.get("num_train_timesteps", 1000),
+                    dtype=np.float64,
+                )
+                ** 2
+            )
+            alphas = np.cumprod(1.0 - betas).astype(np.float32)
+
+    scale = None
+    vae_cfg_path = os.path.join(model_dir, "vae", "config.json")
+    if os.path.isfile(vae_cfg_path):
+        with open(vae_cfg_path) as f:
+            scale = json.load(f).get("scaling_factor")
+
+    return embedder, unet, vae, alphas, scale

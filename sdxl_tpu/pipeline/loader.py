@@ -34,12 +34,24 @@ from .sampler import scaled_linear_alphas_cumprod
 
 
 def detect_format(model_dir: str) -> str:
+    if os.path.isfile(model_dir) and model_dir.endswith((".safetensors", ".sft")):
+        return "sgm_single_file"
     if os.path.isfile(os.path.join(model_dir, "embedder.safetensors")):
         return "native"
     if os.path.isfile(os.path.join(model_dir, "embedder.mpk")):
         return "mpk"
     if os.path.isdir(os.path.join(model_dir, "embedder")):
         return "npy"
+    if os.path.isdir(os.path.join(model_dir, "unet")) and (
+        os.path.isfile(os.path.join(model_dir, "model_index.json"))
+        or os.path.isdir(os.path.join(model_dir, "vae"))
+    ):
+        return "diffusers"
+    import glob as _glob
+
+    single = _glob.glob(os.path.join(model_dir, "sd_xl_*.safetensors"))
+    if single:
+        return "sgm_single_file"
     raise FileNotFoundError(f"no known checkpoint layout in {model_dir}")
 
 
@@ -51,6 +63,83 @@ def load_pipeline(
 ) -> SDXLPipeline:
     fmt = detect_format(model_dir)
     log(f"loading checkpoint ({fmt}) from {model_dir}")
+
+    if fmt == "diffusers":
+        from ..io.diffusers_sdxl import load_sdxl_diffusers_dir
+
+        e_cfg = SDXL_EMBEDDER
+        d_cfg = SDXL_BASE_DIFFUSER
+        e_params, unet, vae, alphas_np, scale = load_sdxl_diffusers_dir(
+            model_dir, d_cfg, e_cfg, compute_dtype
+        )
+        if e_params is None:
+            raise FileNotFoundError(f"text encoders missing under {model_dir}")
+        alphas = jnp.asarray(
+            alphas_np if alphas_np is not None else scaled_linear_alphas_cumprod()
+        )
+        if use_refiner:
+            raise ValueError(
+                "refiner weights live in a separate diffusers repo; load them "
+                "via a second pipeline or the single-file sgm checkpoint"
+            )
+        return SDXLPipeline(
+            embedder_cfg=e_cfg,
+            embedder_params=e_params,
+            diffuser_cfg=d_cfg,
+            unet_params=unet,
+            alphas_cumprod=alphas,
+            vae_cfg=AutoencoderConfig(),
+            vae_params=vae,
+            scale_factor=scale or 0.13025,
+            clip_tokenizer=ClipTokenizer(tokenizer_dir),
+            open_clip_tokenizer=OpenClipTokenizer(tokenizer_dir),
+            compute_dtype=compute_dtype,
+        )
+
+    if fmt == "sgm_single_file":
+        import glob as _glob
+
+        from ..io.hf_sdxl import load_sdxl_safetensors
+
+        if os.path.isfile(model_dir):
+            base_path = model_dir
+            refiner_path = None
+        else:
+            paths = sorted(_glob.glob(os.path.join(model_dir, "sd_xl_*.safetensors")))
+            base_path = next((p for p in paths if "refiner" not in p), paths[0])
+            refiner_path = next((p for p in paths if "refiner" in p), None)
+
+        e_cfg = SDXL_EMBEDDER
+        d_cfg = SDXL_BASE_DIFFUSER
+        e_params, unet, vae = load_sdxl_safetensors(
+            base_path, d_cfg, e_cfg, compute_dtype
+        )
+        if e_params is None:
+            raise FileNotFoundError(f"conditioner weights missing in {base_path}")
+        r_cfg = r_params = None
+        if use_refiner:
+            if refiner_path is None:
+                raise FileNotFoundError("no sd_xl_refiner_*.safetensors found")
+            r_cfg = SDXL_REFINER_DIFFUSER
+            _, r_params, _ = load_sdxl_safetensors(
+                refiner_path, r_cfg, None, compute_dtype
+            )
+        alphas = jnp.asarray(scaled_linear_alphas_cumprod())
+        return SDXLPipeline(
+            embedder_cfg=e_cfg,
+            embedder_params=e_params,
+            diffuser_cfg=d_cfg,
+            unet_params=unet,
+            alphas_cumprod=alphas,
+            vae_cfg=AutoencoderConfig(),
+            vae_params=vae,
+            refiner_cfg=r_cfg,
+            refiner_params=r_params,
+            refiner_alphas=alphas if r_params is not None else None,
+            clip_tokenizer=ClipTokenizer(tokenizer_dir),
+            open_clip_tokenizer=OpenClipTokenizer(tokenizer_dir),
+            compute_dtype=compute_dtype,
+        )
 
     if fmt == "mpk":
         e_cfg, e_params = ckpt.load_embedder_mpk(model_dir)
