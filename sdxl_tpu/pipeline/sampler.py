@@ -119,6 +119,7 @@ def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, cond: Conditioning,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "step_start", "n_steps", "compute_dtype", "inpaint"),
+    donate_argnames=("latent",),
 )
 def diffuse_latent(
     unet_params,
