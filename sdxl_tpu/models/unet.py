@@ -143,14 +143,27 @@ def _transformer_block(p, x, context, n_head):
 
 
 def _spatial_transformer(p, x, context, n_head):
-    """SpatialTransformer (unet/mod.rs:820-845) over NHWC."""
+    """SpatialTransformer (unet/mod.rs:820-845) over NHWC.
+
+    `blocks` is either a list of per-block pytrees (unrolled at trace time)
+    or one stacked pytree with a leading depth axis (see
+    stack_unet_transformers), in which case the stack runs as a lax.scan —
+    the depth-10 stacks then trace/compile one body instead of ten.
+    """
     b, h, w, c = x.shape
     x_in = x
     y = groupnorm_nhwc(x, **p["norm"])
     y = y.reshape(b, h * w, c)
     y = linear(p["proj_in"], y)
-    for bp in p["blocks"]:
-        y = _transformer_block(bp, y, context, n_head)
+    blocks = p["blocks"]
+    if isinstance(blocks, dict):
+        def body(carry, blk):
+            return _transformer_block(blk, carry, context, n_head), None
+
+        y, _ = jax.lax.scan(body, y, blocks)
+    else:
+        for bp in blocks:
+            y = _transformer_block(bp, y, context, n_head)
     y = linear(p["proj_out"], y).reshape(b, h, w, c)
     return x_in + y
 
@@ -213,6 +226,42 @@ def unet_forward(
 
     x = silu(groupnorm_nhwc(x, **params["norm_out"]))
     return conv2d(params["conv_out"], x)
+
+
+# ---------------------------------------------------------------------------
+# Transformer stacking (compile-time optimization)
+# ---------------------------------------------------------------------------
+
+def stack_unet_transformers(params, min_depth: int = 4):
+    """Stack each SpatialTransformer's block list into one pytree with a
+    leading depth axis so the forward scans instead of unrolling.
+
+    Only stacks where depth >= min_depth (shallow stacks fuse better
+    unrolled). Idempotent; loaders produce lists, pipelines call this once
+    after load.
+    """
+
+    def stack_st(st):
+        blocks = st.get("blocks")
+        if isinstance(blocks, list) and len(blocks) >= min_depth:
+            st = dict(st)
+            st["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+        return st
+
+    def walk(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k == "transformer" and isinstance(v, dict) and "blocks" in v:
+                    out[k] = stack_st(v)
+                else:
+                    out[k] = walk(v)
+            return out
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)
 
 
 # ---------------------------------------------------------------------------

@@ -101,9 +101,15 @@ def shard_params(params, mesh: Mesh, tensor_parallel: bool = True):
         if leaf is None:
             return None
         spec = partition_spec_for(_path_str(path), tp)
-        # TP rules target 2-D linear weights / 1-D biases only (the VAE
-        # mid-attention reuses q/k/v names for 4-D conv kernels — replicate)
-        if len(spec) > 0 and leaf.ndim > 2:
+        # TP rules target 2-D linear weights / 1-D biases. Stacked
+        # transformer blocks (stack_unet_transformers) add a leading depth
+        # axis — shift the spec right. The VAE mid-attention reuses q/k/v
+        # names for 4-D conv kernels — replicate those.
+        if len(spec) == 2 and leaf.ndim == 3:
+            spec = P(None, *spec)
+        elif len(spec) == 1 and leaf.ndim == 2:
+            spec = P(None, *spec)
+        elif len(spec) > 0 and leaf.ndim > len(spec):
             spec = P()
         # guard: axes must divide the dim; otherwise replicate
         for dim, axis in zip(leaf.shape, spec):

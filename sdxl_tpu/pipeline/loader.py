@@ -29,8 +29,15 @@ from ..configs import (
 from ..io import checkpoint as ckpt
 from ..tokenizer import ClipTokenizer, OpenClipTokenizer
 from ..utils import log
+from ..models.unet import stack_unet_transformers
 from .pipeline import SDXLPipeline
 from .sampler import scaled_linear_alphas_cumprod
+
+
+def _maybe_stack(params, flag: bool):
+    if params is None or not flag:
+        return params
+    return stack_unet_transformers(params)
 
 
 def detect_format(model_dir: str) -> str:
@@ -60,7 +67,11 @@ def load_pipeline(
     use_refiner: bool = False,
     compute_dtype=jnp.bfloat16,
     tokenizer_dir: Optional[str] = None,
+    stack_transformers: bool = True,
 ) -> SDXLPipeline:
+    """stack_transformers scans the deep transformer stacks instead of
+    unrolling them (~9x faster UNet compile, ~3% slower steps) — the right
+    default for interactive use."""
     fmt = detect_format(model_dir)
     log(f"loading checkpoint ({fmt}) from {model_dir}")
 
@@ -86,7 +97,7 @@ def load_pipeline(
             embedder_cfg=e_cfg,
             embedder_params=e_params,
             diffuser_cfg=d_cfg,
-            unet_params=unet,
+            unet_params=_maybe_stack(unet, stack_transformers),
             alphas_cumprod=alphas,
             vae_cfg=AutoencoderConfig(),
             vae_params=vae,
@@ -129,12 +140,12 @@ def load_pipeline(
             embedder_cfg=e_cfg,
             embedder_params=e_params,
             diffuser_cfg=d_cfg,
-            unet_params=unet,
+            unet_params=_maybe_stack(unet, stack_transformers),
             alphas_cumprod=alphas,
             vae_cfg=AutoencoderConfig(),
             vae_params=vae,
             refiner_cfg=r_cfg,
-            refiner_params=r_params,
+            refiner_params=_maybe_stack(r_params, stack_transformers),
             refiner_alphas=alphas if r_params is not None else None,
             clip_tokenizer=ClipTokenizer(tokenizer_dir),
             open_clip_tokenizer=OpenClipTokenizer(tokenizer_dir),
@@ -191,13 +202,13 @@ def load_pipeline(
         embedder_cfg=e_cfg,
         embedder_params=e_params,
         diffuser_cfg=d_cfg,
-        unet_params=unet,
+        unet_params=_maybe_stack(unet, stack_transformers),
         alphas_cumprod=alphas,
         vae_cfg=AutoencoderConfig(),
         vae_params=vae,
         scale_factor=scale,
         refiner_cfg=r_cfg,
-        refiner_params=r_params,
+        refiner_params=_maybe_stack(r_params, stack_transformers),
         refiner_alphas=r_alphas,
         clip_tokenizer=ClipTokenizer(tokenizer_dir),
         open_clip_tokenizer=OpenClipTokenizer(tokenizer_dir),

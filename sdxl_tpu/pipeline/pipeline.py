@@ -224,10 +224,16 @@ def random_pipeline(
     compute_dtype=jnp.bfloat16,
     param_dtype_unet=jnp.bfloat16,
     tokenizer_dir: Optional[str] = None,
+    stack_transformers: bool = False,
 ) -> SDXLPipeline:
-    """Pipeline with random weights — bring-up, tests, benchmarks."""
+    """Pipeline with random weights — bring-up, tests, benchmarks.
+
+    stack_transformers=True scans the deep transformer stacks instead of
+    unrolling: ~9x faster UNet compile for ~3% slower steps (good for
+    interactive use; benchmarks keep it off).
+    """
     from ..models.clip import init_clip
-    from ..models.unet import init_unet
+    from ..models.unet import init_unet, stack_unet_transformers
     from ..models.vae import init_autoencoder
 
     keys = jax.random.split(jax.random.PRNGKey(seed), 5)
@@ -242,6 +248,10 @@ def random_pipeline(
         if refiner_cfg
         else None
     )
+    if stack_transformers:
+        unet_params = stack_unet_transformers(unet_params)
+        if refiner_params is not None:
+            refiner_params = stack_unet_transformers(refiner_params)
     vae_params = init_autoencoder(keys[4], vae_cfg)
     alphas = jnp.asarray(scaled_linear_alphas_cumprod())
 
