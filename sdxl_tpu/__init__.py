@@ -15,3 +15,14 @@ file:line it reimplements.
 """
 
 __version__ = "0.1.0"
+
+__all__ = [
+    "configs",
+    "models",
+    "ops",
+    "pipeline",
+    "parallel",
+    "tokenizer",
+    "io",
+    "utils",
+]

@@ -85,32 +85,40 @@ def ddim_timesteps(step_start: int, n_steps: int) -> np.ndarray:
     return np.arange(hi - 1, -1, -step_size, dtype=np.int32)
 
 
-def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, cond: Conditioning,
+def _cfg_contexts(cfg: DiffuserConfig, cond: Conditioning, compute_dtype):
+    """Scan-invariant context/channel tensors for forward_diffuser
+    (mod.rs:494-541): the refiner feeds the OpenCLIP context only and skips
+    CFG; the base gets the [uncond | cond] pair for one batched call."""
+    if cfg.is_refiner:
+        return (
+            cond.context_open_clip.astype(compute_dtype),
+            cond.channel_context_refiner.astype(compute_dtype),
+        )
+    ctx = cond.context_full
+    ch = cond.channel_context
+    uctx = jnp.broadcast_to(cond.unconditional_context_full, ctx.shape)
+    uch = jnp.broadcast_to(cond.unconditional_channel_context, ch.shape)
+    return (
+        jnp.concatenate([uctx, ctx], axis=0).astype(compute_dtype),
+        jnp.concatenate([uch, ch], axis=0).astype(compute_dtype),
+    )
+
+
+def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
              guidance_scale, compute_dtype):
     """One guided epsilon prediction (forward_diffuser, mod.rs:494-541)."""
     n_batch = latent.shape[0]
     ucfg = cfg.unet_config()
 
     if cfg.is_refiner:
-        ctx = cond.context_open_clip
-        ch = cond.channel_context_refiner
         t_vec = jnp.broadcast_to(t, (n_batch,))
         return unet_forward(
-            unet_params, ucfg, latent.astype(compute_dtype), t_vec,
-            ctx.astype(compute_dtype), ch.astype(compute_dtype),
+            unet_params, ucfg, latent.astype(compute_dtype), t_vec, ctx2, ch2
         ).astype(jnp.float32)
-
-    ctx = cond.context_full
-    ch = cond.channel_context
-    uctx = jnp.broadcast_to(cond.unconditional_context_full, ctx.shape)
-    uch = jnp.broadcast_to(cond.unconditional_channel_context, ch.shape)
 
     # pair-batched CFG: [uncond | cond] in one UNet call
     x2 = jnp.concatenate([latent, latent], axis=0).astype(compute_dtype)
     t2 = jnp.broadcast_to(t, (2 * n_batch,))
-    ctx2 = jnp.concatenate([uctx, ctx], axis=0).astype(compute_dtype)
-    ch2 = jnp.concatenate([uch, ch], axis=0).astype(compute_dtype)
-
     eps2 = unet_forward(unet_params, ucfg, x2, t2, ctx2, ch2).astype(jnp.float32)
     eps_u, eps_c = jnp.split(eps2, 2, axis=0)
     return eps_u + (eps_c - eps_u) * guidance_scale
@@ -149,6 +157,9 @@ def diffuse_latent(
     else:
         keys = jnp.zeros((ts.shape[0], 2), dtype=jnp.uint32)
 
+    # loop-invariant conditioning hoisted out of the scan
+    ctx2, ch2 = _cfg_contexts(cfg, cond, compute_dtype)
+
     def step(lat, inp):
         t, alpha, alpha_prev, k = inp
         if inpaint:
@@ -156,7 +167,8 @@ def diffuse_latent(
             noised_ref = reference * jnp.sqrt(alpha) + noise * jnp.sqrt(1.0 - alpha)
             lat = jnp.where(mask, lat, noised_ref)
 
-        eps = _cfg_eps(unet_params, cfg, lat, t, cond, guidance_scale, compute_dtype)
+        eps = _cfg_eps(unet_params, cfg, lat, t, ctx2, ch2, guidance_scale,
+                       compute_dtype)
         sqrt_noise = jnp.sqrt(1.0 - alpha)
         x0 = (lat - eps * sqrt_noise) / jnp.sqrt(alpha)
         lat = x0 * jnp.sqrt(alpha_prev) + eps * jnp.sqrt(1.0 - alpha_prev)
