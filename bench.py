@@ -40,6 +40,9 @@ def main():
         # device_output: stop the clock at device-complete uint8 images —
         # the axon tunnel's ~10 MB/s host link is a test-harness artifact,
         # not a property of the chip (real hosts move 3 MB over PCIe in ~ms)
+        # profile_stages=False drops the intermediate stage fences: each
+        # fence is a full host round-trip (~15-25ms over the tunnel); only
+        # the final image fence defines completion
         return pipe.txt2img(
             "a photograph of an astronaut riding a horse",
             resolution=(1024, 1024),
@@ -47,6 +50,7 @@ def main():
             guidance_scale=7.5,
             seed=seed,
             device_output=True,
+            profile_stages=False,
         )
 
     log("compiling + warmup run (several minutes on a cold cache)...")

@@ -21,11 +21,9 @@ def timeit(f, *args, iters=50):
     g = jax.jit(lambda *a: jnp.sum(f(*a).astype(jnp.float32)))
     _ = float(g(*args))  # compile+warm
     t0 = time.perf_counter()
-    acc = 0.0
     for _ in range(iters):
-        acc += 0.0  # keep loop body trivial
         out = g(*args)
-    _ = float(out)
+    _ = float(out)  # the only reliable fence on axon is a host readback
     return (time.perf_counter() - t0) / iters
 
 

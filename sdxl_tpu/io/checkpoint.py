@@ -151,16 +151,9 @@ def save_native(path: str, tree, metadata: Optional[dict] = None) -> None:
 def load_native(path: str, dtype=None):
     from safetensors.numpy import load_file
 
-    flat = load_file(path)
-    if dtype is not None:
-        npdt = np.dtype(
-            jnp.dtype(dtype).name if not isinstance(dtype, np.dtype) else dtype
-        ) if jnp.dtype(dtype) != jnp.bfloat16 else None
-        if npdt is not None:
-            flat = {k: v.astype(npdt) for k, v in flat.items()}
-    tree = unflatten_pytree(flat)
     import jax
 
+    tree = unflatten_pytree(load_file(path))
     return jax.tree.map(
         lambda a: jnp.asarray(a, dtype=dtype) if dtype is not None else jnp.asarray(a),
         tree,

@@ -63,6 +63,7 @@ class SDXLPipeline:
         resolution: Tuple[int, int],
         crop: Tuple[int, int] = (0, 0),
         negative_prompt: str = "",
+        profile_stages: bool = True,
     ) -> Conditioning:
         with self.timer.stage("embedder"):
             cond = text_to_conditioning(
@@ -75,7 +76,8 @@ class SDXLPipeline:
                 crop,
                 negative_prompt,
             )
-            fence(cond.context_full)
+            if profile_stages:
+                fence(cond.context_full)
         return cond
 
     # -- generation ----------------------------------------------------------
@@ -93,6 +95,7 @@ class SDXLPipeline:
         inpaint_reference: Optional[np.ndarray] = None,
         inpaint_mask: Optional[jnp.ndarray] = None,
         device_output: bool = False,
+        profile_stages: bool = True,
     ) -> np.ndarray:
         """Full pipeline; returns [B, H, W, 3] uint8.
 
@@ -108,7 +111,10 @@ class SDXLPipeline:
             # run fine but degrade quality (mod.rs:583-624)
             log(f"warning: {h}x{w} is not an SDXL-trained resolution bucket")
 
-        cond = self.conditioning(prompts, resolution, negative_prompt=negative_prompt)
+        cond = self.conditioning(
+            prompts, resolution, negative_prompt=negative_prompt,
+            profile_stages=profile_stages,
+        )
         cond_half = cond.astype(self.compute_dtype)
 
         key = jax.random.PRNGKey(seed)
@@ -121,7 +127,8 @@ class SDXLPipeline:
                     self.vae_params, self.vae_cfg, jnp.asarray(inpaint_reference),
                     self.scale_factor,
                 )
-                fence(reference_latent)
+                if profile_stages:
+                    fence(reference_latent)
 
         with self.timer.stage("diffuser"):
             latent = sample_latent(
@@ -136,7 +143,8 @@ class SDXLPipeline:
                 reference=reference_latent,
                 mask=inpaint_mask,
             )
-            fence(latent)
+            if profile_stages:
+                fence(latent)
 
         if use_refiner:
             if self.refiner_params is None:
@@ -156,7 +164,8 @@ class SDXLPipeline:
                     n_steps,
                     self.compute_dtype,
                 )
-                fence(latent)
+                if profile_stages:
+                    fence(latent)
 
         with self.timer.stage("vae_decode"):
             images = decode_latent_to_images(
