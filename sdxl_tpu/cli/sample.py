@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Run with random weights (pipeline bring-up)")
     p.add_argument("--f32", action="store_true",
                    help="Run the UNet in float32 instead of bfloat16")
+    p.add_argument("--img2img-strength", type=float, default=None,
+                   help="With --reference-img: strength-based img2img "
+                        "instead of crop-window inpainting")
     p.add_argument("--trace", type=str, default=None,
                    help="Write a jax.profiler trace to this directory")
     p.add_argument("--debug-nans", action="store_true",
@@ -106,7 +109,18 @@ def main(argv=None) -> int:
 
     prompts = [args.prompt] * args.batch
 
-    if args.reference_img is not None:
+    if args.reference_img is not None and args.img2img_strength is not None:
+        ref = load_images([args.reference_img])
+        images = pipe.img2img(
+            args.prompt,
+            ref,
+            strength=args.img2img_strength,
+            n_steps=args.n_diffusion_steps,
+            guidance_scale=args.unconditional_guidance_scale,
+            seed=args.seed,
+            negative_prompt=args.negative_prompt,
+        )
+    elif args.reference_img is not None:
         ref = load_images([args.reference_img])
         images = pipe.inpaint(
             prompts,

@@ -176,6 +176,54 @@ class SDXLPipeline:
             return images
         return np.asarray(images)
 
+    def img2img(
+        self,
+        prompts,
+        reference_images: np.ndarray,  # [B, H, W, 3] uint8
+        strength: float = 0.3,
+        n_steps: int = 30,
+        guidance_scale: float = 7.5,
+        seed: int = 0,
+        negative_prompt: str = "",
+        device_output: bool = False,
+    ) -> np.ndarray:
+        """Strength-based image-to-image (capability extension).
+
+        Generalizes the refiner's re-noise-and-denoise-the-tail mechanism
+        (refine_latent, mod.rs:355-376) to the base model at an arbitrary
+        strength in (0, 1]: encode the reference, re-noise at
+        t = strength * 1000, run the remaining schedule with CFG.
+        """
+        if not 0.0 < strength <= 1.0:
+            raise ValueError("strength must be in (0, 1]")
+        _, height, width, _ = reference_images.shape
+        cond = self.conditioning(
+            [prompts] if isinstance(prompts, str) else prompts,
+            (height, width), negative_prompt=negative_prompt,
+        ).astype(self.compute_dtype)
+
+        with self.timer.stage("vae_encode"):
+            latent = encode_images_to_latent(
+                self.vae_params, self.vae_cfg, jnp.asarray(reference_images),
+                self.scale_factor,
+            )
+
+        # skip the first (1-strength) of the schedule
+        step_start = int(round((1.0 - strength) * 1000))
+        with self.timer.stage("diffuser"):
+            latent = refine_latent(
+                self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
+                latent, cond, jax.random.PRNGKey(seed), guidance_scale,
+                step_start, n_steps, self.compute_dtype,
+            )
+
+        with self.timer.stage("vae_decode"):
+            images = decode_latent_to_images(
+                self.vae_params, self.vae_cfg, latent, self.scale_factor
+            )
+            fence(images)
+        return images if device_output else np.asarray(images)
+
     def inpaint(
         self,
         prompts,
