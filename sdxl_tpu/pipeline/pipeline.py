@@ -53,7 +53,26 @@ class SDXLPipeline:
     clip_tokenizer: ClipTokenizer = None
     open_clip_tokenizer: OpenClipTokenizer = None
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # VAE decode memory bound: decode at most this many images per call
+    # (decoder activations peak at ~0.5 GB/image f32 at 1024px)
+    vae_decode_chunk: int = 2
     timer: StageTimer = field(default_factory=StageTimer)
+
+    def _decode(self, latent):
+        """Chunked VAE decode: identical output, bounded peak memory."""
+        n = latent.shape[0]
+        c = self.vae_decode_chunk
+        if c <= 0 or n <= c:
+            return decode_latent_to_images(
+                self.vae_params, self.vae_cfg, latent, self.scale_factor
+            )
+        parts = [
+            decode_latent_to_images(
+                self.vae_params, self.vae_cfg, latent[i : i + c], self.scale_factor
+            )
+            for i in range(0, n, c)
+        ]
+        return jnp.concatenate(parts, axis=0)
 
     # -- conditioning --------------------------------------------------------
 
@@ -168,9 +187,7 @@ class SDXLPipeline:
                     fence(latent)
 
         with self.timer.stage("vae_decode"):
-            images = decode_latent_to_images(
-                self.vae_params, self.vae_cfg, latent, self.scale_factor
-            )
+            images = self._decode(latent)
             fence(images)
         if device_output:
             return images
@@ -218,9 +235,7 @@ class SDXLPipeline:
             )
 
         with self.timer.stage("vae_decode"):
-            images = decode_latent_to_images(
-                self.vae_params, self.vae_cfg, latent, self.scale_factor
-            )
+            images = self._decode(latent)
             fence(images)
         return images if device_output else np.asarray(images)
 
