@@ -57,7 +57,6 @@ def main():
 
     import numpy as np
 
-    from sdxl_tpu.configs import SDXL_REFINER_DIFFUSER
     from sdxl_tpu.pipeline.pipeline import random_pipeline
 
     common = dict(resolution=(1024, 1024), guidance_scale=7.5,
