@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Run with random weights (pipeline bring-up)")
     p.add_argument("--f32", action="store_true",
                    help="Run the UNet in float32 instead of bfloat16")
+    p.add_argument("--sampler", type=str, default="ddim",
+                   choices=["ddim", "euler"],
+                   help="Sampler: deterministic DDIM (reference) or Euler")
     p.add_argument("--img2img-strength", type=float, default=None,
                    help="With --reference-img: strength-based img2img "
                         "instead of crop-window inpainting")
@@ -145,6 +148,7 @@ def main(argv=None) -> int:
             seed=args.seed,
             use_refiner=args.use_refiner,
             negative_prompt=args.negative_prompt,
+            sampler=args.sampler,
         )
 
     if args.trace:

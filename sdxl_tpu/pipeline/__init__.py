@@ -1,6 +1,7 @@
 from .conditioning import Conditioning, text_to_conditioning
 from .sampler import (
     cosine_schedule,
+    euler_sample_latent,
     ddim_timesteps,
     diffuse_latent,
     offset_cosine_schedule,
@@ -16,6 +17,7 @@ __all__ = [
     "Conditioning",
     "text_to_conditioning",
     "ddim_timesteps",
+    "euler_sample_latent",
     "diffuse_latent",
     "refine_latent",
     "sample_latent",

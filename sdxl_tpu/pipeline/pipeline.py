@@ -34,7 +34,12 @@ from ..utils import StageTimer, fence, log
 from .conditioning import Conditioning, text_to_conditioning
 from .latent import decode_latent_to_images, encode_images_to_latent
 from .resolutions import RESOLUTIONS, validate_resolution
-from .sampler import refine_latent, sample_latent, scaled_linear_alphas_cumprod
+from .sampler import (
+    euler_sample_latent,
+    refine_latent,
+    sample_latent,
+    scaled_linear_alphas_cumprod,
+)
 
 
 @dataclass
@@ -115,6 +120,7 @@ class SDXLPipeline:
         inpaint_mask: Optional[jnp.ndarray] = None,
         device_output: bool = False,
         profile_stages: bool = True,
+        sampler: str = "ddim",
     ) -> np.ndarray:
         """Full pipeline; returns [B, H, W, 3] uint8.
 
@@ -149,19 +155,31 @@ class SDXLPipeline:
                 if profile_stages:
                     fence(reference_latent)
 
+        if sampler not in ("ddim", "euler"):
+            raise ValueError(f"unknown sampler {sampler!r} (ddim|euler)")
+        if sampler == "euler" and (reference_latent is not None or use_refiner):
+            raise ValueError("euler sampler supports plain txt2img only")
+
         with self.timer.stage("diffuser"):
-            latent = sample_latent(
-                self.unet_params,
-                self.diffuser_cfg,
-                self.alphas_cumprod,
-                cond_half,
-                base_key,
-                guidance_scale,
-                n_steps,
-                self.compute_dtype,
-                reference=reference_latent,
-                mask=inpaint_mask,
-            )
+            if sampler == "euler":
+                latent = euler_sample_latent(
+                    self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
+                    cond_half, base_key, guidance_scale, n_steps,
+                    self.compute_dtype,
+                )
+            else:
+                latent = sample_latent(
+                    self.unet_params,
+                    self.diffuser_cfg,
+                    self.alphas_cumprod,
+                    cond_half,
+                    base_key,
+                    guidance_scale,
+                    n_steps,
+                    self.compute_dtype,
+                    reference=reference_latent,
+                    mask=inpaint_mask,
+                )
             if profile_stages:
                 fence(latent)
 

@@ -178,6 +178,72 @@ def diffuse_latent(
     return latent
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "compute_dtype"),
+    donate_argnames=("latent",),
+)
+def euler_diffuse_latent(
+    unet_params,
+    cfg: DiffuserConfig,
+    alphas_cumprod: jnp.ndarray,
+    latent: jnp.ndarray,  # N(0,1) noise; scaled by sigma_max inside
+    cond: Conditioning,
+    guidance_scale: float,
+    n_steps: int = 30,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Euler discrete sampler (capability extension; BASELINE config #1).
+
+    Standard k-diffusion/EulerDiscrete update over sigmas derived from the
+    same ᾱ table the DDIM path uses (σ = sqrt((1-ᾱ)/ᾱ)): the UNet input is
+    scaled by 1/sqrt(σ²+1), denoised = x - σ·ε̂, x += (σ_next - σ)·(x -
+    denoised)/σ. Deterministic (no churn), seeded via the initial noise.
+    """
+    n_train = alphas_cumprod.shape[0]
+    sigmas_full = jnp.sqrt(
+        (1.0 - alphas_cumprod.astype(jnp.float32)) / alphas_cumprod
+    )
+    # diffusers-style linearly spaced timesteps, high -> low (static)
+    ts = np.linspace(0, n_train - 1, n_steps).round()[::-1].astype(np.int32)
+    sigmas = jnp.concatenate(
+        [sigmas_full[jnp.asarray(ts)], jnp.zeros((1,), jnp.float32)]
+    )
+
+    latent = latent.astype(jnp.float32) * sigmas[0]
+    ctx2, ch2 = _cfg_contexts(cfg, cond, compute_dtype)
+
+    def step(lat, inp):
+        t, sigma, sigma_next = inp
+        scaled = lat / jnp.sqrt(sigma**2 + 1.0)
+        eps = _cfg_eps(unet_params, cfg, scaled, t, ctx2, ch2, guidance_scale,
+                       compute_dtype)
+        denoised = lat - sigma * eps
+        d = (lat - denoised) / sigma
+        return lat + d * (sigma_next - sigma), None
+
+    latent, _ = jax.lax.scan(
+        step, latent, (jnp.asarray(ts), sigmas[:-1], sigmas[1:])
+    )
+    return latent
+
+
+def euler_sample_latent(
+    unet_params,
+    cfg: DiffuserConfig,
+    alphas_cumprod,
+    cond: Conditioning,
+    key,
+    guidance_scale: float = 7.5,
+    n_steps: int = 30,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    return euler_diffuse_latent(
+        unet_params, cfg, alphas_cumprod, gen_noise(key, cond), cond,
+        guidance_scale, n_steps, compute_dtype,
+    )
+
+
 def gen_noise(key, cond: Conditioning) -> jnp.ndarray:
     """Initial latent noise [B, h/8, w/8, 4] (gen_noise, mod.rs:378-388)."""
     h, w = cond.resolution
