@@ -30,8 +30,9 @@ def tiny_cli(monkeypatch, tokenizer_dir):
     return cli
 
 
-def test_cli_txt2img(tiny_cli, tmp_path):
-    out = str(tmp_path / "img_")
+@pytest.mark.parametrize("sampler", ["ddim", "euler"])
+def test_cli_txt2img(tiny_cli, tmp_path, sampler):
+    out = str(tmp_path / f"img_{sampler}_")
     rc = tiny_cli.main(
         [
             "--random-weights",
@@ -40,6 +41,7 @@ def test_cli_txt2img(tiny_cli, tmp_path):
             "--n-diffusion-steps", "1",
             "--height", "64", "--width", "64",
             "--seed", "3",
+            "--sampler", sampler,
         ]
     )
     assert rc == 0
