@@ -9,6 +9,14 @@ uint8 image on host) and reports images/min/chip, the BASELINE.md
 north-star. vs_baseline is against the 4 s/image target (= 15 images/min);
 the reference publishes no numbers of its own (SURVEY.md §6).
 
+Also recorded in the same JSON line:
+  - flash_vs_xla_max_err: on-device correctness of the Pallas flash
+    attention kernel vs the XLA reference attention at the hot shapes
+    (asserted < tolerance — the bench FAILS on a kernel regression)
+  - stage_*_s: a fenced per-stage split from ONE extra run (the fences add
+    host round-trips, so this run is not the latency sample; the headline
+    p50 comes from unfenced runs where only the final image fences)
+
 Weights are random (no public checkpoint in this environment) — identical
 FLOPs/memory traffic to real weights.
 """
@@ -18,6 +26,53 @@ import sys
 import time
 
 sys.path.insert(0, ".")
+
+
+def check_flash_kernel():
+    """On-device flash-vs-XLA allclose at the shapes the pipeline uses.
+
+    Returns the max abs error across cases; raises on tolerance violation.
+    Covers: UNet level-2 self-attn (1024 tok), level-1 self-attn (4096 tok),
+    VAE mid-attn (16384 tok, single 512-wide head, f32).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sdxl_tpu.ops.flash_attention import flash_attention_bhtd, use_flash
+
+    def xla_ref(q, k, v):
+        d = q.shape[-1]
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk",
+            q.astype(jnp.float32) * (d**-0.5),
+            k.astype(jnp.float32),
+        )
+        w = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", w, v.astype(jnp.float32))
+
+    cases = [
+        # (B, H, T, D, dtype, tol)
+        (2, 20, 1024, 64, jnp.bfloat16, 2e-2),
+        (2, 10, 4096, 64, jnp.bfloat16, 2e-2),
+        (1, 1, 16384, 512, jnp.float32, 2e-4),
+    ]
+    worst = 0.0
+    for b, h, t, d, dtype, tol in cases:
+        assert use_flash(t, t, d, False), (t, d)
+        ks = jax.random.split(jax.random.PRNGKey(42), 3)
+        q = jax.random.normal(ks[0], (b, h, t, d), dtype)
+        k = jax.random.normal(ks[1], (b, h, t, d), dtype)
+        v = jax.random.normal(ks[2], (b, h, t, d), dtype)
+        out = flash_attention_bhtd(q, k, v).astype(jnp.float32)
+        ref = xla_ref(q, k, v)
+        err = float(jnp.max(jnp.abs(out - ref)))
+        if not err < tol:
+            raise AssertionError(
+                f"flash kernel mismatch on device: shape (B{b},H{h},T{t},D{d}) "
+                f"{dtype.__name__}: max_err {err} >= tol {tol}"
+            )
+        worst = max(worst, err)
+    return worst
 
 
 def main():
@@ -34,9 +89,14 @@ def main():
     batch = 1
 
     log(f"devices: {jax.devices()}")
+
+    log("flash-vs-XLA on-device kernel check...")
+    flash_err = check_flash_kernel()
+    log(f"flash_vs_xla_max_err: {flash_err:.3e}")
+
     pipe = random_pipeline(tokenizer_dir=None)
 
-    def run(seed):
+    def run(seed, profile_stages=False):
         # device_output: stop the clock at device-complete uint8 images —
         # the axon tunnel's ~10 MB/s host link is a test-harness artifact,
         # not a property of the chip (real hosts move 3 MB over PCIe in ~ms)
@@ -50,13 +110,14 @@ def main():
             guidance_scale=7.5,
             seed=seed,
             device_output=True,
-            profile_stages=False,
+            profile_stages=profile_stages,
         )
 
     log("compiling + warmup run (several minutes on a cold cache)...")
     t0 = time.perf_counter()
     run(0)
-    log(f"warmup (incl. compile): {time.perf_counter() - t0:.1f}s")
+    warmup_s = time.perf_counter() - t0
+    log(f"warmup (incl. compile): {warmup_s:.1f}s")
 
     times = []
     for i in range(3):
@@ -64,6 +125,12 @@ def main():
         run(i + 1)
         times.append(time.perf_counter() - t0)
         log(f"run {i}: {times[-1]:.3f}s")
+
+    # one fully fenced run for an honest per-stage split
+    pipe.timer.stages.clear()
+    run(99, profile_stages=True)
+    stages = dict(pipe.timer.stages)
+    log(f"fenced stage split: {pipe.timer.summary()}")
 
     p50 = sorted(times)[len(times) // 2]
     per_image = p50 / batch
@@ -80,6 +147,12 @@ def main():
                 "p50_e2e_latency_s": round(per_image, 3),
                 "n_steps": n_steps,
                 "batch": batch,
+                "flash_vs_xla_max_err": float(f"{flash_err:.3e}"),
+                "warmup_incl_compile_s": round(warmup_s, 1),
+                **{
+                    f"stage_{k}_s": round(v, 3)
+                    for k, v in stages.items()
+                },
             }
         )
     )

@@ -7,6 +7,7 @@ Shapes that dominate the UNet (1024x1024 image, CFG pair-batched B=2):
   - VAE mid attn:       T=16384(128^2 latent), H=1, D=512 (f32)
 """
 
+import functools
 import sys
 import time
 
@@ -56,7 +57,17 @@ def main():
         ("L1 cross q4096 kv77", (2, 10, 4096, 64), (2, 10, 77, 64)),
         ("L2 cross q1024 kv77", (2, 20, 1024, 64), (2, 20, 77, 64)),
     ]
-    impls = [("xla", xla_attn), ("jax_dpa", jax_dpa), ("pallas_flash", builtin_flash)]
+    def ours(q, k, v):
+        from sdxl_tpu.ops.flash_attention import flash_attention_bhtd
+
+        return flash_attention_bhtd(q, k, v)
+
+    impls = [
+        ("xla", xla_attn),
+        ("jax_dpa", jax_dpa),
+        ("pallas_flash", builtin_flash),
+        ("ours", ours),
+    ]
 
     for name, qs, ks in cases:
         kq = jax.random.PRNGKey(0)
@@ -70,6 +81,31 @@ def main():
                 row.append(f"{iname}={dt*1e6:.0f}us")
             except Exception as e:
                 row.append(f"{iname}=ERR({type(e).__name__}: {str(e)[:60]})")
+        print("  ".join(row), flush=True)
+
+    # block-size sweep for our kernel at the two self-attn shapes
+    from sdxl_tpu.ops.flash_attention import flash_attention_bhtd
+
+    for name, qs in [("sweep 4096x10x64", (2, 10, 4096, 64)),
+                     ("sweep 1024x20x64", (2, 20, 1024, 64))]:
+        kq = jax.random.PRNGKey(0)
+        q = jax.random.normal(kq, qs, jnp.bfloat16)
+        row = [name]
+        t = qs[2]
+        for bq in (128, 256, 512, 1024):
+            for bk in (256, 512, 1024, 2048):
+                if bq > t or bk > t:
+                    continue
+                try:
+                    dt = timeit(
+                        functools.partial(
+                            flash_attention_bhtd, block_q=bq, block_k=bk
+                        ),
+                        q, q, q,
+                    )
+                    row.append(f"q{bq}k{bk}={dt*1e6:.0f}us")
+                except Exception as e:
+                    row.append(f"q{bq}k{bk}=ERR({str(e)[:40]})")
         print("  ".join(row), flush=True)
 
 

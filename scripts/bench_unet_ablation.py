@@ -40,6 +40,13 @@ def main():
 
     base = run("baseline")
 
+    # --- flash on/off: route all attention to plain XLA ----------------------
+    import sdxl_tpu.ops.flash_attention as fa
+
+    fa.FLASH_DISABLED = True
+    run("flash disabled (all-XLA attention)")
+    fa.FLASH_DISABLED = False
+
     # --- A: groupnorm fully in compute dtype (stats still f32-reduced) ------
     orig_gn = norms.groupnorm_nhwc
 

@@ -21,6 +21,13 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="Extract vocab/merges from tokenizer.json")
     p.add_argument("config_file", type=str)
     p.add_argument("--output-dir", type=str, default=".")
+    p.add_argument(
+        "--vendor",
+        action="store_true",
+        help="also write the single gzipped merge table the package vendors "
+        "(sdxl_tpu/tokenizer/data/bpe_merges.txt.gz layout) to "
+        "OUTPUT_DIR/bpe_merges.txt.gz",
+    )
     args = p.parse_args(argv)
 
     with open(args.config_file, "r", encoding="utf-8") as f:
@@ -41,6 +48,14 @@ def main(argv=None) -> int:
     with open(os.path.join(args.output_dir, "merges.txt"), "w", encoding="utf-8") as f:
         f.writelines(f"{m}\n" for m in merges)
     print(f"wrote {len(vocab)} vocab entries, {len(merges)} merges -> {args.output_dir}")
+
+    if args.vendor:
+        import gzip
+
+        path = os.path.join(args.output_dir, "bpe_merges.txt.gz")
+        with gzip.GzipFile(path, "wb", mtime=0) as gz:  # mtime=0: reproducible
+            gz.write("\n".join(merges).encode("utf-8"))
+        print(f"wrote vendored table ({len(merges)} merges) -> {path}")
     return 0
 
 

@@ -6,14 +6,24 @@ read back at sample/main.rs:28-51). The record tree mirrors the Rust module
 field names; Vec fields are msgpack arrays; the UNet's block enum serializes
 externally tagged ({"Conv": {...}}, {"Res": {...}}, ...).
 
-burn's serde layout varies slightly across versions, so this reader is
-structure-tolerant:
-  - an optional {"item": ..., "metadata": ...} wrapper is unwrapped
-  - Param wrappers {"id": ..., "param": ...} are unwrapped
-  - tensor leaves are recognized as maps carrying "shape" plus one of
-    "value" (number list), "bytes"/"data" (raw little-endian buffer)
-  - half-precision payloads are detected via an explicit "dtype" field,
-    byte-length arithmetic, or integer-valued u16 lists (f16 bits)
+burn 0.13's serde layout has several degrees of freedom (rmp_serde "named"
+mode + the burn record item types), all of which this reader tolerates and
+all of which are pinned by the fuzz matrix in tests/test_io.py:
+
+  wrapper     BurnRecord {item, metadata} in either key order, or a bare item
+  param       ParamSerde {id, param} wrappers, or bare tensor nodes
+  tensor      DataSerialize {value, shape}; an extra single-key {data: ...}
+              nesting (FloatTensorSerde); raw little-endian "bytes"/"data"
+              buffers with an optional "dtype" tag
+  f16 bits    HalfPrecisionSettings stores half::f16 as u16 bit patterns
+              (integer lists) or as 2-byte raw buffers; BF16 as high-half bits
+  enums       externally tagged {"Variant": inner} (rmp_serde named mode)
+  Option      None -> msgpack nil; Some -> the value
+  constants   ConstantRecord -> nil or empty map (skipped by the builders)
+
+Every parse failure names the exact record path that failed plus the keys
+present at that node, so a layout drift in a future burn version produces an
+actionable error instead of a downstream shape mismatch.
 """
 
 from __future__ import annotations
@@ -38,13 +48,28 @@ _DTYPES = {
     "F16": np.float16, "f16": np.float16,
     "F32": np.float32, "f32": np.float32,
     "F64": np.float64, "f64": np.float64,
-    "BF16": None,  # handled specially (numpy has no native bf16)
+    "BF16": None, "bf16": None,  # handled specially (numpy has no native bf16)
 }
 
 
+class MpkParseError(ValueError):
+    """A burn .mpk record did not match the expected layout.
+
+    Carries the full record path so the failing node is identifiable."""
+
+
+def _keys_of(node) -> str:
+    if isinstance(node, dict):
+        return f"map keys {sorted(str(k) for k in node)[:8]}"
+    if isinstance(node, (list, tuple)):
+        return f"array of {len(node)}"
+    return f"{type(node).__name__} value"
+
+
 def _unwrap(node):
+    """Strip BurnRecord/ParamSerde wrappers (order-insensitive keys)."""
     while isinstance(node, dict):
-        if set(node.keys()) <= {"item", "metadata"} and "item" in node:
+        if "item" in node and set(node.keys()) <= {"item", "metadata"}:
             node = node["item"]
             continue
         if "param" in node and set(node.keys()) <= {"id", "param"}:
@@ -60,7 +85,22 @@ def _is_tensor_leaf(node) -> bool:
     )
 
 
-def _decode_tensor(node) -> np.ndarray:
+def _unwrap_tensor(node):
+    """Unwrap down to a DataSerialize-shaped leaf, tolerating an extra
+    single-key {"data": {...}} nesting (FloatTensorSerde's field)."""
+    node = _unwrap(node)
+    while (
+        isinstance(node, dict)
+        and not _is_tensor_leaf(node)
+        and len(node) == 1
+        and next(iter(node)) in ("data", "tensor", "value")
+        and isinstance(next(iter(node.values())), dict)
+    ):
+        node = _unwrap(next(iter(node.values())))
+    return node
+
+
+def _decode_tensor(node, path: str) -> np.ndarray:
     shape = [int(s) for s in node["shape"]]
     n = int(np.prod(shape)) if shape else 1
     dtype_tag = node.get("dtype")
@@ -68,28 +108,49 @@ def _decode_tensor(node) -> np.ndarray:
     raw = node.get("bytes", node.get("data"))
     if isinstance(raw, (bytes, bytearray, memoryview)):
         raw = bytes(raw)
-        if dtype_tag == "BF16":
+        if dtype_tag in ("BF16", "bf16"):
             u16 = np.frombuffer(raw, dtype="<u2")
-            return (
-                (u16.astype(np.uint32) << 16).view(np.float32).reshape(shape)
+            arr = (u16.astype(np.uint32) << 16).view(np.float32)
+        elif dtype_tag in _DTYPES and _DTYPES[dtype_tag] is not None:
+            arr = np.frombuffer(raw, dtype=_DTYPES[dtype_tag]).astype(np.float32)
+        else:
+            itemsize = len(raw) // max(n, 1)
+            if itemsize not in (2, 4, 8) or len(raw) != itemsize * n:
+                raise MpkParseError(
+                    f"{path}: raw tensor buffer of {len(raw)} bytes does not "
+                    f"match shape {shape} at any of f16/f32/f64"
+                )
+            dt = {2: np.float16, 4: np.float32, 8: np.float64}[itemsize]
+            arr = np.frombuffer(raw, dtype=dt).astype(np.float32)
+    else:
+        value = node.get("value")
+        if value is None:
+            raise MpkParseError(
+                f"{path}: tensor leaf has neither value nor bytes ({_keys_of(node)})"
             )
-        if dtype_tag in _DTYPES and _DTYPES[dtype_tag] is not None:
-            return np.frombuffer(raw, dtype=_DTYPES[dtype_tag]).reshape(shape).astype(np.float32)
-        itemsize = len(raw) // max(n, 1)
-        dt = {2: np.float16, 4: np.float32, 8: np.float64}[itemsize]
-        return np.frombuffer(raw, dtype=dt).reshape(shape).astype(np.float32)
+        arr = np.asarray(value)
+        if arr.dtype.kind in "iu":
+            if dtype_tag in ("BF16", "bf16"):
+                arr = (arr.astype(np.uint32) << 16).view(np.float32)
+            else:
+                # HalfPrecisionSettings: half::f16 serializes as u16 bits
+                arr = arr.astype(np.uint16).view(np.float16).astype(np.float32)
+        else:
+            arr = arr.astype(np.float32)
+        arr = arr.reshape(-1)
 
-    value = node["value"]
-    arr = np.asarray(value)
-    if arr.dtype.kind in "iu":
-        # HalfPrecisionSettings: half::f16 serializes as its u16 bit pattern
-        return arr.astype(np.uint16).view(np.float16).astype(np.float32).reshape(shape)
-    return arr.astype(np.float32).reshape(shape)
+    if arr.size != n:
+        raise MpkParseError(
+            f"{path}: tensor payload has {arr.size} elements but shape "
+            f"{shape} implies {n}"
+        )
+    return arr.reshape(shape)
 
 
 class MpkSource(RecordSource):
-    def __init__(self, node):
+    def __init__(self, node, path: str = "$"):
         self.node = _unwrap(node)
+        self.path = path
 
     # -- enum handling (UNet block Vec entries) -------------------------------
     def enum_variant(self) -> Optional[str]:
@@ -102,41 +163,65 @@ class MpkSource(RecordSource):
     def block_type(self) -> str:
         v = self.enum_variant()
         if v is None:
-            raise KeyError(f"not an enum block node: {list(self.node)[:4]}")
+            raise MpkParseError(
+                f"{self.path}: expected an externally-tagged block enum "
+                f"({'|'.join(_ENUM_TO_TYPE)}), found {_keys_of(self.node)}"
+            )
         return _ENUM_TO_TYPE[v]
 
     def enum_inner(self) -> "MpkSource":
-        return MpkSource(self.node[self.enum_variant()])
+        v = self.enum_variant()
+        if v is None:
+            raise MpkParseError(
+                f"{self.path}: expected an externally-tagged block enum, "
+                f"found {_keys_of(self.node)}"
+            )
+        return MpkSource(self.node[v], f"{self.path}.{v}")
 
     # -- RecordSource ----------------------------------------------------------
     def child(self, name: str) -> "MpkSource":
         if not isinstance(self.node, dict) or name not in self.node:
-            raise KeyError(name)
-        return MpkSource(self.node[name])
+            raise KeyError(
+                f"{self.path}.{name}: missing record field ({_keys_of(self.node)})"
+            )
+        return MpkSource(self.node[name], f"{self.path}.{name}")
 
     def opt_child(self, name: str) -> Optional["MpkSource"]:
         if isinstance(self.node, dict):
             v = self.node.get(name)
-            if v is not None:
-                return MpkSource(v)
+            if v is not None:  # Option::None serializes as msgpack nil
+                return MpkSource(v, f"{self.path}.{name}")
         return None
 
     def tensor(self, name: str, ndim: int) -> np.ndarray:
         if not isinstance(self.node, dict) or self.node.get(name) is None:
-            raise KeyError(name)
-        leaf = _unwrap(self.node[name])
+            raise KeyError(
+                f"{self.path}.{name}: missing tensor field ({_keys_of(self.node)})"
+            )
+        path = f"{self.path}.{name}"
+        leaf = _unwrap_tensor(self.node[name])
         if not _is_tensor_leaf(leaf):
-            raise KeyError(f"{name} is not a tensor leaf")
-        arr = _decode_tensor(leaf)
+            raise MpkParseError(
+                f"{path}: not a tensor leaf (need shape + value/bytes, "
+                f"found {_keys_of(leaf)})"
+            )
+        arr = _decode_tensor(leaf, path)
         if arr.ndim != ndim:
-            arr = arr.reshape(arr.shape)  # shapes come from the record
+            raise MpkParseError(
+                f"{path}: expected a {ndim}-d tensor, record shape is "
+                f"{list(arr.shape)}"
+            )
         return arr
 
     def seq(self, name: str, alias: Optional[str] = None) -> List["MpkSource"]:
         v = self.node.get(name) if isinstance(self.node, dict) else None
         if not isinstance(v, (list, tuple)):
-            raise KeyError(name)
-        return [MpkSource(x) for x in v]
+            raise KeyError(
+                f"{self.path}.{name}: missing sequence field ({_keys_of(self.node)})"
+            )
+        return [
+            MpkSource(x, f"{self.path}.{name}[{i}]") for i, x in enumerate(v)
+        ]
 
 
 def parse_mpk_file(path: str) -> MpkSource:

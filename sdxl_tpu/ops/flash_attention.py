@@ -71,14 +71,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, n
 
 
 def _default_blocks(tq: int, tk: int, d: int):
-    """Tuned on v5e (scripts/bench_attention.py): large q blocks win at 4096
-    tokens; small q blocks at 1024. Shrink for wide heads (VAE d=512) to
+    """Tuned on v5e (scripts/bench_attention.py sweep, r2): (1024, 1024)
+    wins at both hot self-attn shapes — 1996us @ T=4096 (vs XLA 2805us) and
+    875us @ T=1024 (vs XLA 928us). Shrink for wide heads (VAE d=512) to
     stay inside VMEM."""
     if d > 128:
         return 256, 512
-    if tq >= 4096:
-        return 1024, 1024
-    return 256, 1024
+    return 1024, 1024
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
@@ -141,12 +140,20 @@ def flash_attention_bhtd(
     return out.reshape(b, h, tq, d)
 
 
+import os
+
+# A/B escape hatch (scripts/bench_unet_ablation.py): 1 routes everything to
+# the XLA attention path.
+FLASH_DISABLED = os.environ.get("SDXL_TPU_DISABLE_FLASH", "0") == "1"
+
+
 def use_flash(tq: int, tk: int, d: int, has_mask: bool) -> bool:
     """Flash pays off for the long spatial self-attentions (UNet levels 1-2
     and the VAE mid-attention at 16k tokens); short-kv cross attention (77
     text tokens) and masked CLIP attention stay on XLA."""
     return (
-        not has_mask
+        not FLASH_DISABLED
+        and not has_mask
         and tq == tk
         and tq >= 1024
         and tq % 512 == 0

@@ -36,10 +36,13 @@ from .latent import decode_latent_to_images, encode_images_to_latent
 from .resolutions import RESOLUTIONS, validate_resolution
 from .sampler import (
     euler_sample_latent,
+    k_refine_latent,
     refine_latent,
     sample_latent,
     scaled_linear_alphas_cumprod,
 )
+
+SAMPLERS = ("ddim", "euler", "dpmpp")
 
 
 @dataclass
@@ -155,17 +158,16 @@ class SDXLPipeline:
                 if profile_stages:
                     fence(reference_latent)
 
-        if sampler not in ("ddim", "euler"):
-            raise ValueError(f"unknown sampler {sampler!r} (ddim|euler)")
-        if sampler == "euler" and (reference_latent is not None or use_refiner):
-            raise ValueError("euler sampler supports plain txt2img only")
+        if sampler not in SAMPLERS:
+            raise ValueError(f"unknown sampler {sampler!r} ({'|'.join(SAMPLERS)})")
 
         with self.timer.stage("diffuser"):
-            if sampler == "euler":
+            if sampler in ("euler", "dpmpp"):
                 latent = euler_sample_latent(
                     self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
                     cond_half, base_key, guidance_scale, n_steps,
-                    self.compute_dtype,
+                    self.compute_dtype, method=sampler,
+                    reference=reference_latent, mask=inpaint_mask,
                 )
             else:
                 latent = sample_latent(
@@ -186,21 +188,32 @@ class SDXLPipeline:
         if use_refiner:
             if self.refiner_params is None:
                 raise ValueError("refiner weights not loaded")
+            refiner_alphas = (
+                self.refiner_alphas
+                if self.refiner_alphas is not None
+                else self.alphas_cumprod
+            )
             with self.timer.stage("refiner"):
-                latent = refine_latent(
-                    self.refiner_params,
-                    self.refiner_cfg,
-                    self.refiner_alphas
-                    if self.refiner_alphas is not None
-                    else self.alphas_cumprod,
-                    latent,
-                    cond_half,
-                    refiner_key,
-                    guidance_scale,
-                    refiner_step_start,
-                    n_steps,
-                    self.compute_dtype,
-                )
+                if sampler in ("euler", "dpmpp"):
+                    latent = k_refine_latent(
+                        self.refiner_params, self.refiner_cfg, refiner_alphas,
+                        latent, cond_half, refiner_key, guidance_scale,
+                        refiner_step_start, n_steps, self.compute_dtype,
+                        method=sampler,
+                    )
+                else:
+                    latent = refine_latent(
+                        self.refiner_params,
+                        self.refiner_cfg,
+                        refiner_alphas,
+                        latent,
+                        cond_half,
+                        refiner_key,
+                        guidance_scale,
+                        refiner_step_start,
+                        n_steps,
+                        self.compute_dtype,
+                    )
                 if profile_stages:
                     fence(latent)
 
@@ -221,6 +234,7 @@ class SDXLPipeline:
         seed: int = 0,
         negative_prompt: str = "",
         device_output: bool = False,
+        sampler: str = "ddim",
     ) -> np.ndarray:
         """Strength-based image-to-image (capability extension).
 
@@ -243,14 +257,23 @@ class SDXLPipeline:
                 self.scale_factor,
             )
 
+        if sampler not in SAMPLERS:
+            raise ValueError(f"unknown sampler {sampler!r} ({'|'.join(SAMPLERS)})")
         # skip the first (1-strength) of the schedule
         step_start = int(round((1.0 - strength) * 1000))
         with self.timer.stage("diffuser"):
-            latent = refine_latent(
-                self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
-                latent, cond, jax.random.PRNGKey(seed), guidance_scale,
-                step_start, n_steps, self.compute_dtype,
-            )
+            if sampler in ("euler", "dpmpp"):
+                latent = k_refine_latent(
+                    self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
+                    latent, cond, jax.random.PRNGKey(seed), guidance_scale,
+                    step_start, n_steps, self.compute_dtype, method=sampler,
+                )
+            else:
+                latent = refine_latent(
+                    self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
+                    latent, cond, jax.random.PRNGKey(seed), guidance_scale,
+                    step_start, n_steps, self.compute_dtype,
+                )
 
         with self.timer.stage("vae_decode"):
             images = self._decode(latent)

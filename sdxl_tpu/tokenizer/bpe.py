@@ -71,12 +71,53 @@ def _load_merge_lines(path: str) -> List[Tuple[str, str]]:
     return merges
 
 
-def _resolve_data_dir(data_dir: str | None) -> str:
-    """Find the tokenizer data directory (vocab/merges files).
+_VENDORED_MERGES = os.path.join(os.path.dirname(__file__), "data", "bpe_merges.txt.gz")
 
-    Search order: explicit arg, $SDXL_TPU_TOKENIZER_DIR, ./tokenizer,
-    then well-known fallbacks. The data files are the public CLIP /
-    OpenCLIP BPE tables; we read them from disk rather than vendoring.
+
+@functools.lru_cache(maxsize=1)
+def vendored_merges() -> Tuple[Tuple[str, str], ...]:
+    """The single BPE merge table both tokenizers share, vendored in-package.
+
+    CLIP and OpenCLIP use the SAME 48894 merges: the reference's
+    clip merges slice `[1 .. 49152-256-2+1]` of bpe_simple_vocab_16e6.txt
+    (clip.rs:97-98) is line-for-line identical to its
+    tokenizer/open_clip/merges.txt, and both 49408-entry vocabs derive from
+    it as 256 byte-chars + 256 `</w>` variants + merges + 2 specials
+    (clip.rs:63-77). So the whole tokenizer-data dependency reduces to one
+    ~200 KB gzipped table (public OpenAI CLIP vocabulary data).
+    """
+    import gzip
+
+    with gzip.open(_VENDORED_MERGES, "rt", encoding="utf-8") as f:
+        merges = []
+        for line in f:
+            words = line.split()
+            if len(words) >= 2:
+                merges.append((words[0], words[1]))
+    if len(merges) != 49152 - 256 - 2 + 1 - 1:
+        raise ValueError(
+            f"vendored merge table corrupt: {len(merges)} entries, expected 48894"
+        )
+    return tuple(merges)
+
+
+def derive_vocab(merges: Sequence[Tuple[str, str]]) -> List[str]:
+    """49408-entry vocab from a merge table (clip.rs:63-77)."""
+    chars = list(bytes_to_unicode().values())
+    return (
+        chars
+        + [c + "</w>" for c in chars]
+        + [a + b for a, b in merges]
+        + [SOT_TEXT, EOT_TEXT]
+    )
+
+
+def _resolve_data_dir(data_dir: str | None) -> str | None:
+    """Find an external tokenizer data directory, if one is configured.
+
+    Search order: explicit arg, $SDXL_TPU_TOKENIZER_DIR, ./tokenizer.
+    Returns None when no external dir exists — callers then fall back to
+    the vendored in-package table, so the package is self-contained.
     """
     candidates = []
     if data_dir:
@@ -84,17 +125,15 @@ def _resolve_data_dir(data_dir: str | None) -> str:
     env = os.environ.get("SDXL_TPU_TOKENIZER_DIR")
     if env:
         candidates.append(env)
-    candidates += [
-        os.path.join(os.getcwd(), "tokenizer"),
-        "/root/reference/tokenizer",
-    ]
+    candidates.append(os.path.join(os.getcwd(), "tokenizer"))
     for c in candidates:
         if os.path.isdir(c):
             return c
-    raise FileNotFoundError(
-        "tokenizer data dir not found; set SDXL_TPU_TOKENIZER_DIR or pass data_dir "
-        f"(searched: {candidates})"
-    )
+    if data_dir or env:
+        raise FileNotFoundError(
+            f"tokenizer data dir not found (searched: {candidates})"
+        )
+    return None
 
 
 class Tokenizer:
@@ -203,19 +242,18 @@ class ClipTokenizer(Tokenizer):
 
     def __init__(self, data_dir: str | None = None):
         root = _resolve_data_dir(data_dir)
-        merges = _load_merge_lines(os.path.join(root, "clip", "bpe_simple_vocab_16e6.txt"))
-        # Reference slices off the header line and the tail beyond the vocab
-        # budget: merges[1 .. 49152-256-2+1] (clip.rs:98).
-        merges = merges[1 : 49152 - 256 - 2 + 1]
-
-        chars = list(bytes_to_unicode().values())
-        vocab = (
-            chars
-            + [c + "</w>" for c in chars]
-            + [a + b for a, b in merges]
-            + [SOT_TEXT, EOT_TEXT]
-        )
-        super().__init__(merges, vocab, cache_specials=True)
+        if root is not None and os.path.isfile(
+            os.path.join(root, "clip", "bpe_simple_vocab_16e6.txt")
+        ):
+            merges = _load_merge_lines(
+                os.path.join(root, "clip", "bpe_simple_vocab_16e6.txt")
+            )
+            # Reference slices off the header line and the tail beyond the
+            # vocab budget: merges[1 .. 49152-256-2+1] (clip.rs:98).
+            merges = merges[1 : 49152 - 256 - 2 + 1]
+        else:
+            merges = vendored_merges()
+        super().__init__(merges, derive_vocab(merges), cache_specials=True)
 
     pad_token = 49407
 
@@ -227,9 +265,17 @@ class OpenClipTokenizer(Tokenizer):
 
     def __init__(self, data_dir: str | None = None):
         root = _resolve_data_dir(data_dir)
-        merges = _load_merge_lines(os.path.join(root, "open_clip", "merges.txt"))
-        with open(os.path.join(root, "open_clip", "vocab.txt"), "r", encoding="utf-8") as f:
-            vocab = [line.rstrip("\n") for line in f]
+        if root is not None and os.path.isfile(
+            os.path.join(root, "open_clip", "merges.txt")
+        ):
+            merges = _load_merge_lines(os.path.join(root, "open_clip", "merges.txt"))
+            with open(
+                os.path.join(root, "open_clip", "vocab.txt"), "r", encoding="utf-8"
+            ) as f:
+                vocab = [line.rstrip("\n") for line in f]
+        else:
+            merges = vendored_merges()
+            vocab = derive_vocab(merges)
         super().__init__(merges, vocab, cache_specials=False)
 
 

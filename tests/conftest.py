@@ -33,6 +33,16 @@ REFERENCE_TOKENIZER_DIR = "/root/reference/tokenizer"
 
 @pytest.fixture(scope="session")
 def tokenizer_dir():
+    """None = the vendored in-package BPE table (self-contained path).
+
+    The whole suite must pass with /root/reference unmounted; tests that
+    specifically exercise external-dir loading use reference_tokenizer_dir.
+    """
+    return None
+
+
+@pytest.fixture(scope="session")
+def reference_tokenizer_dir():
     if not os.path.isdir(REFERENCE_TOKENIZER_DIR):
         pytest.skip("reference tokenizer data not available")
     return REFERENCE_TOKENIZER_DIR

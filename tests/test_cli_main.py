@@ -30,7 +30,7 @@ def tiny_cli(monkeypatch, tokenizer_dir):
     return cli
 
 
-@pytest.mark.parametrize("sampler", ["ddim", "euler"])
+@pytest.mark.parametrize("sampler", ["ddim", "euler", "dpmpp"])
 def test_cli_txt2img(tiny_cli, tmp_path, sampler):
     out = str(tmp_path / f"img_{sampler}_")
     rc = tiny_cli.main(

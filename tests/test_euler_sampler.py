@@ -50,3 +50,60 @@ def test_euler_sigma_schedule_reaches_zero():
     a = np.asarray(out)
     assert np.isfinite(a).all()
     assert np.abs(a).max() < 1e3
+
+
+def test_dpmpp_shapes_determinism_and_differs():
+    from sdxl_tpu.pipeline.sampler import k_refine_latent
+
+    params, alphas, cond = _setup()
+    k = jax.random.PRNGKey(7)
+    a = euler_sample_latent(params, TINY_BASE, alphas, cond, k, 7.5, 6,
+                            jnp.float32, method="dpmpp")
+    b = euler_sample_latent(params, TINY_BASE, alphas, cond, k, 7.5, 6,
+                            jnp.float32, method="dpmpp")
+    e = euler_sample_latent(params, TINY_BASE, alphas, cond, k, 7.5, 6,
+                            jnp.float32, method="euler")
+    assert a.shape == (1, 8, 8, 4)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.isfinite(np.asarray(a)).all()
+    # second-order correction must actually change the trajectory
+    assert not np.allclose(np.asarray(a), np.asarray(e))
+
+
+def test_k_sampler_inpaint_pins_unmasked_region():
+    """Sigma-space inpainting: the non-masked region must track the
+    re-noised reference (pinned before the final UNet call, so the output
+    there is dominated by the reference; the masked region is generated)."""
+    params, alphas, cond = _setup()
+    k = jax.random.PRNGKey(3)
+    reference = jnp.ones((1, 8, 8, 4), jnp.float32) * 0.5
+    mask = np.zeros((1, 8, 8, 4), dtype=bool)
+    mask[:, :4] = True  # top half generated, bottom half pinned
+    mask = jnp.asarray(mask)
+    out = euler_sample_latent(
+        params, TINY_BASE, alphas, cond, k, 7.5, 4, jnp.float32,
+        method="euler", reference=reference, mask=mask,
+    )
+    free = euler_sample_latent(
+        params, TINY_BASE, alphas, cond, k, 7.5, 4, jnp.float32,
+        method="euler",
+    )
+    out, free = np.asarray(out), np.asarray(free)
+    # pinned half differs from the unconstrained run; generated half is
+    # influenced too (the UNet sees the pinned context) but the pinned half
+    # must sit closer to the reference value than the free run does
+    assert np.abs(out[:, 4:] - 0.5).mean() < np.abs(free[:, 4:] - 0.5).mean()
+
+
+def test_k_refine_latent_runs_tail():
+    from sdxl_tpu.pipeline.sampler import k_refine_latent
+
+    params, alphas, cond = _setup()
+    latent = jnp.zeros((1, 8, 8, 4), jnp.float32)
+    for method in ("euler", "dpmpp"):
+        out = k_refine_latent(
+            params, TINY_BASE, alphas, latent, cond, jax.random.PRNGKey(5),
+            7.5, 800, 4, jnp.float32, method=method,
+        )
+        a = np.asarray(out)
+        assert a.shape == (1, 8, 8, 4) and np.isfinite(a).all()

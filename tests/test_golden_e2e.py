@@ -44,10 +44,22 @@ def test_fingerprint(pipe):
         "px_0_0": a[0, 0, 0].tolist(),
         "px_32_32": a[0, 32, 32].tolist(),
     }
-    # recorded on jax 0.9.0 cpu (regenerate consciously if the stack moves)
     print("fingerprint:", fp)
-    assert 0 < fp["mean"] < 255
-    assert fp["std"] > 1.0
+    # Pinned golden values, recorded 2026-08-16 on jax 0.9.0 cpu. Tolerances
+    # absorb float noise from compiler/version drift (fused-multiply orders
+    # move u8 pixels by at most ±1-2); a real numeric regression (schedule,
+    # wiring, mask, normalization) moves mean/std by far more. If the stack
+    # moves legitimately, regenerate CONSCIOUSLY and record why.
+    GOLDEN = {
+        "mean": 125.331299,
+        "std": 43.2493,
+        "px_0_0": [121.0, 121.0, 139.0],
+        "px_32_32": [148.0, 63.0, 124.0],
+    }
+    assert abs(fp["mean"] - GOLDEN["mean"]) < 0.5, fp
+    assert abs(fp["std"] - GOLDEN["std"]) < 0.5, fp
+    np.testing.assert_allclose(fp["px_0_0"], GOLDEN["px_0_0"], atol=2.0)
+    np.testing.assert_allclose(fp["px_32_32"], GOLDEN["px_32_32"], atol=2.0)
     # determinism within a session is exact
     imgs2 = pipe.txt2img(
         "a photo of a cat", resolution=(64, 64), n_steps=4, seed=1234

@@ -136,3 +136,34 @@ def test_batched_prompts():
         params, TINY_BASE, alphas, cond, jax.random.PRNGKey(0), 7.5, 2, jnp.float32
     )
     assert out.shape == (3, 8, 8, 4)
+
+
+def test_config_n_steps_honored():
+    """DiffuserConfig.n_steps must govern the DDPM table length: a .cfg with
+    a 500-entry table runs, a mismatched table is a clear error."""
+    import pytest
+
+    cfg500 = DiffuserConfig(
+        adm_in_channels=24, model_channels=32, channel_mults=(1, 2, 4),
+        num_head_channels=8, transformer_depths=(1, 1, 2), context_dim=48,
+        is_refiner=False, n_steps=500,
+    )
+    params = init_unet(jax.random.PRNGKey(0), cfg500.unet_config(), jnp.float32)
+    cond = _cond()
+    alphas500 = jnp.asarray(scaled_linear_alphas_cumprod(500))
+    lat = sample_latent(
+        params, cfg500, alphas500, cond, jax.random.PRNGKey(1), 7.5, 4,
+        jnp.float32,
+    )
+    assert lat.shape == (1, 8, 8, 4)
+    # schedule derived from the 500-table: 499, 374, 249, 124 (125 divides
+    # 500 exactly, so no 31-iterations quirk here)
+    ts = ddim_timesteps(0, 4, 500)
+    assert list(ts) == [499, 374, 249, 124]
+
+    alphas1000 = jnp.asarray(scaled_linear_alphas_cumprod(1000))
+    with pytest.raises(ValueError, match="does not match"):
+        sample_latent(
+            params, cfg500, alphas1000, cond, jax.random.PRNGKey(1), 7.5, 4,
+            jnp.float32,
+        )

@@ -84,6 +84,29 @@ def test_whitespace_and_case_cleaning(clip_tok):
     assert a == b
 
 
+def test_vendored_matches_reference_data(clip_tok, reference_tokenizer_dir):
+    """The vendored in-package table must be equivalent to loading the
+    reference's on-disk tokenizer data (clip merges slice + open_clip
+    vocab/merges) — identical vocab, identical merge ranks."""
+    ref_clip = ClipTokenizer(reference_tokenizer_dir)
+    ref_oc = OpenClipTokenizer(reference_tokenizer_dir)
+    assert dict(clip_tok.encoder) == dict(ref_clip.encoder)
+    assert dict(clip_tok.bpe_ranks) == dict(ref_clip.bpe_ranks)
+    vend_oc = OpenClipTokenizer(None)
+    assert dict(vend_oc.encoder) == dict(ref_oc.encoder)
+    assert dict(vend_oc.bpe_ranks) == dict(ref_oc.bpe_ranks)
+
+
+def test_self_contained_no_reference_mount(monkeypatch, tmp_path):
+    """ClipTokenizer() must work with no external data dir at all."""
+    monkeypatch.delenv("SDXL_TPU_TOKENIZER_DIR", raising=False)
+    monkeypatch.chdir(tmp_path)  # no ./tokenizer here
+    tok = ClipTokenizer()
+    assert tok.encode("a photo of a cat") == [49406, 320, 1125, 539, 320, 2368, 49407]
+    oc = OpenClipTokenizer()
+    assert len(oc.encoder) == 49408 and oc.pad_token == 0
+
+
 def test_roundtrip(clip_tok):
     # decode re-inserts word boundaries at "</w>" so digits/punctuation gain
     # spaces — the reference calls this out ("extra spaces sometimes",
