@@ -47,6 +47,17 @@ def main():
     run("flash disabled (all-XLA attention)")
     fa.FLASH_DISABLED = False
 
+    # --- fused self-attn qkv + precomputed cross-kv (the sampler's config) ---
+    from sdxl_tpu.models.unet import fuse_unet_qkv, precompute_cross_kv
+
+    fused = fuse_unet_qkv(params)
+    kv = precompute_cross_kv(fused, cfg, ctx)
+    f2 = jax.jit(
+        lambda p, a, b, c, d: unet_forward(p, cfg, a, b, c, d, cross_kv=kv)
+    )
+    dt = timed(f2, (fused, x, t, ctx, label))
+    print(f"fused qkv + precomputed cross-kv: {dt*1000:.1f} ms", flush=True)
+
     # --- A: groupnorm fully in compute dtype (stats still f32-reduced) ------
     orig_gn = norms.groupnorm_nhwc
 

@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Run with random weights (pipeline bring-up)")
     p.add_argument("--f32", action="store_true",
                    help="Run the UNet in float32 instead of bfloat16")
+    p.add_argument("--vae-bf16", action="store_true",
+                   help="Decode in bfloat16: 1.16x faster VAE at ~1 u8 level "
+                        "mean pixel cost (reference decodes f32)")
     p.add_argument("--sampler", type=str, default="ddim",
                    choices=["ddim", "euler", "dpmpp"],
                    help="Sampler: deterministic DDIM (reference), Euler, or "
@@ -111,6 +114,8 @@ def main(argv=None) -> int:
         pipe = load_pipeline(
             args.model_dir, args.use_refiner, dtype, args.tokenizer_dir
         )
+    if args.vae_bf16:
+        pipe.vae_dtype = jnp.bfloat16
 
     prompts = [args.prompt] * args.batch
 

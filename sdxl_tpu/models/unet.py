@@ -127,22 +127,38 @@ def _geglu_mlp(p, x):
     return linear(p["lin"], a * jax.nn.gelu(gate, approximate=False))
 
 
-def _mha(p, x, context, n_head):
-    """MultiHeadAttention (unet/mod.rs:1005-1023): no-bias qkv, bias out."""
-    ctx = x if context is None else context
-    q = linear_nobias(p["q"], x)
-    k = linear_nobias(p["k"], ctx)
-    v = linear_nobias(p["v"], ctx)
+def _mha(p, x, context, n_head, kv=None):
+    """MultiHeadAttention (unet/mod.rs:1005-1023): no-bias qkv, bias out.
+
+    kv: optional precomputed (k, v) — the cross-attention projections of a
+    loop-invariant context (see precompute_cross_kv).
+
+    Self-attention accepts a fused "qkv" weight (fuse_unet_qkv): one
+    [C, 3C] matmul instead of three [C, C] — column blocks of a matmul are
+    independent, so outputs are identical while the MXU sees one large op.
+    """
+    if "qkv" in p and context is None and kv is None:
+        qkv = linear_nobias(p["qkv"], x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        q = linear_nobias(p["q"], x)
+        if kv is not None:
+            k, v = kv["k"], kv["v"]
+        else:
+            ctx = x if context is None else context
+            k = linear_nobias(p["k"], ctx)
+            v = linear_nobias(p["v"], ctx)
     return linear(p["out"], qkv_attention(q, k, v, None, n_head))
 
 
-def _transformer_block(p, x, context, n_head):
+def _transformer_block(p, x, context, n_head, kv=None):
     x = x + _mha(p["attn1"], layernorm_affine(x, **p["norm1"]), None, n_head)
-    x = x + _mha(p["attn2"], layernorm_affine(x, **p["norm2"]), context, n_head)
+    x = x + _mha(p["attn2"], layernorm_affine(x, **p["norm2"]), context, n_head,
+                 kv=kv)
     return x + _geglu_mlp(p["mlp"], layernorm_affine(x, **p["norm3"]))
 
 
-def _spatial_transformer(p, x, context, n_head):
+def _spatial_transformer(p, x, context, n_head, kv=None):
     """SpatialTransformer (unet/mod.rs:820-845) over NHWC.
 
     `blocks` is either a list of per-block pytrees (unrolled at trace time)
@@ -157,18 +173,27 @@ def _spatial_transformer(p, x, context, n_head):
     y = linear(p["proj_in"], y)
     blocks = p["blocks"]
     if isinstance(blocks, dict):
-        def body(carry, blk):
-            return _transformer_block(blk, carry, context, n_head), None
+        if kv is not None:
+            def body(carry, inp):
+                blk, kv_d = inp
+                return _transformer_block(blk, carry, context, n_head, kv_d), None
 
-        y, _ = jax.lax.scan(body, y, blocks)
+            y, _ = jax.lax.scan(body, y, (blocks, kv))
+        else:
+            def body(carry, blk):
+                return _transformer_block(blk, carry, context, n_head), None
+
+            y, _ = jax.lax.scan(body, y, blocks)
     else:
-        for bp in blocks:
-            y = _transformer_block(bp, y, context, n_head)
+        for i, bp in enumerate(blocks):
+            y = _transformer_block(
+                bp, y, context, n_head, kv[i] if kv is not None else None
+            )
     y = linear(p["proj_out"], y).reshape(b, h, w, c)
     return x_in + y
 
 
-def _apply_block(spec: BlockSpec, p, x, emb, context):
+def _apply_block(spec: BlockSpec, p, x, emb, context, kv=None):
     if spec.kind == "conv":
         return conv2d(p["conv"], x)
     if spec.kind == "res":
@@ -177,10 +202,10 @@ def _apply_block(spec: BlockSpec, p, x, emb, context):
         return conv2d(p["conv"], x, stride=2)
     if spec.kind == "res_t":
         x = _res_block(p["res"], x, emb)
-        return _spatial_transformer(p["transformer"], x, context, spec.n_head)
+        return _spatial_transformer(p["transformer"], x, context, spec.n_head, kv)
     if spec.kind == "res_t_up":
         x = _res_block(p["res"], x, emb)
-        x = _spatial_transformer(p["transformer"], x, context, spec.n_head)
+        x = _spatial_transformer(p["transformer"], x, context, spec.n_head, kv)
         return conv2d(p["upsample"], upsample_nearest_2x(x))
     if spec.kind == "res_up":
         x = _res_block(p["res"], x, emb)
@@ -195,8 +220,14 @@ def unet_forward(
     timesteps: jnp.ndarray,
     context: jnp.ndarray,
     label: jnp.ndarray,
+    cross_kv=None,
 ) -> jnp.ndarray:
-    """UNet::forward (unet/mod.rs:449-493). x: [B,h,w,4] NHWC latent."""
+    """UNet::forward (unet/mod.rs:449-493). x: [B,h,w,4] NHWC latent.
+
+    cross_kv: optional precompute_cross_kv() output. The sampler's context
+    is constant across the whole denoising scan, so every cross-attention
+    K/V projection is loop-invariant; passing them in removes ~120 skinny
+    (77-row) matmuls from each of the 31 scan steps."""
     dtype = x.dtype
 
     t_emb = timestep_embedding(timesteps, cfg.model_channels).astype(dtype)
@@ -209,23 +240,100 @@ def unet_forward(
     emb = t_emb + label_emb
 
     in_plan, mid_spec, out_plan = unet_block_plan(cfg)
+    ckv = cross_kv or {}
 
     saved = []
-    for spec, p in zip(in_plan, params["input_blocks"]):
-        x = _apply_block(spec, p, x, emb, context)
+    for i, (spec, p) in enumerate(zip(in_plan, params["input_blocks"])):
+        x = _apply_block(spec, p, x, emb, context,
+                         ckv.get("input_blocks", {}).get(i))
         saved.append(x)
 
     mp = params["middle_block"]
     x = _res_block(mp["res1"], x, emb)
-    x = _spatial_transformer(mp["transformer"], x, context, mid_spec.n_head)
+    x = _spatial_transformer(mp["transformer"], x, context, mid_spec.n_head,
+                             ckv.get("middle_block"))
     x = _res_block(mp["res2"], x, emb)
 
-    for spec, p in zip(out_plan, params["output_blocks"]):
+    for i, (spec, p) in enumerate(zip(out_plan, params["output_blocks"])):
         x = jnp.concatenate([x, saved.pop()], axis=-1)
-        x = _apply_block(spec, p, x, emb, context)
+        x = _apply_block(spec, p, x, emb, context,
+                         ckv.get("output_blocks", {}).get(i))
 
     x = silu(groupnorm_nhwc(x, **params["norm_out"]))
     return conv2d(params["conv_out"], x)
+
+
+def precompute_cross_kv(params, cfg: UNetConfig, context: jnp.ndarray):
+    """Cross-attention K/V projections of a fixed context, for every
+    SpatialTransformer block (loop-invariant across the sampler scan).
+
+    Returns {"input_blocks": {i: st_kv}, "middle_block": st_kv,
+    "output_blocks": {i: st_kv}} where st_kv is a list of per-depth
+    {"k","v"} dicts, or a stacked pytree when the transformer stack is
+    stacked (stack_unet_transformers)."""
+
+    def block_kv(bp):
+        return {
+            "k": linear_nobias(bp["attn2"]["k"], context),
+            "v": linear_nobias(bp["attn2"]["v"], context),
+        }
+
+    def st_kv(st):
+        blocks = st["blocks"]
+        if isinstance(blocks, dict):  # stacked: [depth, ...] weight axes
+            return jax.vmap(
+                lambda bp: block_kv(bp), in_axes=(0,), out_axes=0
+            )(blocks)
+        return [block_kv(bp) for bp in blocks]
+
+    in_plan, _, out_plan = unet_block_plan(cfg)
+    out = {"input_blocks": {}, "output_blocks": {}}
+    for i, (spec, p) in enumerate(zip(in_plan, params["input_blocks"])):
+        if spec.kind in ("res_t", "res_t_up"):
+            out["input_blocks"][i] = st_kv(p["transformer"])
+    out["middle_block"] = st_kv(params["middle_block"]["transformer"])
+    for i, (spec, p) in enumerate(zip(out_plan, params["output_blocks"])):
+        if spec.kind in ("res_t", "res_t_up"):
+            out["output_blocks"][i] = st_kv(p["transformer"])
+    return out
+
+
+def fuse_unet_qkv(params):
+    """Fuse every self-attention's q/k/v weights into one [C, 3C] matrix.
+
+    Column blocks of a matmul are computed independently (same contraction
+    order), so outputs match the three separate projections; the MXU runs
+    one large dot instead of three launches per transformer block.
+    Cross-attention (attn2) keeps separate k/v — those are precomputed per
+    scan via precompute_cross_kv. Works on plain lists and on stacked
+    (leading-depth-axis) blocks; idempotent.
+    """
+
+    def fuse_block(bp):
+        a1 = bp.get("attn1")
+        if not isinstance(a1, dict) or "qkv" in a1 or "q" not in a1:
+            return bp
+        bp = dict(bp)
+        bp["attn1"] = {
+            "qkv": {
+                "w": jnp.concatenate(
+                    [a1["q"]["w"], a1["k"]["w"], a1["v"]["w"]], axis=-1
+                )
+            },
+            "out": a1["out"],
+        }
+        return bp
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "attn1" in node and "attn2" in node:
+                return fuse_block(node)
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)
 
 
 # ---------------------------------------------------------------------------

@@ -61,6 +61,10 @@ def qkv_attention(
     from .flash_attention import flash_attention_bhtd, use_flash
 
     if use_flash(tq, tk, d, mask is not None):
+        # Mosaic requires (8,128)-aligned trailing block dims, so the kernel
+        # can't read head-strided (1,bq,1,64) tiles straight off [B,T,H,D];
+        # the explicit BHTD transpose costs ~1.3 ms/step (r2 profile) and is
+        # the cheapest legal layout.
         o = flash_attention_bhtd(qh, kh, vh)
         return o.transpose(0, 2, 1, 3).reshape(b, tq, c)
 

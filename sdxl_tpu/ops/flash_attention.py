@@ -27,7 +27,11 @@ from jax.experimental.pallas import tpu as pltpu
 _LANES = 128
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, n_k):
+def _flash_kernel_core(q, k, v, write_out, m_ref, l_ref, acc_ref, *, scale, n_k):
+    """Online-softmax inner body shared by both entry layouts.
+
+    q (BQ, D), k/v (BK, D); write_out(value) stores the final (BQ, D) tile.
+    """
     ik = pl.program_id(2)
 
     @pl.when(ik == 0)
@@ -35,10 +39,6 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, n
         m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    q = q_ref[0]  # (BQ, D) bf16
-    k = k_ref[0]  # (BK, D)
-    v = v_ref[0]  # (BK, D)
 
     s = jax.lax.dot_general(
         q, k,
@@ -67,7 +67,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, n
 
     @pl.when(ik == n_k - 1)
     def _finish():
-        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+        write_out((acc_ref[:] / l_ref[:, :1]).astype(v.dtype))
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, n_k):
+    _flash_kernel_core(
+        q_ref[0], k_ref[0], v_ref[0],
+        lambda val: o_ref.__setitem__(0, val),
+        m_ref, l_ref, acc_ref, scale=scale, n_k=n_k,
+    )
 
 
 def _default_blocks(tq: int, tk: int, d: int):

@@ -22,13 +22,27 @@ from ..models.vae import decode_latent as vae_decode
 from ..models.vae import encode_image as vae_encode
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
 def decode_latent_to_images(
     vae_params, cfg: AutoencoderConfig, latent: jnp.ndarray,
-    scale_factor: float = 0.13025,
+    scale_factor: float = 0.13025, compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """[B,h,w,4] latent -> [B,8h,8w,3] uint8 RGB (mod.rs:200-237, 263-267)."""
-    img = vae_decode(vae_params, cfg, latent.astype(jnp.float32) / scale_factor)
+    """[B,h,w,4] latent -> [B,8h,8w,3] uint8 RGB (mod.rs:200-237, 263-267).
+
+    compute_dtype=bfloat16 runs the decoder on the MXU half-precision path:
+    1.16x faster (146 -> 126 ms at 1024^2 on v5e) at a measured quality cost
+    of ~1 u8 level mean / 10 max pixel delta — opt-in (--vae-bf16); the
+    reference decodes in f32 (sample/main.rs:269) and f32 stays the default.
+    """
+    if compute_dtype != jnp.float32:
+        vae_params = jax.tree.map(
+            lambda x: x.astype(compute_dtype)
+            if isinstance(x, jnp.ndarray) and x.dtype == jnp.float32 else x,
+            vae_params,
+        )
+    img = vae_decode(
+        vae_params, cfg, latent.astype(compute_dtype) / scale_factor
+    ).astype(jnp.float32)
     img = (img + 1.0) * (255.0 / 2.0)
     return jnp.clip(jnp.round(img), 0.0, 255.0).astype(jnp.uint8)
 

@@ -35,7 +35,15 @@ from .sampler import scaled_linear_alphas_cumprod
 
 
 def _maybe_stack(params, flag: bool):
-    if params is None or not flag:
+    """Run-time UNet param prep: fuse self-attn qkv (math-identical, one
+    [C,3C] MXU dot instead of three) and optionally stack deep transformer
+    lists for lax.scan compilation."""
+    if params is None:
+        return params
+    from ..models.unet import fuse_unet_qkv
+
+    params = fuse_unet_qkv(params)
+    if not flag:
         return params
     return stack_unet_transformers(params)
 

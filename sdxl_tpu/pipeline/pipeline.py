@@ -64,6 +64,9 @@ class SDXLPipeline:
     # VAE decode memory bound: decode at most this many images per call
     # (decoder activations peak at ~0.5 GB/image f32 at 1024px)
     vae_decode_chunk: int = 2
+    # opt-in half-precision decode (see decode_latent_to_images); the
+    # reference decodes f32 and so do we by default
+    vae_dtype: jnp.dtype = jnp.float32
     timer: StageTimer = field(default_factory=StageTimer)
 
     def _decode(self, latent):
@@ -72,11 +75,13 @@ class SDXLPipeline:
         c = self.vae_decode_chunk
         if c <= 0 or n <= c:
             return decode_latent_to_images(
-                self.vae_params, self.vae_cfg, latent, self.scale_factor
+                self.vae_params, self.vae_cfg, latent, self.scale_factor,
+                self.vae_dtype,
             )
         parts = [
             decode_latent_to_images(
-                self.vae_params, self.vae_cfg, latent[i : i + c], self.scale_factor
+                self.vae_params, self.vae_cfg, latent[i : i + c],
+                self.scale_factor, self.vae_dtype,
             )
             for i in range(0, n, c)
         ]
@@ -346,7 +351,7 @@ def random_pipeline(
     interactive use; benchmarks keep it off).
     """
     from ..models.clip import init_clip
-    from ..models.unet import init_unet, stack_unet_transformers
+    from ..models.unet import fuse_unet_qkv, init_unet, stack_unet_transformers
     from ..models.vae import init_autoencoder
 
     keys = jax.random.split(jax.random.PRNGKey(seed), 5)
@@ -355,9 +360,11 @@ def random_pipeline(
         "clip": init_clip(keys[0], embedder_cfg.clip_config),
         "open_clip": init_clip(keys[1], embedder_cfg.open_clip_config),
     }
-    unet_params = init_unet(keys[2], diffuser_cfg.unet_config(), param_dtype_unet)
+    unet_params = fuse_unet_qkv(
+        init_unet(keys[2], diffuser_cfg.unet_config(), param_dtype_unet)
+    )
     refiner_params = (
-        init_unet(keys[3], refiner_cfg.unet_config(), param_dtype_unet)
+        fuse_unet_qkv(init_unet(keys[3], refiner_cfg.unet_config(), param_dtype_unet))
         if refiner_cfg
         else None
     )

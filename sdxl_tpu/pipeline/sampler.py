@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..configs import DiffuserConfig
-from ..models.unet import unet_forward
+from ..models.unet import precompute_cross_kv, unet_forward
 from .conditioning import Conditioning
 
 N_STEPS_TOTAL = 1000  # DDPM table length (stablediffusion/mod.rs:282)
@@ -110,7 +110,7 @@ def _cfg_contexts(cfg: DiffuserConfig, cond: Conditioning, compute_dtype):
 
 
 def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
-             guidance_scale, compute_dtype):
+             guidance_scale, compute_dtype, cross_kv=None):
     """One guided epsilon prediction (forward_diffuser, mod.rs:494-541)."""
     n_batch = latent.shape[0]
     ucfg = cfg.unet_config()
@@ -118,13 +118,15 @@ def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
     if cfg.is_refiner:
         t_vec = jnp.broadcast_to(t, (n_batch,))
         return unet_forward(
-            unet_params, ucfg, latent.astype(compute_dtype), t_vec, ctx2, ch2
+            unet_params, ucfg, latent.astype(compute_dtype), t_vec, ctx2, ch2,
+            cross_kv=cross_kv,
         ).astype(jnp.float32)
 
     # pair-batched CFG: [uncond | cond] in one UNet call
     x2 = jnp.concatenate([latent, latent], axis=0).astype(compute_dtype)
     t2 = jnp.broadcast_to(t, (2 * n_batch,))
-    eps2 = unet_forward(unet_params, ucfg, x2, t2, ctx2, ch2).astype(jnp.float32)
+    eps2 = unet_forward(unet_params, ucfg, x2, t2, ctx2, ch2,
+                        cross_kv=cross_kv).astype(jnp.float32)
     eps_u, eps_c = jnp.split(eps2, 2, axis=0)
     return eps_u + (eps_c - eps_u) * guidance_scale
 
@@ -171,8 +173,10 @@ def diffuse_latent(
     else:
         keys = jnp.zeros((ts.shape[0], 2), dtype=jnp.uint32)
 
-    # loop-invariant conditioning hoisted out of the scan
+    # loop-invariant conditioning hoisted out of the scan, including every
+    # cross-attention K/V projection of the fixed context
     ctx2, ch2 = _cfg_contexts(cfg, cond, compute_dtype)
+    cross_kv = precompute_cross_kv(unet_params, cfg.unet_config(), ctx2)
 
     def step(lat, inp):
         t, alpha, alpha_prev, k = inp
@@ -182,7 +186,7 @@ def diffuse_latent(
             lat = jnp.where(mask, lat, noised_ref)
 
         eps = _cfg_eps(unet_params, cfg, lat, t, ctx2, ch2, guidance_scale,
-                       compute_dtype)
+                       compute_dtype, cross_kv)
         sqrt_noise = jnp.sqrt(1.0 - alpha)
         x0 = (lat - eps * sqrt_noise) / jnp.sqrt(alpha)
         lat = x0 * jnp.sqrt(alpha_prev) + eps * jnp.sqrt(1.0 - alpha_prev)
@@ -262,6 +266,7 @@ def k_diffuse_latent(
         keys = jnp.zeros((ts.shape[0], 2), dtype=jnp.uint32)
 
     ctx2, ch2 = _cfg_contexts(cfg, cond, compute_dtype)
+    cross_kv = precompute_cross_kv(unet_params, cfg.unet_config(), ctx2)
 
     sig, sig_next = sigmas[:-1], sigmas[1:]
     sig_prev = jnp.concatenate([sigmas[:1], sigmas[:-2]])  # sig[i-1]; dummy @0
@@ -276,7 +281,7 @@ def k_diffuse_latent(
 
         scaled = lat / jnp.sqrt(sigma**2 + 1.0)
         eps = _cfg_eps(unet_params, cfg, scaled, t, ctx2, ch2, guidance_scale,
-                       compute_dtype)
+                       compute_dtype, cross_kv)
         denoised = lat - sigma * eps
 
         if method == "euler":

@@ -57,3 +57,4 @@ def test_use_flash_gating():
     assert use_flash(4096, 4096, 64, False)        # UNet L1 self
     assert use_flash(16384, 16384, 512, False)     # VAE mid attn @1024px
     assert not use_flash(15808, 15808, 512, False) # odd bucket -> XLA
+

@@ -116,3 +116,17 @@ def test_inpaint_rejects_bad_resolution(pipe):
 def test_batched_prompts_e2e(pipe):
     imgs = pipe.txt2img(["a cat", "a dog"], resolution=(64, 64), n_steps=2)
     assert imgs.shape == (2, 64, 64, 3)
+
+
+def test_vae_bf16_decode_close_to_f32(pipe):
+    """Opt-in bf16 decode must produce images within a few u8 levels."""
+    import jax.numpy as jnp
+
+    imgs32 = pipe.txt2img("a cat", resolution=(64, 64), n_steps=2, seed=3)
+    pipe.vae_dtype = jnp.bfloat16
+    try:
+        imgs16 = pipe.txt2img("a cat", resolution=(64, 64), n_steps=2, seed=3)
+    finally:
+        pipe.vae_dtype = jnp.float32
+    d = np.abs(imgs32.astype(np.int32) - imgs16.astype(np.int32))
+    assert d.mean() < 4.0 and d.max() <= 64, (d.mean(), d.max())

@@ -225,3 +225,60 @@ def test_unet_shapes_bf16():
     out = unet_forward(params, TINY, x, jnp.array([1, 999]), ctx, label)
     assert out.shape == (2, 16, 16, 4)
     assert out.dtype == jnp.bfloat16
+
+
+def test_precomputed_cross_kv_matches():
+    """unet_forward(cross_kv=precompute_cross_kv(...)) must be bit-identical
+    to computing the cross K/V in-loop (same weights, same context)."""
+    from sdxl_tpu.models.unet import precompute_cross_kv, stack_unet_transformers
+
+    cfg = UNetConfig(
+        adm_in_channels=24, in_channels=4, out_channels=4, model_channels=32,
+        channel_mults=(1, 2, 4), n_head_channels=8,
+        transformer_depths=(1, 1, 2), context_dim=48,
+    )
+    params = init_unet(jax.random.PRNGKey(5), cfg, jnp.float32)
+    ks = jax.random.split(jax.random.PRNGKey(6), 3)
+    x = jax.random.normal(ks[0], (2, 16, 16, 4), jnp.float32)
+    t = jnp.full((2,), 500, jnp.int32)
+    ctx = jax.random.normal(ks[1], (2, 7, 48), jnp.float32)
+    label = jax.random.normal(ks[2], (2, 24), jnp.float32)
+
+    base = unet_forward(params, cfg, x, t, ctx, label)
+    kv = precompute_cross_kv(params, cfg, ctx)
+    cached = unet_forward(params, cfg, x, t, ctx, label, cross_kv=kv)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(cached))
+
+    # stacked (lax.scan) transformer path with kv
+    stacked = stack_unet_transformers(params, min_depth=2)
+    kv_s = precompute_cross_kv(stacked, cfg, ctx)
+    out_s = unet_forward(stacked, cfg, x, t, ctx, label, cross_kv=kv_s)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(out_s), atol=1e-5)
+
+
+def test_fused_qkv_matches():
+    """fuse_unet_qkv: one [C,3C] self-attn matmul == three [C,C] matmuls."""
+    from sdxl_tpu.models.unet import fuse_unet_qkv, stack_unet_transformers
+
+    cfg = UNetConfig(
+        adm_in_channels=24, in_channels=4, out_channels=4, model_channels=32,
+        channel_mults=(1, 2, 4), n_head_channels=8,
+        transformer_depths=(1, 1, 2), context_dim=48,
+    )
+    params = init_unet(jax.random.PRNGKey(7), cfg, jnp.float32)
+    ks = jax.random.split(jax.random.PRNGKey(8), 3)
+    x = jax.random.normal(ks[0], (2, 16, 16, 4), jnp.float32)
+    t = jnp.full((2,), 300, jnp.int32)
+    ctx = jax.random.normal(ks[1], (2, 7, 48), jnp.float32)
+    label = jax.random.normal(ks[2], (2, 24), jnp.float32)
+
+    base = unet_forward(params, cfg, x, t, ctx, label)
+    fused = fuse_unet_qkv(params)
+    out_f = unet_forward(fused, cfg, x, t, ctx, label)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(out_f), atol=2e-6)
+    # idempotent + composes with stacking
+    out_ff = unet_forward(fuse_unet_qkv(fused), cfg, x, t, ctx, label)
+    np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out_ff))
+    stacked = stack_unet_transformers(fused, min_depth=2)
+    out_s = unet_forward(stacked, cfg, x, t, ctx, label)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(out_s), atol=1e-5)
