@@ -76,6 +76,18 @@ def main():
         n_steps=100, seed=s, guidance_scale=7.5,
         device_output=True, profile_stages=False), runs=1)
 
+    # config #1 (512x512, 8 Euler steps) + the low-step DPM++ 2M config
+    # (VERDICT r1 item 7: fewer steps at equal quality is the cheapest
+    # images/min multiplier; DPM++ 2M at 20 steps ~ DDIM at 30+)
+    timed("base_512_euler8_s", lambda s: pipe.txt2img(
+        "an astronaut riding a horse", resolution=(512, 512), n_steps=8,
+        guidance_scale=7.5, sampler="euler", seed=s,
+        device_output=True, profile_stages=False))
+
+    timed("base_1024_dpmpp20_s", lambda s: pipe.txt2img(
+        "an astronaut riding a horse", n_steps=20, sampler="dpmpp", seed=s,
+        **common))
+
     # batch-8 throughput: drop the (f32, 3.3 GB) embedder before sampling —
     # the reference bounds VRAM the same way by loading each stage in a
     # scope and dropping it (sample/main.rs:217-278)
