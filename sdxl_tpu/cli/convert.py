@@ -1,13 +1,16 @@
-"""`convert` CLI: reference checkpoint -> native safetensors.
+"""`convert` CLI: checkpoint format conversion (native <-> burn mpk).
 
 Counterpart of the reference's convert binary (convert/main.rs:72-121),
-which turns the python/dump.py .npy tree into .mpk files. Here either
-reference layout (npy dump tree or .mpk model dir) is converted into this
-framework's native format: one safetensors file per stage + .cfg JSON.
+which turns the python/dump.py .npy tree into .mpk files. Inputs: the
+reference .npy dump tree, a reference .mpk model dir, or this framework's
+native dir. Outputs (--to): native safetensors+cfg (default) or the
+reference's own .mpk model dir layout — so weights imported from
+HF/diffusers can be exported back for the reference's `sample` binary.
 
 Usage:
   python -m sdxl_tpu.cli.convert --dump-dir ./dump --output-dir ./weights
   python -m sdxl_tpu.cli.convert --mpk-dir  ./burn_weights --output-dir ./weights
+  python -m sdxl_tpu.cli.convert --native-dir ./weights --to mpk --output-dir ./burn
 """
 
 from __future__ import annotations
@@ -18,11 +21,13 @@ import sys
 
 
 def main(argv=None) -> int:
-    p = argparse.ArgumentParser(description="Convert SDXL weights to native format")
+    p = argparse.ArgumentParser(description="Convert SDXL weights between formats")
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--dump-dir", type=str, help="reference .npy dump tree")
     src.add_argument("--mpk-dir", type=str, help="reference .mpk model dir")
+    src.add_argument("--native-dir", type=str, help="native safetensors model dir")
     p.add_argument("--output-dir", type=str, required=True)
+    p.add_argument("--to", choices=["native", "mpk"], default="native")
     p.add_argument("--skip-refiner", action="store_true")
     args = p.parse_args(argv)
 
@@ -42,7 +47,36 @@ def main(argv=None) -> int:
     os.makedirs(args.output_dir, exist_ok=True)
     out = args.output_dir
 
-    if args.dump_dir:
+    if args.native_dir:
+        from ..configs import DiffuserConfig, EmbedderConfig, load_cfg
+        from ..pipeline.sampler import scaled_linear_alphas_cumprod
+
+        nd = args.native_dir
+        log("loading embedder (native)...")
+        e_cfg = load_cfg(os.path.join(nd, "embedder.cfg"), EmbedderConfig)
+        e_params = ckpt.load_native(os.path.join(nd, "embedder.safetensors"))
+        log("loading base diffuser (native)...")
+        d_cfg = load_cfg(os.path.join(nd, "diffuser.cfg"), DiffuserConfig)
+        unet = ckpt.load_native(os.path.join(nd, "diffuser.safetensors"))
+        a_path = os.path.join(nd, "alphas_cumprod.safetensors")
+        alphas = (
+            ckpt.load_native(a_path)["alphas_cumprod"]
+            if os.path.isfile(a_path)
+            else np.asarray(scaled_linear_alphas_cumprod(d_cfg.n_steps))
+        )
+        r_cfg, r_unet = None, None
+        if not args.skip_refiner and os.path.isfile(
+            os.path.join(nd, "refiner.safetensors")
+        ):
+            log("loading refiner (native)...")
+            r_cfg = load_cfg(os.path.join(nd, "refiner.cfg"), DiffuserConfig)
+            r_unet = ckpt.load_native(os.path.join(nd, "refiner.safetensors"))
+        log("loading latent decoder (native)...")
+        l_cfg = load_cfg(
+            os.path.join(nd, "latent_decoder.cfg"), LatentDecoderConfig
+        )
+        vae = ckpt.load_native(os.path.join(nd, "latent_decoder.safetensors"))
+    elif args.dump_dir:
         e_cfg = SDXL_EMBEDDER
         log("loading embedder (npy)...")
         e_params = ckpt.load_embedder_npy(args.dump_dir, e_cfg)
@@ -70,6 +104,30 @@ def main(argv=None) -> int:
             r_cfg, r_unet, _ = ckpt.load_diffuser_mpk(args.mpk_dir, "refiner", jnp.float16)
         log("loading latent decoder (mpk)...")
         l_cfg, vae = ckpt.load_latent_decoder_mpk(args.mpk_dir)
+
+    if args.to == "mpk":
+        from ..io import burn_mpk_write as w
+
+        log("writing burn .mpk model dir...")
+        w.write_embedder_mpk(os.path.join(out, "embedder.mpk"), e_params)
+        save_cfg(os.path.join(out, "embedder.cfg"), e_cfg)
+        w.write_diffuser_mpk(
+            os.path.join(out, "diffuser.mpk"),
+            d_cfg.unet_config(), unet, np.asarray(alphas),
+        )
+        save_cfg(os.path.join(out, "diffuser.cfg"), d_cfg)
+        if r_unet is not None:
+            w.write_diffuser_mpk(
+                os.path.join(out, "refiner.mpk"),
+                r_cfg.unet_config(), r_unet, np.asarray(alphas),
+            )
+            save_cfg(os.path.join(out, "refiner.cfg"), r_cfg)
+        w.write_latent_decoder_mpk(
+            os.path.join(out, "latent_decoder.mpk"), vae
+        )
+        save_cfg(os.path.join(out, "latent_decoder.cfg"), l_cfg)
+        log(f"done -> {out}")
+        return 0
 
     log("writing native checkpoint...")
     ckpt.save_native(os.path.join(out, "embedder.safetensors"), e_params)

@@ -354,17 +354,26 @@ def random_pipeline(
     from ..models.unet import fuse_unet_qkv, init_unet, stack_unet_transformers
     from ..models.vae import init_autoencoder
 
+    # jit each init into ONE device program: the plain python inits issue
+    # hundreds of tiny jax.random dispatches, which cost ~100 s of pure
+    # dispatch latency over the axon tunnel (r2 warm-start measurement);
+    # as single jitted programs they also hit the persistent compile cache
+    j_clip = jax.jit(init_clip, static_argnums=(1, 2))
+    j_unet = jax.jit(init_unet, static_argnums=(1, 2))
+    j_vae = jax.jit(init_autoencoder, static_argnums=(1,))
+    j_fuse = jax.jit(fuse_unet_qkv)
+
     keys = jax.random.split(jax.random.PRNGKey(seed), 5)
     log("initializing random weights (no checkpoint)")
     embedder_params = {
-        "clip": init_clip(keys[0], embedder_cfg.clip_config),
-        "open_clip": init_clip(keys[1], embedder_cfg.open_clip_config),
+        "clip": j_clip(keys[0], embedder_cfg.clip_config, jnp.float32),
+        "open_clip": j_clip(keys[1], embedder_cfg.open_clip_config, jnp.float32),
     }
-    unet_params = fuse_unet_qkv(
-        init_unet(keys[2], diffuser_cfg.unet_config(), param_dtype_unet)
+    unet_params = j_fuse(
+        j_unet(keys[2], diffuser_cfg.unet_config(), param_dtype_unet)
     )
     refiner_params = (
-        fuse_unet_qkv(init_unet(keys[3], refiner_cfg.unet_config(), param_dtype_unet))
+        j_fuse(j_unet(keys[3], refiner_cfg.unet_config(), param_dtype_unet))
         if refiner_cfg
         else None
     )
@@ -372,7 +381,7 @@ def random_pipeline(
         unet_params = stack_unet_transformers(unet_params)
         if refiner_params is not None:
             refiner_params = stack_unet_transformers(refiner_params)
-    vae_params = init_autoencoder(keys[4], vae_cfg)
+    vae_params = j_vae(keys[4], vae_cfg)
     alphas = jnp.asarray(scaled_linear_alphas_cumprod())
 
     return SDXLPipeline(

@@ -521,3 +521,59 @@ def test_mpk_non_enum_block_names_path():
     blk = src.seq("blocks")[0]
     with pytest.raises(MpkParseError, match=r"\$\.blocks\[0\]"):
         blk.block_type()
+
+
+# ---------------------------------------------------------------------------
+# burn-mpk WRITER round-trips (export path: sdxl_tpu -> reference layout)
+# ---------------------------------------------------------------------------
+
+from sdxl_tpu.io import burn_mpk_write as mpkw
+
+
+def test_mpk_writer_clip_roundtrip(tmp_path):
+    params = init_clip(jax.random.PRNGKey(11), TINY_CLIP)
+    path = str(tmp_path / "embedder.mpk")
+    mpkw.write_embedder_mpk(path, {"clip": params, "open_clip": params})
+    src = parse_mpk_file(path)
+    loaded = build_clip(src.child("clip"), TINY_CLIP)
+    assert_trees_close(params, loaded, atol=2e-3)  # f16 storage
+
+
+def test_mpk_writer_unet_roundtrip_and_alphas(tmp_path):
+    from sdxl_tpu.pipeline.sampler import scaled_linear_alphas_cumprod
+
+    params = init_unet(jax.random.PRNGKey(12), TINY_UNET, jnp.float32)
+    alphas = scaled_linear_alphas_cumprod(100)
+    path = str(tmp_path / "diffuser.mpk")
+    mpkw.write_diffuser_mpk(path, TINY_UNET, params, alphas)
+    src = parse_mpk_file(path)
+    loaded = build_unet(src.child("diffusion"), TINY_UNET, jnp.float32)
+    assert_trees_close(params, loaded, atol=2e-3)
+    # alphas ride f32 (stablediffusion/load.rs:56-57)
+    np.testing.assert_allclose(
+        src.tensor("alpha_cumulative_products", 1), alphas, atol=1e-7
+    )
+
+
+def test_mpk_writer_unet_handles_fused_and_stacked(tmp_path):
+    """Export must transparently un-fuse qkv and un-stack scan stacks."""
+    from sdxl_tpu.models.unet import fuse_unet_qkv, stack_unet_transformers
+
+    params = init_unet(jax.random.PRNGKey(13), TINY_UNET, jnp.float32)
+    prepped = stack_unet_transformers(fuse_unet_qkv(params), min_depth=2)
+    path = str(tmp_path / "diffuser.mpk")
+    mpkw.write_diffuser_mpk(path, TINY_UNET, prepped, np.ones(4, np.float32))
+    loaded = build_unet(
+        parse_mpk_file(path).child("diffusion"), TINY_UNET, jnp.float32
+    )
+    assert_trees_close(params, loaded, atol=2e-3)
+
+
+def test_mpk_writer_vae_roundtrip(tmp_path):
+    params = init_autoencoder(jax.random.PRNGKey(14), TINY_VAE)
+    path = str(tmp_path / "latent_decoder.mpk")
+    mpkw.write_latent_decoder_mpk(path, params)
+    loaded = build_autoencoder(
+        parse_mpk_file(path).child("autoencoder"), TINY_VAE, jnp.float32
+    )
+    assert_trees_close(params, loaded, atol=2e-3)

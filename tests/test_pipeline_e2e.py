@@ -130,3 +130,14 @@ def test_vae_bf16_decode_close_to_f32(pipe):
         pipe.vae_dtype = jnp.float32
     d = np.abs(imgs32.astype(np.int32) - imgs16.astype(np.int32))
     assert d.mean() < 4.0 and d.max() <= 64, (d.mean(), d.max())
+
+
+def test_negative_prompt_changes_output(pipe):
+    """--negative-prompt feeds the uncond tower; '' matches the reference's
+    always-empty uncond (mod.rs:704-706), a real negative must change the
+    CFG direction and therefore the image."""
+    base = pipe.txt2img("a cat", resolution=(64, 64), n_steps=2, seed=5)
+    neg = pipe.txt2img("a cat", resolution=(64, 64), n_steps=2, seed=5,
+                       negative_prompt="blurry, deformed")
+    assert base.shape == neg.shape
+    assert not np.array_equal(base, neg)
