@@ -58,8 +58,41 @@ def main():
     dt = timed(f2, (fused, x, t, ctx, label))
     print(f"fused qkv + precomputed cross-kv: {dt*1000:.1f} ms", flush=True)
 
-    # --- A: groupnorm fully in compute dtype (stats still f32-reduced) ------
+    # --- A2: lane-preserving GN (no (g,c/g) reshape; one-hot group matmul) ---
+    import numpy as np
+
     orig_gn = norms.groupnorm_nhwc
+    import sdxl_tpu.models.unet as unet_mod
+
+    def gn_lanes(x, gamma, beta, n_group=32, eps=1e-5):
+        b = x.shape[0]
+        c = x.shape[-1]
+        cg = c // n_group
+        onehot = jnp.asarray(
+            (np.arange(c)[:, None] // cg) == np.arange(n_group)[None, :],
+            jnp.float32,
+        )
+        xf = x.astype(jnp.float32).reshape(b, -1, c)
+        n = xf.shape[1] * cg
+        s1 = jnp.sum(xf, axis=1) @ onehot
+        s2 = jnp.sum(jnp.square(xf), axis=1) @ onehot
+        mean_g = s1 / n
+        var_g = s2 / n - jnp.square(mean_g)
+        scale_g = jax.lax.rsqrt(var_g + eps)
+        mean_c = mean_g @ onehot.T
+        scale_c = scale_g @ onehot.T
+        a = scale_c * gamma.astype(jnp.float32)
+        d = beta.astype(jnp.float32) - mean_c * a
+        y = xf * a[:, None, :] + d[:, None, :]
+        return y.astype(x.dtype).reshape(x.shape)
+
+    norms.groupnorm_nhwc = gn_lanes
+    unet_mod.groupnorm_nhwc = gn_lanes
+    run("gn lane-preserving (one-hot group matmul)")
+    norms.groupnorm_nhwc = orig_gn
+    unet_mod.groupnorm_nhwc = orig_gn
+
+    # --- A: groupnorm fully in compute dtype (stats still f32-reduced) ------
 
     def gn_bf16(x, gamma, beta, n_group=32, eps=1e-5):
         b = x.shape[0]

@@ -75,3 +75,26 @@ def test_fingerprint(pipe):
         "a photo of a cat", resolution=(64, 64), n_steps=4, seed=999
     )
     assert not np.array_equal(imgs, imgs4)
+
+
+def test_k_sampler_fingerprints(pipe):
+    """Pinned fixed-seed fingerprints for the Euler and DPM++ 2M paths —
+    numeric drift in the k-diffusion schedule/update rules fails here.
+    Recorded 2026-08-16 on jax 0.9.0 cpu; regenerate consciously."""
+    GOLDEN = {
+        "euler": {"mean": 125.349447, "std": 43.227149,
+                  "px_32_32": [147.0, 62.0, 125.0]},
+        "dpmpp": {"mean": 125.336589, "std": 43.269423,
+                  "px_32_32": [148.0, 63.0, 124.0]},
+    }
+    for sampler, g in GOLDEN.items():
+        imgs = pipe.txt2img(
+            "a photo of a cat", resolution=(64, 64), n_steps=4, seed=1234,
+            sampler=sampler,
+        )
+        a = imgs.astype(np.float64)
+        assert abs(a.mean() - g["mean"]) < 0.5, (sampler, a.mean())
+        assert abs(a.std() - g["std"]) < 0.5, (sampler, a.std())
+        np.testing.assert_allclose(
+            a[0, 32, 32], g["px_32_32"], atol=2.0, err_msg=sampler
+        )
