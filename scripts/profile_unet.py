@@ -57,12 +57,13 @@ def main():
     xplane = xplanes[-1]
     print(f"xplane: {xplane}", flush=True)
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    # xprof ships a working converter; tensorboard_plugin_profile 2.13 has
+    # a protobuf-version conflict on this image
+    from xprof.convert import raw_to_tool_data
 
     data, _ = raw_to_tool_data.xspace_to_tool_data(
         [xplane], "framework_op_stats^", {}
     )
-    # data is gzipped-or-plain JSON rows depending on version; handle both
     if isinstance(data, bytes):
         import gzip
 
@@ -71,14 +72,31 @@ def main():
         except OSError:
             pass
         data = data.decode("utf-8", errors="replace")
-    try:
-        rows = json.loads(data)
-    except json.JSONDecodeError:
-        print(data[:4000])
-        return 0
+    rows = json.loads(data)
+    table = rows[0] if isinstance(rows, list) else rows
+    cols = [c["id"] for c in table["cols"]]
+    out = []
+    for r in table["rows"]:
+        vals = dict(zip(cols, [c.get("v") for c in r["c"]]))
+        if vals.get("host_or_device") == "Device":
+            out.append(vals)
+    out.sort(key=lambda v: -v["total_self_time"])
+    tot = sum(v["total_self_time"] for v in out)
+    print(f"total device self time: {tot/1e3:.1f} ms ({args.steps} steps)")
+    from collections import defaultdict
 
-    # TF-ish schema: list of tables; find the op table and print top rows
-    print(json.dumps(rows, indent=1)[:8000])
+    bytype = defaultdict(float)
+    for v in out:
+        bytype[v["type"]] += v["total_self_time"]
+    for t_, us in sorted(bytype.items(), key=lambda kv: -kv[1]):
+        print(f"  {t_:30s} {us/1e3/args.steps:8.2f} ms/step {100*us/tot:5.1f}%")
+    print("--- top 15 ops ---")
+    for v in out[:15]:
+        print(
+            f"  {v['total_self_time']/1e3/args.steps:8.2f} ms/step "
+            f"{100*v['total_self_time']/tot:5.1f}%  {v['type']:18s} "
+            f"{str(v['operation'])[:70]}"
+        )
     return 0
 
 

@@ -109,11 +109,19 @@ def main(argv=None) -> int:
             tokenizer_dir=args.tokenizer_dir,
         )
     else:
+        from ..io.burn_mpk import MpkParseError
         from ..pipeline.loader import load_pipeline
 
-        pipe = load_pipeline(
-            args.model_dir, args.use_refiner, dtype, args.tokenizer_dir
-        )
+        try:
+            pipe = load_pipeline(
+                args.model_dir, args.use_refiner, dtype, args.tokenizer_dir
+            )
+        except (MpkParseError, KeyError, FileNotFoundError, ValueError) as e:
+            # checkpoint problems are user input problems: print the
+            # (path-qualified) reason instead of a traceback
+            print(f"error: failed to load checkpoint from {args.model_dir}: "
+                  f"{e}", file=sys.stderr)
+            return 1
     if args.vae_bf16:
         pipe.vae_dtype = jnp.bfloat16
 
