@@ -58,6 +58,10 @@ def make_mesh(
 _TP_RULES: Sequence = (
     # column-parallel: split output features over MODEL
     (re.compile(r"\.attn\d?\.(q|k|v)\.w$"), P(None, MODEL_AXIS)),
+    # fused self-attn qkv ([C, 3C], fuse_unet_qkv): still column-parallel;
+    # GSPMD reshards at the 3-way split (dp x tp equivalence is tested with
+    # fused params in tests/test_parallel.py)
+    (re.compile(r"\.attn\d?\.qkv\.w$"), P(None, MODEL_AXIS)),
     (re.compile(r"\.mlp\.proj\.w$"), P(None, MODEL_AXIS)),
     (re.compile(r"\.mlp\.fc1\.w$"), P(None, MODEL_AXIS)),
     (re.compile(r"\.mlp\.proj\.b$"), P(MODEL_AXIS)),

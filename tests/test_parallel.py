@@ -99,3 +99,32 @@ def test_full_sampler_on_mesh():
     )
     assert out.shape == (batch, 8, 8, 4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+def test_dp_tp_unet_matches_with_fused_qkv_and_cross_kv():
+    """The production prep (fused qkv) + the sampler's cross-kv precompute
+    must stay dp x tp-correct: GSPMD reshards the fused [C,3C] column-
+    sharded weight at the 3-way split."""
+    from sdxl_tpu.models.unet import fuse_unet_qkv, precompute_cross_kv
+
+    params = fuse_unet_qkv(init_unet(jax.random.PRNGKey(0), TINY, jnp.float32))
+    x, t, ctx, label = _inputs()
+
+    kv = precompute_cross_kv(params, TINY, ctx)
+    ref = unet_forward(params, TINY, x, t, ctx, label, cross_kv=kv)
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    p_sh = shard_params(params, mesh, tensor_parallel=True)
+    x_sh, t_sh, ctx_sh, label_sh = shard_batch((x, t, ctx, label), mesh)
+
+    def f(p, a, b, c, d):
+        kv_ = precompute_cross_kv(p, TINY, c)
+        return unet_forward(p, TINY, a, b, c, d, cross_kv=kv_)
+
+    out = jax.jit(f)(p_sh, x_sh, t_sh, ctx_sh, label_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+    # the fused weight really is column-sharded (not silently replicated)
+    qkvw = p_sh["input_blocks"][7]["transformer"]["blocks"][0]["attn1"]["qkv"]["w"]
+    shard_shapes = {s.data.shape for s in qkvw.addressable_shards}
+    assert shard_shapes == {(qkvw.shape[0], qkvw.shape[1] // 4)}
