@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tokenizer-dir", type=str, default=None)
     p.add_argument("--random-weights", action="store_true",
                    help="Run with random weights (pipeline bring-up)")
+    p.add_argument("--family", type=str, default="sdxl",
+                   choices=["sdxl", "sd1", "sd2"],
+                   help="Model family: SDXL (reference parity) or the "
+                        "SD 1.x / 2.x architecture (diffusers checkpoints)")
     p.add_argument("--f32", action="store_true",
                    help="Run the UNet in float32 instead of bfloat16")
     p.add_argument("--vae-bf16", action="store_true",
@@ -96,7 +100,41 @@ def main(argv=None) -> int:
 
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
 
-    if args.random_weights or args.model_dir is None:
+    if args.family in ("sd1", "sd2"):
+        from ..configs import (
+            CLIP_VIT_L_CONFIG,
+            OPEN_CLIP_VITH_CONFIG,
+            SD2_DIFFUSER,
+            SD15_DIFFUSER,
+        )
+        from ..pipeline.sd1 import load_sd1_pipeline, random_sd1_pipeline
+
+        sd2 = args.family == "sd2"
+        clip_cfg = OPEN_CLIP_VITH_CONFIG if sd2 else CLIP_VIT_L_CONFIG
+        d_cfg = SD2_DIFFUSER if sd2 else SD15_DIFFUSER
+        if args.use_refiner:
+            print("error: --use-refiner is an SDXL feature", file=sys.stderr)
+            return 1
+        if args.random_weights or args.model_dir is None:
+            if not args.random_weights:
+                print("error: --model-dir is required (or --random-weights)",
+                      file=sys.stderr)
+                return 1
+            pipe = random_sd1_pipeline(
+                clip_cfg=clip_cfg, diffuser_cfg=d_cfg, compute_dtype=dtype,
+                tokenizer_dir=args.tokenizer_dir, penultimate_hidden=sd2,
+            )
+        else:
+            try:
+                pipe = load_sd1_pipeline(
+                    args.model_dir, clip_cfg, d_cfg, dtype,
+                    args.tokenizer_dir, penultimate_hidden=sd2,
+                )
+            except (KeyError, FileNotFoundError, ValueError) as e:
+                print(f"error: failed to load checkpoint from "
+                      f"{args.model_dir}: {e}", file=sys.stderr)
+                return 1
+    elif args.random_weights or args.model_dir is None:
         if not args.random_weights:
             print("error: --model-dir is required (or pass --random-weights)",
                   file=sys.stderr)

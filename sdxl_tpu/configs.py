@@ -38,7 +38,7 @@ class CLIPConfig:
 
 @dataclass(frozen=True)
 class UNetConfig:
-    adm_in_channels: int = 2816
+    adm_in_channels: int = 2816  # 0 = no label embedding (SD 1.x/2.x)
     in_channels: int = 4
     out_channels: int = 4
     model_channels: int = 320
@@ -46,13 +46,21 @@ class UNetConfig:
     n_head_channels: int = 64
     transformer_depths: Tuple[int, ...] = (1, 2, 10)
     context_dim: int = 2048
+    # which levels carry SpatialTransformers (SDXL: 1 and 2,
+    # unet/mod.rs:125,264; SD 1.x/2.x: 0, 1 and 2 of four levels)
+    transformer_levels: Tuple[int, ...] = (1, 2)
+    # fixed head count (SD 1.x uses 8 heads at every width); 0 = derive
+    # from n_head_channels (SDXL / SD 2.x)
+    n_heads: int = 0
 
     def __post_init__(self):
         object.__setattr__(self, "channel_mults", tuple(self.channel_mults))
         object.__setattr__(self, "transformer_depths", tuple(self.transformer_depths))
-        assert self.model_channels % self.n_head_channels == 0, (
-            "The number of head channels must evenly divide the model channels."
-        )
+        object.__setattr__(self, "transformer_levels", tuple(self.transformer_levels))
+        if self.n_heads == 0:
+            assert self.model_channels % self.n_head_channels == 0, (
+                "The number of head channels must evenly divide the model channels."
+            )
 
     @property
     def time_embed_dim(self) -> int:
@@ -69,10 +77,13 @@ class DiffuserConfig:
     context_dim: int = 2048
     is_refiner: bool = False
     n_steps: int = 1000  # DDPM table length (stablediffusion/mod.rs:282)
+    transformer_levels: Tuple[int, ...] = (1, 2)
+    n_heads: int = 0  # 0 = derive from num_head_channels (SDXL)
 
     def __post_init__(self):
         object.__setattr__(self, "channel_mults", tuple(self.channel_mults))
         object.__setattr__(self, "transformer_depths", tuple(self.transformer_depths))
+        object.__setattr__(self, "transformer_levels", tuple(self.transformer_levels))
 
     def unet_config(self) -> UNetConfig:
         # Diffuser hardwires in/out = 4 latent channels
@@ -86,6 +97,8 @@ class DiffuserConfig:
             n_head_channels=self.num_head_channels,
             transformer_depths=self.transformer_depths,
             context_dim=self.context_dim,
+            transformer_levels=self.transformer_levels,
+            n_heads=self.n_heads,
         )
 
 
@@ -160,6 +173,46 @@ SDXL_REFINER_DIFFUSER = DiffuserConfig(
 SDXL_EMBEDDER = EmbedderConfig(
     clip_config=CLIP_VIT_L_CONFIG, open_clip_config=OPEN_CLIP_BIGG_CONFIG
 )
+
+
+# ---------------------------------------------------------------------------
+# SD 1.x / 2.x presets (capability extension beyond the SDXL-only reference;
+# same config-driven UNet generator, different knobs)
+# ---------------------------------------------------------------------------
+
+# SD 1.4/1.5: 4 levels, transformers at 0-2 (depth 1), FIXED 8 heads at
+# every width, single CLIP ViT-L context (768), no label embedding.
+SD15_DIFFUSER = DiffuserConfig(
+    adm_in_channels=0,
+    model_channels=320,
+    channel_mults=(1, 2, 4, 4),
+    num_head_channels=64,  # unused (n_heads set)
+    transformer_depths=(1, 1, 1, 1),
+    context_dim=768,
+    transformer_levels=(0, 1, 2),
+    n_heads=8,
+)
+
+# SD 2.x (512-base, eps-prediction): OpenCLIP ViT-H context (1024),
+# head width 64 like SDXL, transformers at levels 0-2.
+SD2_DIFFUSER = DiffuserConfig(
+    adm_in_channels=0,
+    model_channels=320,
+    channel_mults=(1, 2, 4, 4),
+    num_head_channels=64,
+    transformer_depths=(1, 1, 1, 1),
+    context_dim=1024,
+    transformer_levels=(0, 1, 2),
+)
+
+# SD 1.x text tower = OpenAI CLIP ViT-L (same as SDXL's first tower);
+# SD 2.x = OpenCLIP ViT-H (1024 wide, 23 layers used at penultimate).
+OPEN_CLIP_VITH_CONFIG = CLIPConfig(
+    n_vocab=49408, n_state=1024, embed_dim=1024, n_head=16, n_ctx=77,
+    n_layer=24, quick_gelu=False,
+)
+
+SD15_VAE_SCALE = 0.18215  # vs SDXL's 0.13025
 
 
 # ---------------------------------------------------------------------------

@@ -196,6 +196,12 @@ def _unet_block(kind, p, f16=True):
 
 
 def unet_record(cfg: UNetConfig, params, f16=True):
+    if "label_embed" not in params:
+        raise ValueError(
+            "burn .mpk export covers the reference's SDXL models only "
+            "(SD 1.x/2.x UNets have no label embedding and no burn "
+            "counterpart to read them)"
+        )
     in_plan, _, out_plan = unet_block_plan(cfg)
     return {
         "lin1_time_embed": _linear(params["time_embed"]["lin1"], f16),

@@ -146,16 +146,18 @@ def build_unet_from_diffusers(
             "lin1": ks.linear("time_embedding.linear_1", cast),
             "lin2": ks.linear("time_embedding.linear_2", cast),
         },
-        "label_embed": {
-            "lin1": ks.linear("add_embedding.linear_1", cast),
-            "lin2": ks.linear("add_embedding.linear_2", cast),
-        },
         "input_blocks": input_blocks,
         "middle_block": middle,
         "output_blocks": output_blocks,
         "norm_out": ks.norm("conv_norm_out", cast),
         "conv_out": ks.conv("conv_out", cast),
     }
+    # SDXL's micro-conditioning embedding; absent in SD 1.x/2.x checkpoints
+    if cfg.adm_in_channels and ks.has("add_embedding.linear_1.weight"):
+        params["label_embed"] = {
+            "lin1": ks.linear("add_embedding.linear_1", cast),
+            "lin2": ks.linear("add_embedding.linear_2", cast),
+        }
 
     # structural validation against the generated plan
     if len(input_blocks) != len(in_plan) or len(output_blocks) != len(out_plan):
@@ -332,3 +334,54 @@ def load_sdxl_diffusers_dir(
             scale = json.load(f).get("scaling_factor")
 
     return embedder, unet, vae, alphas, scale
+
+
+def load_sd1_diffusers_dir(
+    model_dir: str,
+    diffuser_cfg,
+    clip_cfg,
+    unet_dtype=jnp.bfloat16,
+):
+    """Load a diffusers-layout SD 1.x/2.x directory (single text encoder,
+    no add_embedding). Returns (clip_params | None, unet_params,
+    vae_params, alphas_cumprod | None, vae_scale_factor | None)."""
+    unet = build_unet_from_diffusers(
+        _load_safetensors_dir(os.path.join(model_dir, "unet")),
+        diffuser_cfg.unet_config(),
+        unet_dtype,
+    )
+    vae = build_vae_from_diffusers(
+        _load_safetensors_dir(os.path.join(model_dir, "vae"))
+    )
+
+    clip = None
+    te = os.path.join(model_dir, "text_encoder")
+    if clip_cfg is not None and os.path.isdir(te):
+        clip = build_clip_from_hf(
+            _load_safetensors_dir(te), clip_cfg, prefix="text_model"
+        )
+
+    alphas = None
+    sched = os.path.join(model_dir, "scheduler", "scheduler_config.json")
+    if os.path.isfile(sched):
+        with open(sched) as f:
+            sc = json.load(f)
+        if sc.get("beta_schedule", "scaled_linear") == "scaled_linear":
+            betas = (
+                np.linspace(
+                    sc.get("beta_start", 0.00085) ** 0.5,
+                    sc.get("beta_end", 0.012) ** 0.5,
+                    sc.get("num_train_timesteps", 1000),
+                    dtype=np.float64,
+                )
+                ** 2
+            )
+            alphas = np.cumprod(1.0 - betas).astype(np.float32)
+
+    scale = None
+    vae_cfg_path = os.path.join(model_dir, "vae", "config.json")
+    if os.path.isfile(vae_cfg_path):
+        with open(vae_cfg_path) as f:
+            scale = json.load(f).get("scaling_factor")
+
+    return clip, unet, vae, alphas, scale

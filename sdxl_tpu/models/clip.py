@@ -95,6 +95,18 @@ def clip_hidden_pooled(params, cfg: CLIPConfig, tokens: jnp.ndarray, hidden_idx:
     return h_out, pooled
 
 
+def clip_final_hidden(params, cfg: CLIPConfig, tokens: jnp.ndarray):
+    """Full tower + final LayerNorm — SD 1.x conditioning (the diffusers
+    text_encoder's last_hidden_state). SDXL instead taps the penultimate
+    hidden without the final LN (clip_hidden); both live on the same
+    parameter pytree."""
+    mask = causal_mask(tokens.shape[1])
+    x = _embed(params, tokens)
+    for p in params["blocks"]:
+        x = _block(p, x, mask, cfg)
+    return layernorm_affine(x, **params["layer_norm"])
+
+
 # ---------------------------------------------------------------------------
 # Initialization (tests / bring-up without real weights)
 # ---------------------------------------------------------------------------

@@ -58,13 +58,16 @@ def unet_block_plan(cfg: UNetConfig) -> Tuple[Tuple[BlockSpec, ...], BlockSpec, 
     mc = cfg.model_channels
     mults = cfg.channel_mults
     n_levels = len(mults)
-    heads = lambda ch: ch // cfg.n_head_channels  # noqa: E731
+    t_levels = cfg.transformer_levels
+    # SDXL derives heads from a fixed head width (unet/mod.rs:113);
+    # SD 1.x fixes the head COUNT at 8 across widths
+    heads = lambda ch: cfg.n_heads or ch // cfg.n_head_channels  # noqa: E731
 
     inputs: List[BlockSpec] = [BlockSpec("conv", cfg.in_channels, mc)]
     for level in range(n_levels):
         ch_in = mults[max(level - 1, 0)] * mc
         ch_out = mults[level] * mc
-        if level not in (1, 2):
+        if level not in t_levels:
             inputs.append(BlockSpec("res", ch_in, ch_out))
             inputs.append(BlockSpec("res", ch_out, ch_out))
         else:
@@ -86,7 +89,7 @@ def unet_block_plan(cfg: UNetConfig) -> Tuple[Tuple[BlockSpec, ...], BlockSpec, 
         ch_in1 = mults[next_level] * mc + ch_out
         ch_in2 = 2 * ch_out
         ch_in3 = ch_out + mults[max(level - 1, 0)] * mc
-        if level not in (1, 2):
+        if level not in t_levels:
             outputs.append(BlockSpec("res", ch_in1, ch_out))
             outputs.append(BlockSpec("res", ch_in2, ch_out))
             kind3 = "res_up" if level != 0 else "res"
@@ -96,7 +99,8 @@ def unet_block_plan(cfg: UNetConfig) -> Tuple[Tuple[BlockSpec, ...], BlockSpec, 
             h = heads(ch_out)
             outputs.append(BlockSpec("res_t", ch_in1, ch_out, h, d))
             outputs.append(BlockSpec("res_t", ch_in2, ch_out, h, d))
-            outputs.append(BlockSpec("res_t_up", ch_in3, ch_out, h, d))
+            kind3 = "res_t_up" if level != 0 else "res_t"
+            outputs.append(BlockSpec(kind3, ch_in3, ch_out, h, d))
 
     return tuple(inputs), middle, tuple(outputs)
 
@@ -233,11 +237,15 @@ def unet_forward(
     t_emb = timestep_embedding(timesteps, cfg.model_channels).astype(dtype)
     t_emb = linear(params["time_embed"]["lin2"], silu(linear(params["time_embed"]["lin1"], t_emb)))
 
-    label_emb = linear(
-        params["label_embed"]["lin2"],
-        silu(linear(params["label_embed"]["lin1"], label.astype(dtype))),
-    )
-    emb = t_emb + label_emb
+    if cfg.adm_in_channels:
+        label_emb = linear(
+            params["label_embed"]["lin2"],
+            silu(linear(params["label_embed"]["lin1"], label.astype(dtype))),
+        )
+        emb = t_emb + label_emb
+    else:
+        # SD 1.x/2.x: timestep conditioning only, no label/micro-conditioning
+        emb = t_emb
 
     in_plan, mid_spec, out_plan = unet_block_plan(cfg)
     ckv = cross_kv or {}
@@ -487,15 +495,15 @@ def init_unet(key, cfg: UNetConfig, dtype=jnp.bfloat16):
     emb_dim = cfg.time_embed_dim
     mc = cfg.model_channels
 
-    return {
-        "time_embed": {
-            "lin1": _dense(next(ki), mc, emb_dim, dtype),
-            "lin2": _dense(next(ki), emb_dim, emb_dim, dtype),
-        },
-        "label_embed": {
-            "lin1": _dense(next(ki), cfg.adm_in_channels, emb_dim, dtype),
-            "lin2": _dense(next(ki), emb_dim, emb_dim, dtype),
-        },
+    time_embed = {
+        "lin1": _dense(next(ki), mc, emb_dim, dtype),
+        "lin2": _dense(next(ki), emb_dim, emb_dim, dtype),
+    }
+    # label keys are drawn at their historical position so SDXL inits stay
+    # bit-identical to the pinned goldens even though SD 1.x skips them
+    label_keys = (next(ki), next(ki))
+    params = {
+        "time_embed": time_embed,
         "input_blocks": [
             _init_block(next(ki), spec, cfg, dtype) for spec in in_plan
         ],
@@ -512,3 +520,9 @@ def init_unet(key, cfg: UNetConfig, dtype=jnp.bfloat16):
             _init_block(next(ki), spec, cfg, dtype) for spec in out_plan
         ],
     }
+    if cfg.adm_in_channels:
+        params["label_embed"] = {
+            "lin1": _dense(label_keys[0], cfg.adm_in_channels, emb_dim, dtype),
+            "lin2": _dense(label_keys[1], emb_dim, emb_dim, dtype),
+        }
+    return params

@@ -11,6 +11,7 @@ from .sampler import (
     scaled_linear_alphas_cumprod,
 )
 from .latent import decode_latent_to_images, encode_images_to_latent
+from .sd1 import SD1Pipeline, load_sd1_pipeline, random_sd1_pipeline
 from .resolutions import RESOLUTIONS, validate_resolution
 
 __all__ = [
@@ -22,6 +23,9 @@ __all__ = [
     "refine_latent",
     "sample_latent",
     "scaled_linear_alphas_cumprod",
+    "SD1Pipeline",
+    "load_sd1_pipeline",
+    "random_sd1_pipeline",
     "decode_latent_to_images",
     "encode_images_to_latent",
     "RESOLUTIONS",

@@ -100,13 +100,13 @@ def _cfg_contexts(cfg: DiffuserConfig, cond: Conditioning, compute_dtype):
             cond.channel_context_refiner.astype(compute_dtype),
         )
     ctx = cond.context_full
-    ch = cond.channel_context
     uctx = jnp.broadcast_to(cond.unconditional_context_full, ctx.shape)
+    ctx2 = jnp.concatenate([uctx, ctx], axis=0).astype(compute_dtype)
+    ch = cond.channel_context
+    if ch is None:  # SD 1.x/2.x: no label/micro-conditioning channel
+        return ctx2, None
     uch = jnp.broadcast_to(cond.unconditional_channel_context, ch.shape)
-    return (
-        jnp.concatenate([uctx, ctx], axis=0).astype(compute_dtype),
-        jnp.concatenate([uch, ch], axis=0).astype(compute_dtype),
-    )
+    return ctx2, jnp.concatenate([uch, ch], axis=0).astype(compute_dtype)
 
 
 def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,

@@ -1,0 +1,198 @@
+"""SD 1.x / 2.x pipeline (capability extension).
+
+The reference covers SDXL only; the same config-driven UNet generator,
+samplers and VAE serve the earlier Stable Diffusion family with different
+knobs (configs.SD15_DIFFUSER / SD2_DIFFUSER):
+
+  - single text tower: CLIP ViT-L (SD 1.x, quick_gelu) or OpenCLIP ViT-H
+    (SD 2.x), conditioning = final hidden state after the last LayerNorm
+    (SD 1.x) or the penultimate hidden (SD 2.x)
+  - no pooled/micro-conditioning channel embedding (adm_in_channels = 0)
+  - 4-level UNet, transformers at levels 0-2 depth 1; SD 1.x fixes 8 heads
+    at every width
+  - VAE: same architecture, scale_factor 0.18215
+
+Everything downstream (DDIM/Euler/DPM++ scan, CFG pair-batching, inpaint,
+img2img, chunked decode, dp x tp sharding) is shared with the SDXL
+pipeline; the conditioning tensors simply carry channel_context = None.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import (
+    AutoencoderConfig,
+    CLIPConfig,
+    CLIP_VIT_L_CONFIG,
+    DiffuserConfig,
+    SD15_DIFFUSER,
+    SD15_VAE_SCALE,
+)
+from ..models.clip import clip_final_hidden, clip_hidden
+from ..tokenizer import ClipTokenizer, tokenize_text
+from ..utils import log
+from .conditioning import Conditioning
+from .pipeline import SDXLPipeline
+from .sampler import scaled_linear_alphas_cumprod
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "penultimate"))
+def _sd1_conditioning_program(clip_params, cfg: CLIPConfig, cond_tokens,
+                              uncond_tokens, penultimate: bool):
+    def embed(tokens):
+        if penultimate:  # SD 2.x convention: one block early, no final LN
+            return clip_hidden(clip_params, cfg, tokens, cfg.n_layer - 1)
+        return clip_final_hidden(clip_params, cfg, tokens)
+
+    return embed(cond_tokens), embed(uncond_tokens)
+
+
+def text_to_conditioning_sd1(
+    clip_params,
+    cfg: CLIPConfig,
+    tokenizer,
+    prompts,
+    resolution: Tuple[int, int],
+    negative_prompt: str = "",
+    penultimate: bool = False,
+) -> Conditioning:
+    if isinstance(prompts, str):
+        prompts = [prompts]
+    ids = np.array(
+        [tokenize_text(p, tokenizer, cfg.n_ctx) for p in prompts], np.int32
+    )
+    u_ids = np.array(
+        [tokenize_text(negative_prompt, tokenizer, cfg.n_ctx)], np.int32
+    )
+    ctx, uctx = _sd1_conditioning_program(
+        clip_params, cfg, jnp.asarray(ids), jnp.asarray(u_ids), penultimate
+    )
+    return Conditioning(
+        unconditional_context_full=uctx,
+        unconditional_context_open_clip=None,
+        context_full=ctx,
+        context_open_clip=None,
+        unconditional_channel_context=None,
+        unconditional_channel_context_refiner=None,
+        channel_context=None,
+        channel_context_refiner=None,
+        resolution=resolution,
+    )
+
+
+@dataclass
+class SD1Pipeline(SDXLPipeline):
+    """SDXLPipeline with single-tower conditioning; embedder_cfg is a
+    CLIPConfig, embedder_params is the bare CLIP pytree."""
+
+    # SD 2.x taps the penultimate hidden; SD 1.x the final LN output
+    penultimate_hidden: bool = False
+
+    def conditioning(self, prompts, resolution, crop=(0, 0),
+                     negative_prompt: str = "", profile_stages: bool = True):
+        from ..utils import fence
+
+        with self.timer.stage("embedder"):
+            cond = text_to_conditioning_sd1(
+                self.embedder_params,
+                self.embedder_cfg,
+                self.clip_tokenizer,
+                prompts,
+                resolution,
+                negative_prompt,
+                self.penultimate_hidden,
+            )
+            if profile_stages:
+                fence(cond.context_full)
+        return cond
+
+
+def load_sd1_pipeline(
+    model_dir: str,
+    clip_cfg: CLIPConfig = CLIP_VIT_L_CONFIG,
+    diffuser_cfg: DiffuserConfig = SD15_DIFFUSER,
+    compute_dtype=jnp.bfloat16,
+    tokenizer_dir: Optional[str] = None,
+    penultimate_hidden: bool = False,
+) -> SD1Pipeline:
+    """Load a diffusers-layout SD 1.x/2.x directory (runwayml/
+    stable-diffusion-v1-5 style: unet/ vae/ text_encoder/ scheduler/)."""
+    from ..io.diffusers_sdxl import load_sd1_diffusers_dir
+    from ..models.unet import fuse_unet_qkv
+
+    log(f"loading SD1.x diffusers checkpoint from {model_dir}")
+    clip, unet, vae, alphas, scale = load_sd1_diffusers_dir(
+        model_dir, diffuser_cfg, clip_cfg, compute_dtype
+    )
+    if clip is None:
+        raise FileNotFoundError(f"text_encoder missing under {model_dir}")
+    return SD1Pipeline(
+        embedder_cfg=clip_cfg,
+        embedder_params=clip,
+        diffuser_cfg=diffuser_cfg,
+        unet_params=fuse_unet_qkv(unet),
+        alphas_cumprod=jnp.asarray(
+            alphas
+            if alphas is not None
+            else scaled_linear_alphas_cumprod(diffuser_cfg.n_steps)
+        ),
+        vae_cfg=AutoencoderConfig(),
+        vae_params=vae,
+        scale_factor=scale or SD15_VAE_SCALE,
+        clip_tokenizer=ClipTokenizer(tokenizer_dir),
+        open_clip_tokenizer=None,
+        compute_dtype=compute_dtype,
+        penultimate_hidden=penultimate_hidden,
+    )
+
+
+def random_sd1_pipeline(
+    seed: int = 0,
+    clip_cfg: CLIPConfig = CLIP_VIT_L_CONFIG,
+    diffuser_cfg: DiffuserConfig = SD15_DIFFUSER,
+    vae_cfg: AutoencoderConfig = AutoencoderConfig(),
+    compute_dtype=jnp.bfloat16,
+    param_dtype_unet=jnp.bfloat16,
+    tokenizer_dir: Optional[str] = None,
+    penultimate_hidden: bool = False,
+) -> SD1Pipeline:
+    """SD 1.x/2.x pipeline with random weights (bring-up / tests / bench)."""
+    from ..models.clip import init_clip
+    from ..models.unet import fuse_unet_qkv, init_unet
+    from ..models.vae import init_autoencoder
+
+    j_clip = jax.jit(init_clip, static_argnums=(1, 2))
+    j_unet = jax.jit(init_unet, static_argnums=(1, 2))
+    j_vae = jax.jit(init_autoencoder, static_argnums=(1,))
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), 3)
+    log("initializing random SD1.x weights (no checkpoint)")
+    clip_params = j_clip(keys[0], clip_cfg, jnp.float32)
+    unet_params = jax.jit(fuse_unet_qkv)(
+        j_unet(keys[1], diffuser_cfg.unet_config(), param_dtype_unet)
+    )
+    vae_params = j_vae(keys[2], vae_cfg)
+
+    return SD1Pipeline(
+        embedder_cfg=clip_cfg,
+        embedder_params=clip_params,
+        diffuser_cfg=diffuser_cfg,
+        unet_params=unet_params,
+        alphas_cumprod=jnp.asarray(
+            scaled_linear_alphas_cumprod(diffuser_cfg.n_steps)
+        ),
+        vae_cfg=vae_cfg,
+        vae_params=vae_params,
+        scale_factor=SD15_VAE_SCALE,
+        clip_tokenizer=ClipTokenizer(tokenizer_dir),
+        open_clip_tokenizer=None,
+        compute_dtype=compute_dtype,
+        penultimate_hidden=penultimate_hidden,
+    )

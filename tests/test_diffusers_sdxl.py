@@ -46,8 +46,9 @@ def make_diffusers_unet_dict(cfg, params):
     in_plan, _, out_plan = unet_block_plan(cfg)
     inv_linear(d, "time_embedding.linear_1", params["time_embed"]["lin1"])
     inv_linear(d, "time_embedding.linear_2", params["time_embed"]["lin2"])
-    inv_linear(d, "add_embedding.linear_1", params["label_embed"]["lin1"])
-    inv_linear(d, "add_embedding.linear_2", params["label_embed"]["lin2"])
+    if "label_embed" in params:  # absent for SD 1.x/2.x configs
+        inv_linear(d, "add_embedding.linear_1", params["label_embed"]["lin1"])
+        inv_linear(d, "add_embedding.linear_2", params["label_embed"]["lin2"])
     inv_conv(d, "conv_in", params["input_blocks"][0]["conv"])
 
     idx = 1
@@ -150,4 +151,23 @@ def test_vae_diffusers_roundtrip():
     params = init_autoencoder(jax.random.PRNGKey(1), TINY_VAE)
     d = make_diffusers_vae_dict(params)
     loaded = build_vae_from_diffusers(d, TINY_VAE)
+    assert_trees_close(params, loaded)
+
+
+def test_sd1_unet_diffusers_roundtrip():
+    """SD1-shaped config (4 levels, transformers at 0-2, fixed heads, no
+    add_embedding) round-trips through the diffusers key mapping."""
+    from sdxl_tpu.configs import UNetConfig
+
+    cfg = UNetConfig(
+        adm_in_channels=0, in_channels=4, out_channels=4, model_channels=16,
+        channel_mults=(1, 2, 4, 4), n_head_channels=8,
+        transformer_depths=(1, 1, 1, 1), context_dim=24,
+        transformer_levels=(0, 1, 2), n_heads=4,
+    )
+    params = init_unet(jax.random.PRNGKey(6), cfg, jnp.float32)
+    assert "label_embed" not in params
+    d = make_diffusers_unet_dict(cfg, params)
+    assert "add_embedding.linear_1.weight" not in d
+    loaded = build_unet_from_diffusers(d, cfg, jnp.float32)
     assert_trees_close(params, loaded)

@@ -1,0 +1,170 @@
+"""SD 1.x / 2.x family support (capability extension beyond the reference).
+
+The same config-driven UNet generator covers the earlier SD family:
+4 levels, transformers at levels 0-2 (depth 1), fixed 8 heads (SD 1.x),
+single text tower, no label embedding. Verified with torch-mirror parity
+and a tiny end-to-end pipeline.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from sdxl_tpu.configs import (
+    CLIPConfig,
+    DiffuserConfig,
+    SD2_DIFFUSER,
+    SD15_DIFFUSER,
+    AutoencoderConfig,
+    UNetConfig,
+)
+from sdxl_tpu.models.clip import clip_final_hidden, init_clip
+from sdxl_tpu.models.unet import init_unet, unet_block_plan, unet_forward
+
+
+def test_sd15_block_plan():
+    """SD 1.5: 12 input blocks / mid / 12 output blocks; transformers on
+    levels 0-2 only; 8 heads at every width; level-3 pure res."""
+    in_plan, mid, out_plan = unet_block_plan(SD15_DIFFUSER.unet_config())
+    assert len(in_plan) == 12 and len(out_plan) == 12
+    kinds_in = [b.kind for b in in_plan]
+    assert kinds_in == [
+        "conv",
+        "res_t", "res_t", "down",   # level 0 (320)
+        "res_t", "res_t", "down",   # level 1 (640)
+        "res_t", "res_t", "down",   # level 2 (1280)
+        "res", "res",               # level 3 (1280, no transformer)
+    ]
+    kinds_out = [b.kind for b in out_plan]
+    assert kinds_out == [
+        "res", "res", "res_up",             # level 3
+        "res_t", "res_t", "res_t_up",       # level 2
+        "res_t", "res_t", "res_t_up",       # level 1
+        "res_t", "res_t", "res_t",          # level 0 (no upsample)
+    ]
+    # fixed head count at every width
+    heads = {b.n_head for b in in_plan + out_plan if b.n_head}
+    assert heads == {8}
+    assert mid.n_head == 8
+    # SD 2.x derives heads from the 64-wide rule instead
+    in2, mid2, _ = unet_block_plan(SD2_DIFFUSER.unet_config())
+    assert mid2.n_head == 1280 // 64
+
+
+TINY_SD1 = UNetConfig(
+    adm_in_channels=0, in_channels=4, out_channels=4, model_channels=32,
+    channel_mults=(1, 2, 4, 4), n_head_channels=8,
+    transformer_depths=(1, 1, 1, 1), context_dim=24,
+    transformer_levels=(0, 1, 2), n_heads=4,
+)
+
+
+def test_sd1_unet_forward_parity_with_torch():
+    """Tiny SD1-shaped UNet (no label embed, transformers at level 0,
+    fixed head count) matches the functional torch mirror."""
+    from tests.test_unet import t_unet
+
+    params = init_unet(jax.random.PRNGKey(3), TINY_SD1, jnp.float32)
+    assert "label_embed" not in params
+    ks = jax.random.split(jax.random.PRNGKey(4), 2)
+    x = jax.random.normal(ks[0], (2, 16, 16, 4), jnp.float32)
+    t = jnp.array([100, 700], jnp.int32)
+    ctx = jax.random.normal(ks[1], (2, 7, 24), jnp.float32)
+
+    ours = unet_forward(params, TINY_SD1, x, t, ctx, None)
+    with torch.no_grad():
+        theirs = t_unet(
+            params, TINY_SD1,
+            torch.from_numpy(np.transpose(np.asarray(x), (0, 3, 1, 2))),
+            torch.from_numpy(np.asarray(t)),
+            torch.from_numpy(np.asarray(ctx)),
+            None,
+        ).numpy()
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(ours), (0, 3, 1, 2)), theirs, atol=2e-4
+    )
+
+
+def test_clip_final_hidden_matches_torch():
+    """SD 1.x conditioning = full tower + final LN (diffusers
+    last_hidden_state)."""
+    import torch.nn.functional as F
+
+    cfg = CLIPConfig(n_vocab=64, n_state=32, embed_dim=32, n_head=4,
+                     n_ctx=8, n_layer=2, quick_gelu=True)
+    params = init_clip(jax.random.PRNGKey(5), cfg)
+    tokens = jnp.asarray([[1, 5, 9, 3, 2, 0, 0, 0]], jnp.int32)
+
+    ours = np.asarray(clip_final_hidden(params, cfg, tokens))
+
+    def tt(a):
+        return torch.from_numpy(np.asarray(a, np.float32))
+
+    def t_lin(p, x):
+        return x @ tt(p["w"]) + tt(p["b"])
+
+    def t_ln(p, x):
+        return F.layer_norm(x, (x.shape[-1],), tt(p["gamma"]), tt(p["beta"]))
+
+    tk = torch.from_numpy(np.asarray(tokens))
+    x = tt(params["token_embedding"])[tk] + tt(params["position_embedding"])[None]
+    mask = torch.full((8, 8), float("-inf")).triu(1)
+    for p in params["blocks"]:
+        y = t_ln(p["attn_ln"], x)
+        q, k, v = (t_lin(p["attn"][n], y) for n in ("q", "k", "v"))
+        b, t_, c = q.shape
+        d = c // cfg.n_head
+        q = q.reshape(b, t_, cfg.n_head, d).transpose(1, 2)
+        k = k.reshape(b, t_, cfg.n_head, d).transpose(1, 2)
+        v = v.reshape(b, t_, cfg.n_head, d).transpose(1, 2)
+        o = F.scaled_dot_product_attention(q, k, v, attn_mask=mask)
+        x = x + t_lin(p["attn"]["out"], o.transpose(1, 2).reshape(b, t_, c))
+        y = t_ln(p["mlp_ln"], x)
+        h = t_lin(p["mlp"]["fc1"], y)
+        h = h * torch.sigmoid(1.702 * h)
+        x = x + t_lin(p["mlp"]["fc2"], h)
+    theirs = t_ln(params["layer_norm"], x).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def _tiny_sd1_pipeline():
+    from sdxl_tpu.pipeline.sd1 import random_sd1_pipeline
+
+    clip_cfg = CLIPConfig(n_vocab=49408, n_state=32, embed_dim=32, n_head=4,
+                          n_ctx=77, n_layer=2, quick_gelu=True)
+    d_cfg = DiffuserConfig(
+        adm_in_channels=0, model_channels=32, channel_mults=(1, 2, 4, 4),
+        num_head_channels=8, transformer_depths=(1, 1, 1, 1), context_dim=32,
+        transformer_levels=(0, 1, 2), n_heads=4,
+    )
+    # 4 levels -> f=8, matching the pipeline's h//8 latent
+    vae_cfg = AutoencoderConfig(
+        encoder_channels=((16, 16), (16, 32), (32, 32), (32, 32)),
+        decoder_channels=((32, 32), (32, 32), (32, 16), (16, 16)),
+        n_group=4,
+    )
+    return random_sd1_pipeline(
+        clip_cfg=clip_cfg, diffuser_cfg=d_cfg, vae_cfg=vae_cfg,
+        compute_dtype=jnp.float32, param_dtype_unet=jnp.float32,
+    )
+
+
+def test_sd1_pipeline_e2e():
+    pipe = _tiny_sd1_pipeline()
+    imgs = pipe.txt2img("a cat", resolution=(64, 64), n_steps=2, seed=0)
+    assert imgs.shape == (1, 64, 64, 3) and imgs.dtype == np.uint8
+    # deterministic
+    imgs2 = pipe.txt2img("a cat", resolution=(64, 64), n_steps=2, seed=0)
+    np.testing.assert_array_equal(imgs, imgs2)
+    # negative prompt + k-samplers work on the SD1 path too
+    imgs3 = pipe.txt2img("a cat", resolution=(64, 64), n_steps=2, seed=0,
+                         negative_prompt="blurry", sampler="dpmpp")
+    assert not np.array_equal(imgs, imgs3)
+
+
+def test_sd1_img2img():
+    pipe = _tiny_sd1_pipeline()
+    ref = (np.random.default_rng(0).random((1, 64, 64, 3)) * 255).astype(np.uint8)
+    out = pipe.img2img("a dog", ref, strength=0.5, n_steps=2, seed=1)
+    assert out.shape == (1, 64, 64, 3)

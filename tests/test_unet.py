@@ -167,8 +167,11 @@ def t_unet(params, cfg, x, t, ctx, label):
     args = t.float()[:, None] * freqs[None]
     t_emb = torch.cat([torch.cos(args), torch.sin(args)], dim=1)
     t_emb = t_lin(params["time_embed"]["lin2"], F.silu(t_lin(params["time_embed"]["lin1"], t_emb)))
-    l_emb = t_lin(params["label_embed"]["lin2"], F.silu(t_lin(params["label_embed"]["lin1"], label)))
-    emb = t_emb + l_emb
+    if "label_embed" in params:
+        l_emb = t_lin(params["label_embed"]["lin2"], F.silu(t_lin(params["label_embed"]["lin1"], label)))
+        emb = t_emb + l_emb
+    else:  # SD 1.x/2.x: timestep conditioning only
+        emb = t_emb
 
     from sdxl_tpu.models.unet import unet_block_plan as plan_fn
 
