@@ -79,6 +79,9 @@ class DiffuserConfig:
     n_steps: int = 1000  # DDPM table length (stablediffusion/mod.rs:282)
     transformer_levels: Tuple[int, ...] = (1, 2)
     n_heads: int = 0  # 0 = derive from num_head_channels (SDXL)
+    # "eps" (SDXL, SD1.x, SD2.x-base) or "v" (SD2.x-768): what the UNet
+    # predicts; samplers convert v to eps via eps = sqrt(a)v + sqrt(1-a)x
+    prediction_type: str = "eps"
 
     def __post_init__(self):
         object.__setattr__(self, "channel_mults", tuple(self.channel_mults))
@@ -203,6 +206,18 @@ SD2_DIFFUSER = DiffuserConfig(
     transformer_depths=(1, 1, 1, 1),
     context_dim=1024,
     transformer_levels=(0, 1, 2),
+)
+
+# SD 2.1-768: same architecture, v-prediction objective
+SD21_768_DIFFUSER = DiffuserConfig(
+    adm_in_channels=0,
+    model_channels=320,
+    channel_mults=(1, 2, 4, 4),
+    num_head_channels=64,
+    transformer_depths=(1, 1, 1, 1),
+    context_dim=1024,
+    transformer_levels=(0, 1, 2),
+    prediction_type="v",
 )
 
 # SD 1.x text tower = OpenAI CLIP ViT-L (same as SDXL's first tower);

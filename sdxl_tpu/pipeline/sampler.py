@@ -110,23 +110,35 @@ def _cfg_contexts(cfg: DiffuserConfig, cond: Conditioning, compute_dtype):
 
 
 def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
-             guidance_scale, compute_dtype, cross_kv=None):
-    """One guided epsilon prediction (forward_diffuser, mod.rs:494-541)."""
+             guidance_scale, compute_dtype, cross_kv=None, alpha_t=None):
+    """One guided epsilon prediction (forward_diffuser, mod.rs:494-541).
+
+    For prediction_type="v" (SD 2.x-768) the raw output is converted to
+    an epsilon via eps = sqrt(a)*v + sqrt(1-a)*x_vp (identity from
+    v = sqrt(a)*eps - sqrt(1-a)*x0); `latent` here is the variance-
+    preserving x_t the model was trained on, `alpha_t` its a-bar."""
     n_batch = latent.shape[0]
     ucfg = cfg.unet_config()
 
+    def to_eps(raw, x_vp):
+        if cfg.prediction_type == "v":
+            return jnp.sqrt(alpha_t) * raw + jnp.sqrt(1.0 - alpha_t) * x_vp
+        return raw
+
     if cfg.is_refiner:
         t_vec = jnp.broadcast_to(t, (n_batch,))
-        return unet_forward(
+        raw = unet_forward(
             unet_params, ucfg, latent.astype(compute_dtype), t_vec, ctx2, ch2,
             cross_kv=cross_kv,
         ).astype(jnp.float32)
+        return to_eps(raw, latent.astype(jnp.float32))
 
     # pair-batched CFG: [uncond | cond] in one UNet call
     x2 = jnp.concatenate([latent, latent], axis=0).astype(compute_dtype)
     t2 = jnp.broadcast_to(t, (2 * n_batch,))
-    eps2 = unet_forward(unet_params, ucfg, x2, t2, ctx2, ch2,
+    raw2 = unet_forward(unet_params, ucfg, x2, t2, ctx2, ch2,
                         cross_kv=cross_kv).astype(jnp.float32)
+    eps2 = to_eps(raw2, x2.astype(jnp.float32))
     eps_u, eps_c = jnp.split(eps2, 2, axis=0)
     return eps_u + (eps_c - eps_u) * guidance_scale
 
@@ -186,7 +198,7 @@ def diffuse_latent(
             lat = jnp.where(mask, lat, noised_ref)
 
         eps = _cfg_eps(unet_params, cfg, lat, t, ctx2, ch2, guidance_scale,
-                       compute_dtype, cross_kv)
+                       compute_dtype, cross_kv, alpha)
         sqrt_noise = jnp.sqrt(1.0 - alpha)
         x0 = (lat - eps * sqrt_noise) / jnp.sqrt(alpha)
         lat = x0 * jnp.sqrt(alpha_prev) + eps * jnp.sqrt(1.0 - alpha_prev)
@@ -280,8 +292,9 @@ def k_diffuse_latent(
             lat = jnp.where(mask, lat, reference + sigma * noise)
 
         scaled = lat / jnp.sqrt(sigma**2 + 1.0)
+        # in sigma space a-bar = 1/(sigma^2+1); needed for v-prediction
         eps = _cfg_eps(unet_params, cfg, scaled, t, ctx2, ch2, guidance_scale,
-                       compute_dtype, cross_kv)
+                       compute_dtype, cross_kv, 1.0 / (sigma**2 + 1.0))
         denoised = lat - sigma * eps
 
         if method == "euler":

@@ -168,3 +168,67 @@ def test_sd1_img2img():
     ref = (np.random.default_rng(0).random((1, 64, 64, 3)) * 255).astype(np.uint8)
     out = pipe.img2img("a dog", ref, strength=0.5, n_steps=2, seed=1)
     assert out.shape == (1, 64, 64, 3)
+
+
+def test_v_prediction_equivalence(monkeypatch):
+    """A model trained to predict v is mathematically interchangeable with
+    an eps model via eps = sqrt(a)v + sqrt(1-a)x (v = sqrt(a)eps -
+    sqrt(1-a)x0): drive both prediction types with stub models derived from
+    the SAME underlying eps function and require identical trajectories."""
+    import sdxl_tpu.pipeline.sampler as S
+
+    # context_dim matches tests.test_sampler._cond()'s context_full (48)
+    cfg_eps = DiffuserConfig(
+        adm_in_channels=0, model_channels=32, channel_mults=(1, 2, 4, 4),
+        num_head_channels=8, transformer_depths=(1, 1, 1, 1),
+        context_dim=48, transformer_levels=(0, 1, 2), n_heads=4,
+    )
+    cfg_v = DiffuserConfig(
+        adm_in_channels=0, model_channels=32, channel_mults=(1, 2, 4, 4),
+        num_head_channels=8, transformer_depths=(1, 1, 1, 1),
+        context_dim=48, transformer_levels=(0, 1, 2), n_heads=4,
+        prediction_type="v",
+    )
+    alphas = jnp.asarray(S.scaled_linear_alphas_cumprod())
+
+    def fake_eps(x_vp, t):
+        # any smooth function of (x, t) works as a stand-in eps model
+        return 0.3 * x_vp + 0.01 * t.astype(jnp.float32)[:, None, None, None]
+
+    real_unet = S.unet_forward
+
+    def stub_eps(params, ucfg, x, t, ctx, label, cross_kv=None):
+        return fake_eps(x.astype(jnp.float32), t)
+
+    def stub_v(params, ucfg, x, t, ctx, label, cross_kv=None):
+        xf = x.astype(jnp.float32)
+        a = alphas[t].astype(jnp.float32)[:, None, None, None]
+        eps = fake_eps(xf, t)
+        x0 = (xf - jnp.sqrt(1.0 - a) * eps) / jnp.sqrt(a)
+        return jnp.sqrt(a) * eps - jnp.sqrt(1.0 - a) * x0
+
+    from tests.test_sampler import _cond
+
+    cond = _cond()
+    # sampler params tree: content irrelevant for the stubs, but
+    # precompute_cross_kv walks it — give it a real tiny tree
+    from sdxl_tpu.models.unet import init_unet
+
+    params = init_unet(jax.random.PRNGKey(0), cfg_eps.unet_config(), jnp.float32)
+
+    try:
+        monkeypatch.setattr(S, "unet_forward", stub_eps)
+        ref = S.sample_latent(params, cfg_eps, alphas, cond,
+                              jax.random.PRNGKey(1), 7.5, 4, jnp.float32)
+        ref_k = S.euler_sample_latent(params, cfg_eps, alphas, cond,
+                                      jax.random.PRNGKey(1), 7.5, 4, jnp.float32)
+        monkeypatch.setattr(S, "unet_forward", stub_v)
+        out = S.sample_latent(params, cfg_v, alphas, cond,
+                              jax.random.PRNGKey(1), 7.5, 4, jnp.float32)
+        out_k = S.euler_sample_latent(params, cfg_v, alphas, cond,
+                                      jax.random.PRNGKey(1), 7.5, 4, jnp.float32)
+    finally:
+        monkeypatch.setattr(S, "unet_forward", real_unet)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(ref_k), atol=1e-4)
