@@ -67,6 +67,9 @@ class SDXLPipeline:
     # opt-in half-precision decode (see decode_latent_to_images); the
     # reference decodes f32 and so do we by default
     vae_dtype: jnp.dtype = jnp.float32
+    # SDXL enforces its trained aspect buckets on inpainting inputs
+    # (sample/main.rs:138-144); SD 1.x/2.x pipelines only warn
+    strict_resolutions: bool = True
     timer: StageTimer = field(default_factory=StageTimer)
 
     def _decode(self, latent):
@@ -299,10 +302,13 @@ class SDXLPipeline:
         """Crop-window latent inpainting (sample/main.rs:135-197)."""
         _, height, width, _ = reference_images.shape
         if not validate_resolution(height, width):
-            raise ValueError(
-                f"Reference image dimensions {height}x{width} are incompatible. "
-                f"Compatible (H, W): {RESOLUTIONS}"
-            )
+            if self.strict_resolutions:
+                raise ValueError(
+                    f"Reference image dimensions {height}x{width} are "
+                    f"incompatible. Compatible (H, W): {RESOLUTIONS}"
+                )
+            log(f"warning: {height}x{width} is not an SDXL-trained bucket "
+                "(ok for this model family)")
         crop_left = 0 if crop_left is None else crop_left
         crop_right = width if crop_right is None else crop_right
         crop_top = 0 if crop_top is None else crop_top

@@ -149,6 +149,7 @@ def load_sd1_pipeline(
         clip_tokenizer=ClipTokenizer(tokenizer_dir),
         open_clip_tokenizer=None,
         compute_dtype=compute_dtype,
+        strict_resolutions=False,  # SD 1.x has no SDXL bucket constraint
         penultimate_hidden=penultimate_hidden,
     )
 
@@ -194,5 +195,6 @@ def random_sd1_pipeline(
         clip_tokenizer=ClipTokenizer(tokenizer_dir),
         open_clip_tokenizer=None,
         compute_dtype=compute_dtype,
+        strict_resolutions=False,  # SD 1.x has no SDXL bucket constraint
         penultimate_hidden=penultimate_hidden,
     )

@@ -232,3 +232,13 @@ def test_v_prediction_equivalence(monkeypatch):
 
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(ref_k), atol=1e-4)
+
+
+def test_sd1_inpaint_off_bucket_resolution():
+    """SD 1.x is not bound by SDXL's trained aspect buckets: inpainting a
+    64x64 (off-bucket) reference must run instead of raising."""
+    pipe = _tiny_sd1_pipeline()
+    ref = (np.random.default_rng(1).random((1, 64, 64, 3)) * 255).astype(np.uint8)
+    out = pipe.inpaint("a dog", ref, crop_left=16, crop_right=48,
+                       crop_top=16, crop_bottom=48, n_steps=2, seed=2)
+    assert out.shape == (1, 64, 64, 3)
