@@ -14,6 +14,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -69,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Sampler: deterministic DDIM (reference), Euler, or "
                         "DPM-Solver++ 2M (best quality at low step counts); "
                         "valid on every path (txt2img/inpaint/img2img/refiner)")
+    p.add_argument("--lora", action="append", default=[], metavar="PATH[:SCALE]",
+                   help="Merge a LoRA safetensors file into the model at load "
+                        "time (repeatable; kohya and diffusers/peft key "
+                        "formats; default scale 1.0)")
     p.add_argument("--img2img-strength", type=float, default=None,
                    help="With --reference-img: strength-based img2img "
                         "instead of crop-window inpainting")
@@ -100,6 +105,21 @@ def main(argv=None) -> int:
 
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
 
+    loras = []
+    for spec in args.lora:
+        path, sep, scale = spec.rpartition(":")
+        if sep and not os.path.exists(spec) and path:
+            try:
+                loras.append((path, float(scale)))
+                continue
+            except ValueError:
+                pass
+        loras.append((spec, 1.0))
+    if loras and args.random_weights:
+        print("error: --lora requires a real checkpoint (--model-dir)",
+              file=sys.stderr)
+        return 1
+
     if args.family in ("sd1", "sd2"):
         from ..configs import (
             CLIP_VIT_L_CONFIG,
@@ -129,6 +149,7 @@ def main(argv=None) -> int:
                 pipe = load_sd1_pipeline(
                     args.model_dir, clip_cfg, d_cfg, dtype,
                     args.tokenizer_dir, penultimate_hidden=sd2,
+                    loras=loras,
                 )
             except (KeyError, FileNotFoundError, ValueError) as e:
                 print(f"error: failed to load checkpoint from "
@@ -152,7 +173,8 @@ def main(argv=None) -> int:
 
         try:
             pipe = load_pipeline(
-                args.model_dir, args.use_refiner, dtype, args.tokenizer_dir
+                args.model_dir, args.use_refiner, dtype, args.tokenizer_dir,
+                loras=loras,
             )
         except (MpkParseError, KeyError, FileNotFoundError, ValueError) as e:
             # checkpoint problems are user input problems: print the

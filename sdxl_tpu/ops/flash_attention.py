@@ -18,6 +18,7 @@ sequentially per core so the VMEM scratch carries across k blocks.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +26,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
+# The softmax runs in base 2: folding log2(e) into the logit scale turns
+# every exp(x) into exp2(x'), dropping one VPU multiply per [BQ, BK]
+# element. Identical softmax: exp(s - m) == exp2(s*log2e - m*log2e) with
+# the max tracked in base-2 units. Measured (scripts/exp_flash_exp2.py /
+# exp_flash_floor.py, v5e): dispatch-level microbench improves (-23% at
+# T=1024), but inside the compiled UNet step the per-call time is
+# MXU/pipeline-bound and unchanged (1.36 ms at T=4096) — kept because it
+# is strictly fewer VPU ops and simplifies further softmax-cost work.
+_LOG2E = math.log2(math.e)
 
 
 def _flash_kernel_core(q, k, v, write_out, m_ref, l_ref, acc_ref, *, scale, n_k):
@@ -44,14 +54,14 @@ def _flash_kernel_core(q, k, v, write_out, m_ref, l_ref, acc_ref, *, scale, n_k)
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # (BQ, BK) f32
+    ) * scale  # (BQ, BK) f32, logits in base-2 units (scale folds log2e)
 
     m_prev = m_ref[:, :1]  # (BQ, 1), lanes replicated
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
 
-    p = jnp.exp(s - m_new)  # (BQ, BK)
-    alpha = jnp.exp(m_prev - m_new)  # (BQ, 1)
+    p = jnp.exp2(s - m_new)  # (BQ, BK)
+    alpha = jnp.exp2(m_prev - m_new)  # (BQ, 1)
 
     l_ref[:] = jnp.broadcast_to(
         alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True), l_ref.shape
@@ -79,12 +89,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, n
 
 
 def _default_blocks(tq: int, tk: int, d: int):
-    """Tuned on v5e (scripts/bench_attention.py sweep, r2): (1024, 1024)
-    wins at both hot self-attn shapes — 1996us @ T=4096 (vs XLA 2805us) and
-    875us @ T=1024 (vs XLA 928us). Shrink for wide heads (VAE d=512) to
-    stay inside VMEM."""
+    """Tuned on v5e (scripts/exp_flash_exp2.py sweep, r2): with the exp2
+    softmax, (1024, 1024) wins at T=1024 (756us vs 976us before) and
+    (512, 2048) at T=4096 (1952us; bk=4096 is marginally faster at 1890us
+    but leaves no VMEM headroom inside the full UNet program). Shrink for
+    wide heads (VAE d=512) to stay inside VMEM."""
     if d > 128:
         return 256, 512
+    if tk >= 4096:
+        return 512, 2048
     return 1024, 1024
 
 
@@ -104,7 +117,7 @@ def flash_attention_bhtd(
     block_k = min(block_k or dbk, tk)
     assert tq % block_q == 0 and tk % block_k == 0, (tq, tk, block_q, block_k)
     n_k = tk // block_k
-    scale = d ** -0.5
+    scale = d ** -0.5 * _LOG2E  # base-2 softmax (see _LOG2E above)
 
     qf = q.reshape(b * h, tq, d)
     kf = k.reshape(b * h, tk, d)

@@ -48,6 +48,21 @@ def _maybe_stack(params, flag: bool):
     return stack_unet_transformers(params)
 
 
+def _apply_loras(loras, unet, e_params) -> None:
+    """Merge LoRA adapter files into the just-loaded raw param trees (must
+    run before fuse_unet_qkv/stacking — adapters address unfused names)."""
+    if not loras:
+        return
+    from ..io.lora import apply_lora_files
+
+    apply_lora_files(
+        loras,
+        unet=unet,
+        te1=(e_params or {}).get("clip"),
+        te2=(e_params or {}).get("open_clip"),
+    )
+
+
 def detect_format(model_dir: str) -> str:
     if os.path.isfile(model_dir) and model_dir.endswith((".safetensors", ".sft")):
         return "sgm_single_file"
@@ -76,10 +91,13 @@ def load_pipeline(
     compute_dtype=jnp.bfloat16,
     tokenizer_dir: Optional[str] = None,
     stack_transformers: bool = True,
+    loras=None,
 ) -> SDXLPipeline:
     """stack_transformers scans the deep transformer stacks instead of
     unrolling them (~9x faster UNet compile, ~3% slower steps) — the right
-    default for interactive use."""
+    default for interactive use. loras is a list of (path, scale) LoRA
+    safetensors files merged into the UNet + text towers at load time
+    (io/lora.py)."""
     fmt = detect_format(model_dir)
     log(f"loading checkpoint ({fmt}) from {model_dir}")
 
@@ -101,6 +119,7 @@ def load_pipeline(
                 "refiner weights live in a separate diffusers repo; load them "
                 "via a second pipeline or the single-file sgm checkpoint"
             )
+        _apply_loras(loras, unet, e_params)
         return SDXLPipeline(
             embedder_cfg=e_cfg,
             embedder_params=e_params,
@@ -144,6 +163,7 @@ def load_pipeline(
                 refiner_path, r_cfg, None, compute_dtype
             )
         alphas = jnp.asarray(scaled_linear_alphas_cumprod())
+        _apply_loras(loras, unet, e_params)
         return SDXLPipeline(
             embedder_cfg=e_cfg,
             embedder_params=e_params,
@@ -206,6 +226,7 @@ def load_pipeline(
         vae = ckpt.load_native(os.path.join(model_dir, "latent_decoder.safetensors"))
         scale = l_cfg.scale_factor
 
+    _apply_loras(loras, unet, e_params)
     return SDXLPipeline(
         embedder_cfg=e_cfg,
         embedder_params=e_params,

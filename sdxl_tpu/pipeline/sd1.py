@@ -121,9 +121,11 @@ def load_sd1_pipeline(
     compute_dtype=jnp.bfloat16,
     tokenizer_dir: Optional[str] = None,
     penultimate_hidden: bool = False,
+    loras=None,
 ) -> SD1Pipeline:
     """Load a diffusers-layout SD 1.x/2.x directory (runwayml/
-    stable-diffusion-v1-5 style: unet/ vae/ text_encoder/ scheduler/)."""
+    stable-diffusion-v1-5 style: unet/ vae/ text_encoder/ scheduler/).
+    loras: list of (path, scale) LoRA files merged at load time."""
     from ..io.diffusers_sdxl import load_sd1_diffusers_dir
     from ..models.unet import fuse_unet_qkv
 
@@ -133,6 +135,10 @@ def load_sd1_pipeline(
     )
     if clip is None:
         raise FileNotFoundError(f"text_encoder missing under {model_dir}")
+    if loras:
+        from ..io.lora import apply_lora_files
+
+        apply_lora_files(loras, unet=unet, te1=clip)
     return SD1Pipeline(
         embedder_cfg=clip_cfg,
         embedder_params=clip,
