@@ -86,17 +86,35 @@ def main():
     key_time = next(
         (c for c in cols if "total_time" in c or "self_time" in c), None
     )
-    rows = [r for r in rows if args.filter in str(r.get("hlo_op_expression", ""))
+
+    # category aggregate with time-weighted mean flop rate and dma stall
+    from collections import defaultdict
+    agg = defaultdict(lambda: [0.0, 0.0, 0.0])  # time, flops*time, stall*time
+    for r in rows:
+        t_us = r.get(key_time) or 0
+        cat = r.get("category") or "?"
+        agg[cat][0] += t_us
+        agg[cat][1] += (r.get("model_flop_rate") or 0) * t_us
+        agg[cat][2] += (r.get("dma_stall_percent") or 0) * t_us
+    print("--- category aggregate ---")
+    for cat, (t, fw, sw) in sorted(agg.items(), key=lambda kv: -kv[1][0]):
+        print(f"  {cat:30s} {t/1e3/args.steps:8.2f} ms/step  "
+              f"mean_flops={fw/max(t,1e-9):9.1f}  dma_stall={sw/max(t,1e-9):5.1f}%",
+              flush=True)
+
+    rows = [r for r in rows if args.filter in str(r.get("category", ""))
             or args.filter in str(r.get("hlo_op_name", ""))]
     rows.sort(key=lambda r: -(r.get(key_time) or 0))
     for r in rows[: args.top]:
         t_us = r.get(key_time) or 0
-        occ = r.get("hlo_rematerialization") or ""
         name = str(r.get("hlo_op_name", ""))[:40]
-        expr = str(r.get("hlo_op_expression", ""))[:110]
-        flops = r.get("measured_flop_rate") or r.get("model_flop_rate") or 0
-        print(f"{t_us:10.1f} {key_time}  flops={flops}  {name} {occ}\n"
-              f"    {expr}", flush=True)
+        expr = str(r.get("hlo_op_expression", ""))[:130]
+        flops = r.get("model_flop_rate") or 0
+        stall = r.get("dma_stall_percent") or 0
+        bound = r.get("bound_by") or ""
+        occ = r.get("occurrences")
+        print(f"{t_us:10.1f}us n={occ} flops={flops:9.1f} stall={stall}% "
+              f"bound={bound} {name}\n    {expr}", flush=True)
     return 0
 
 

@@ -34,7 +34,13 @@ import jax.numpy as jnp
 
 from ..configs import UNetConfig
 from ..ops.attention import qkv_attention
-from ..ops.conv import conv1x1, conv2d, upsample_nearest_2x
+from ..ops.conv import (
+    conv1x1,
+    conv2d,
+    fold_upsample_conv,
+    upsample2x_conv,
+    upsample_nearest_2x,
+)
 from ..ops.embeddings import timestep_embedding
 from ..ops.linear import linear, linear_nobias
 from ..ops.norms import groupnorm_nhwc, layernorm_affine
@@ -210,10 +216,10 @@ def _apply_block(spec: BlockSpec, p, x, emb, context, kv=None):
     if spec.kind == "res_t_up":
         x = _res_block(p["res"], x, emb)
         x = _spatial_transformer(p["transformer"], x, context, spec.n_head, kv)
-        return conv2d(p["upsample"], upsample_nearest_2x(x))
+        return upsample2x_conv(p["upsample"], x)
     if spec.kind == "res_up":
         x = _res_block(p["res"], x, emb)
-        return conv2d(p["upsample"], upsample_nearest_2x(x))
+        return upsample2x_conv(p["upsample"], x)
     raise ValueError(f"unknown block kind {spec.kind}")
 
 
@@ -315,6 +321,9 @@ def fuse_unet_qkv(params):
     Cross-attention (attn2) keeps separate k/v — those are precomputed per
     scan via precompute_cross_kv. Works on plain lists and on stacked
     (leading-depth-axis) blocks; idempotent.
+
+    Also phase-decomposes every upsample conv (fold_upsample_conv): the
+    production param-prep step for the whole UNet tree.
     """
 
     def fuse_block(bp):
@@ -336,7 +345,13 @@ def fuse_unet_qkv(params):
         if isinstance(node, dict):
             if "attn1" in node and "attn2" in node:
                 return fuse_block(node)
-            return {k: walk(v) for k, v in node.items()}
+            out = {k: walk(v) for k, v in node.items()}
+            # phase-decompose upsample convs while we're here (exact
+            # regrouping of conv3x3(nearest2x(.)), ops/conv.py)
+            if "upsample" in out and isinstance(out["upsample"], dict) \
+                    and "w" in out["upsample"]:
+                out["upsample"] = fold_upsample_conv(out["upsample"])
+            return out
         if isinstance(node, list):
             return [walk(v) for v in node]
         return node

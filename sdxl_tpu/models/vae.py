@@ -82,6 +82,11 @@ def decoder_forward(p, cfg: AutoencoderConfig, x: jnp.ndarray) -> jnp.ndarray:
         x = _resnet_block(bp["res2"], x, cfg.n_group)
         x = _resnet_block(bp["res3"], x, cfg.n_group)
         if "upsampler" in bp:
+            # NOTE: the phase-decomposed upsample conv (ops/conv.py) was
+            # measured SLOWER here (177 vs 153 ms decode, /tmp A/B on v5e):
+            # the f32 decoder's direct conv already runs ~88% MFU and the
+            # 4-phase interleave adds large-layout copies at 512-1024px.
+            # The UNet (bf16, smaller spatial) keeps the fused form.
             x = conv2d(bp["upsampler"], upsample_nearest_2x(x))
     x = silu(groupnorm_nhwc(x, **p["norm_out"], n_group=cfg.n_group))
     return conv2d(p["conv_out"], x)

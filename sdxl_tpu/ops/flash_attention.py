@@ -37,10 +37,14 @@ _LANES = 128
 _LOG2E = math.log2(math.e)
 
 
-def _flash_kernel_core(q, k, v, write_out, m_ref, l_ref, acc_ref, *, scale, n_k):
+def _flash_kernel_core(q, k, v, write_out, m_ref, l_ref, acc_ref, *, scale,
+                       n_k, block_k=0, n_valid=0):
     """Online-softmax inner body shared by both entry layouts.
 
     q (BQ, D), k/v (BK, D); write_out(value) stores the final (BQ, D) tile.
+    n_valid > 0 marks a right-padded kv (short cross-attention contexts
+    padded up to the 128-lane tile): key columns >= n_valid are masked to
+    -inf before the max/exp so they contribute nothing.
     """
     ik = pl.program_id(2)
 
@@ -54,7 +58,12 @@ def _flash_kernel_core(q, k, v, write_out, m_ref, l_ref, acc_ref, *, scale, n_k)
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # (BQ, BK) f32, logits in base-2 units (scale folds log2e)
+    )  # (BQ, BK) f32, logits in base-2 units
+    if scale != 1.0:  # scale is usually folded into q by the caller
+        s = s * scale
+    if n_valid:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
+        s = jnp.where(col < n_valid, s, -jnp.inf)
 
     m_prev = m_ref[:, :1]  # (BQ, 1), lanes replicated
     m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -80,11 +89,13 @@ def _flash_kernel_core(q, k, v, write_out, m_ref, l_ref, acc_ref, *, scale, n_k)
         write_out((acc_ref[:] / l_ref[:, :1]).astype(v.dtype))
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, n_k):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                  scale, n_k, block_k=0, n_valid=0):
     _flash_kernel_core(
         q_ref[0], k_ref[0], v_ref[0],
         lambda val: o_ref.__setitem__(0, val),
         m_ref, l_ref, acc_ref, scale=scale, n_k=n_k,
+        block_k=block_k, n_valid=n_valid,
     )
 
 
@@ -109,15 +120,34 @@ def flash_attention_bhtd(
     block_q: int = 0,
     block_k: int = 0,
 ) -> jnp.ndarray:
-    """Unmasked flash attention over [B, H, T, D]; softmax scale 1/sqrt(D)."""
+    """Unmasked flash attention over [B, H, T, D]; softmax scale 1/sqrt(D).
+
+    Short-kv cross attention (Tk not 128-aligned, e.g. the 77-token text
+    context) is zero-padded up to the lane tile and masked inside the
+    kernel — the [Tq, Tk] logits never round-trip HBM, unlike the XLA
+    path which materializes ~25 MB of f32 logits per L1 cross-attention.
+    """
     b, h, tq, d = q.shape
     tk = k.shape[2]
+    n_valid = 0
+    if tk % _LANES != 0:
+        pad = -tk % _LANES
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        n_valid, tk = tk, tk + pad
     dbq, dbk = _default_blocks(tq, tk, d)
     block_q = min(block_q or dbq, tq)
     block_k = min(block_k or dbk, tk)
     assert tq % block_q == 0 and tk % block_k == 0, (tq, tk, block_q, block_k)
     n_k = tk // block_k
-    scale = d ** -0.5 * _LOG2E  # base-2 softmax (see _LOG2E above)
+    # base-2 softmax scale (see _LOG2E above), folded into q ahead of the
+    # kernel: one [B,H,T,D] pass replaces a [BQ,BK] pass per k-iteration
+    # (measured -124us/call at T=4096 in the chained in-program bench,
+    # scripts/exp_flash_floor.py "qscaled"). bf16 rounding of the scaled q
+    # matches the reference's own pre-scaled-q semantics (backend.rs:98
+    # scales q and k each by (d/h)^-0.25 before the matmul).
+    q = (q.astype(jnp.float32) * (d ** -0.5 * _LOG2E)).astype(q.dtype)
+    scale = 1.0
 
     qf = q.reshape(b * h, tq, d)
     kf = k.reshape(b * h, tk, d)
@@ -129,7 +159,8 @@ def flash_attention_bhtd(
     interpret = jax.default_backend() == "cpu"
 
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, n_k=n_k),
+        functools.partial(_flash_kernel, scale=scale, n_k=n_k,
+                          block_k=block_k, n_valid=n_valid),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda ibh, iq, ik: (ibh, iq, 0)),
@@ -170,8 +201,12 @@ FLASH_DISABLED = os.environ.get("SDXL_TPU_DISABLE_FLASH", "0") == "1"
 
 def use_flash(tq: int, tk: int, d: int, has_mask: bool) -> bool:
     """Flash pays off for the long spatial self-attentions (UNet levels 1-2
-    and the VAE mid-attention at 16k tokens); short-kv cross attention (77
-    text tokens) and masked CLIP attention stay on XLA."""
+    and the VAE mid-attention at 16k tokens). Short-kv cross-attention
+    stays on XLA: the kernel supports padded 77-token kv (n_valid masking,
+    tested in interpret mode), but routing it was measured SLOWER in the
+    UNet step (128.2 vs 120.7 ms/step on v5e) — 128-column k-blocks leave
+    the grid overhead-dominated while XLA's fused short-kv path is already
+    good. Masked CLIP attention (77 query tokens) stays on XLA too."""
     return (
         not FLASH_DISABLED
         and not has_mask

@@ -52,9 +52,31 @@ def test_flash_dispatch_matches_xla_path():
 
 def test_use_flash_gating():
     assert not use_flash(77, 77, 64, False)        # short text tokens
-    assert not use_flash(4096, 77, 64, False)      # cross-attn
+    # padded short-kv cross-attn is supported by the kernel but routed to
+    # XLA (measured slower in-program; see use_flash docstring)
+    assert not use_flash(4096, 77, 64, False)
+    assert not use_flash(1024, 77, 64, False)
     assert not use_flash(1024, 1024, 64, True)     # masked (CLIP causal)
     assert use_flash(4096, 4096, 64, False)        # UNet L1 self
     assert use_flash(16384, 16384, 512, False)     # VAE mid attn @1024px
     assert not use_flash(15808, 15808, 512, False) # odd bucket -> XLA
+
+
+@pytest.mark.parametrize("tq", [1024, 2048])
+def test_flash_cross_attention_padded_kv(tq):
+    """Short-kv (77-token context) path: zero-padded to the 128 lane tile
+    and masked in-kernel; must match the XLA reference exactly."""
+    qs = (1, 2, tq, 64)
+    ks = (1, 2, 77, 64)
+    q = jax.random.normal(jax.random.PRNGKey(0), qs, jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), ks, jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), ks, jnp.float32)
+    ref = np.asarray(xla_ref(q, k, v))
+    got = np.asarray(flash_attention_bhtd(q, k, v))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_qkv_attention_cross_stays_on_xla():
+    b, tq, tk, c, h = 2, 1024, 77, 128, 2
+    assert not use_flash(tq, tk, c // h, False)
 

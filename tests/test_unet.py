@@ -285,3 +285,53 @@ def test_fused_qkv_matches():
     stacked = stack_unet_transformers(fused, min_depth=2)
     out_s = unet_forward(stacked, cfg, x, t, ctx, label)
     np.testing.assert_allclose(np.asarray(base), np.asarray(out_s), atol=1e-5)
+
+
+def test_fused_upsample_conv_matches_reference_path():
+    """fold_upsample_conv + upsample2x_conv == conv3x3(nearest2x(x)) — the
+    exact phase regrouping (ops/conv.py)."""
+    import numpy as np
+
+    from sdxl_tpu.ops.conv import (
+        conv2d,
+        fold_upsample_conv,
+        upsample2x_conv,
+        upsample_nearest_2x,
+    )
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    p = {
+        "w": jax.random.normal(k1, (3, 3, 16, 24), jnp.float32) * 0.3,
+        "b": jax.random.normal(k2, (24,), jnp.float32),
+    }
+    x = jax.random.normal(k3, (2, 9, 7, 16), jnp.float32)
+
+    ref = conv2d(p, upsample_nearest_2x(x))
+    fused = upsample2x_conv(fold_upsample_conv(p), x)
+    assert fused.shape == ref.shape == (2, 18, 14, 24)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fuse_unet_qkv_folds_upsample_and_forward_matches():
+    """Full prep (fuse_unet_qkv) keeps unet_forward numerically unchanged
+    on a tiny config with upsample blocks."""
+    import numpy as np
+
+    from sdxl_tpu.models.unet import fuse_unet_qkv
+
+    params = init_unet(jax.random.PRNGKey(0), TINY, jnp.float32)
+    prepped = fuse_unet_qkv(params)
+    # at least one upsample got the phase kernels
+    assert any(
+        "w4" in p.get("upsample", {}) for p in prepped["output_blocks"]
+        if isinstance(p, dict)
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 4), jnp.float32)
+    t = jnp.full((1,), 500, jnp.int32)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 7, 16), jnp.float32)
+    label = jax.random.normal(jax.random.PRNGKey(3), (1, 24), jnp.float32)
+    y_raw = unet_forward(params, TINY, x, t, ctx, label)
+    y_prep = unet_forward(prepped, TINY, x, t, ctx, label)
+    np.testing.assert_allclose(np.asarray(y_prep), np.asarray(y_raw),
+                               rtol=2e-4, atol=2e-5)
