@@ -21,7 +21,14 @@ import time
 
 sys.path.insert(0, ".")
 
+import os
+
+# start from the previously recorded file so entries measured by other
+# harnesses (sd15_*, batch16_*) survive a re-run of this script
 RESULTS = {}
+if os.path.isfile("BENCH_CONFIGS.json"):
+    with open("BENCH_CONFIGS.json") as _f:
+        RESULTS = json.load(_f)
 
 
 def record(tag, value):

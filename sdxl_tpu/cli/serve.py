@@ -1,0 +1,389 @@
+"""`serve` CLI: HTTP inference server with dynamic micro-batching.
+
+Capability extension over the reference (which only ships a one-shot
+`sample` binary, /root/reference/src/bin/sample/main.rs): a long-lived
+server process that compiles once at boot and then serves prompt requests
+over HTTP. TPU-shaped design decisions:
+
+  - ONE generation worker thread: a TPU chip executes one program at a
+    time, so concurrency above the device only adds queueing — requests
+    are queued and the worker drains them in order.
+  - dynamic micro-batching: queued requests with identical sampling
+    configs (resolution/steps/guidance/sampler/negative prompt) are fused
+    into one pair-batched CFG run up to --max-batch; conditioning and the
+    DDIM scan batch across prompts at zero marginal dispatch cost.
+  - compile-at-boot: a warmup generation at the default resolution runs
+    before the socket accepts traffic, so first-request latency is steady
+    state (with the persistent compile cache, boot is a cache hit).
+
+Endpoints:
+  GET  /healthz     -> {"status": "ok", ...} once warm
+  GET  /v1/info     -> config + serving metrics (requests, batches, p50)
+  POST /v1/generate -> {"prompt": ..., "width": ..., "height": ...,
+                        "steps": ..., "guidance_scale": ..., "seed": ...,
+                        "negative_prompt": ..., "sampler": ...}
+     responds {"images": ["<base64 png>", ...], "seed": N, "latency_s": x}
+     (or a raw PNG body with Accept: image/png)
+
+Usage:
+  python -m sdxl_tpu.cli.serve --model-dir ./weights --port 8000
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import queue
+import statistics
+import sys
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+
+
+# ---------------------------------------------------------------------------
+# request plumbing (HTTP-independent, unit-testable)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class GenConfig:
+    """The fields that must match for two requests to share one batch."""
+    width: int = 1024
+    height: int = 1024
+    steps: int = 30
+    guidance_scale: float = 7.5
+    negative_prompt: str = ""
+    sampler: str = "ddim"
+
+
+@dataclass
+class GenRequest:
+    prompt: str
+    cfg: GenConfig
+    seed: int
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Optional[List[bytes]] = None  # PNG bytes per image
+    error: Optional[str] = None
+    latency_s: float = 0.0
+
+
+def _png_bytes(img_u8) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img_u8, mode="RGB").save(buf, format="PNG")
+    return buf.getvalue()
+
+
+class GenerationServer:
+    """Owns the pipeline and the single worker thread."""
+
+    def __init__(self, pipe, max_batch: int = 4, batch_window_ms: float = 20.0,
+                 default_cfg: GenConfig = GenConfig()):
+        self.pipe = pipe
+        self.max_batch = max_batch
+        self.batch_window_s = batch_window_ms / 1000.0
+        self.default_cfg = default_cfg
+        self.queue: "queue.Queue[GenRequest]" = queue.Queue()
+        self.ready = threading.Event()
+        self.stats_lock = threading.Lock()
+        self.n_requests = 0
+        self.n_images = 0
+        self.n_batches = 0
+        self.latencies: List[float] = []
+        self._stop = False
+        self.worker = threading.Thread(target=self._run, daemon=True)
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def start(self, warmup: bool = True):
+        if warmup:
+            self._generate([GenRequest("warmup", self.default_cfg, seed=0)])
+        self.ready.set()
+        self.worker.start()
+
+    def stop(self):
+        self._stop = True
+
+    # -- serving ------------------------------------------------------------
+
+    def submit(self, req: GenRequest, timeout: float = 600.0) -> GenRequest:
+        self.queue.put(req)
+        if not req.done.wait(timeout):
+            req.error = "generation timed out"
+        return req
+
+    def _run(self):
+        while not self._stop:
+            try:
+                first = self.queue.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            batch = [first]
+            # micro-batch window: fuse queued same-config requests
+            deadline = time.perf_counter() + self.batch_window_s
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                try:
+                    nxt = self.queue.get(timeout=max(remaining, 0.0))
+                except queue.Empty:
+                    break
+                if nxt.cfg == first.cfg:
+                    batch.append(nxt)
+                else:  # different config: run it in its own next batch
+                    self.queue.put(nxt)
+                    break
+            self._generate(batch)
+
+    def _generate(self, batch: List[GenRequest]):
+        cfg = batch[0].cfg
+        t0 = time.perf_counter()
+        try:
+            import numpy as np
+
+            images = self.pipe.txt2img(
+                [r.prompt for r in batch],
+                resolution=(cfg.height, cfg.width),
+                n_steps=cfg.steps,
+                guidance_scale=cfg.guidance_scale,
+                seed=batch[0].seed,
+                negative_prompt=cfg.negative_prompt,
+                sampler=cfg.sampler,
+            )
+            images = np.asarray(images)
+            dt = time.perf_counter() - t0
+            for i, r in enumerate(batch):
+                r.result = [_png_bytes(images[i])]
+                r.latency_s = dt
+        except Exception as e:  # noqa: BLE001 — report to the client
+            for r in batch:
+                r.error = f"{type(e).__name__}: {e}"
+        finally:
+            with self.stats_lock:
+                self.n_batches += 1
+                self.n_requests += len(batch)
+                self.n_images += len(batch)
+                self.latencies.append(time.perf_counter() - t0)
+                self.latencies = self.latencies[-256:]
+            for r in batch:
+                r.done.set()
+
+    def info(self) -> dict:
+        with self.stats_lock:
+            lat = sorted(self.latencies)
+            return {
+                "ready": self.ready.is_set(),
+                "max_batch": self.max_batch,
+                "batch_window_ms": self.batch_window_s * 1000,
+                "default": self.default_cfg.__dict__,
+                "requests": self.n_requests,
+                "images": self.n_images,
+                "batches": self.n_batches,
+                "p50_batch_latency_s": (
+                    round(statistics.median(lat), 3) if lat else None
+                ),
+                "queue_depth": self.queue.qsize(),
+            }
+
+
+# ---------------------------------------------------------------------------
+# HTTP layer
+# ---------------------------------------------------------------------------
+
+def make_handler(server: GenerationServer):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet default logging
+            pass
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                if server.ready.is_set():
+                    self._json(200, {"status": "ok"})
+                else:
+                    self._json(503, {"status": "warming_up"})
+            elif self.path == "/v1/info":
+                self._json(200, server.info())
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/v1/generate":
+                self._json(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                prompt = payload["prompt"]
+                d = server.default_cfg
+                cfg = GenConfig(
+                    width=int(payload.get("width", d.width)),
+                    height=int(payload.get("height", d.height)),
+                    steps=int(payload.get("steps", d.steps)),
+                    guidance_scale=float(
+                        payload.get("guidance_scale", d.guidance_scale)
+                    ),
+                    negative_prompt=payload.get(
+                        "negative_prompt", d.negative_prompt
+                    ),
+                    sampler=payload.get("sampler", d.sampler),
+                )
+                seed = int(payload.get("seed", 0))
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                self._json(400, {"error": f"bad request: {e}"})
+                return
+
+            req = server.submit(GenRequest(prompt, cfg, seed))
+            if req.error:
+                self._json(500, {"error": req.error})
+                return
+            if "image/png" in (self.headers.get("Accept") or ""):
+                body = req.result[0]
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            self._json(200, {
+                "images": [base64.b64encode(b).decode() for b in req.result],
+                "seed": seed,
+                "latency_s": round(req.latency_s, 3),
+            })
+
+    return Handler
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="SDXL-on-TPU inference server")
+    p.add_argument("--model-dir", type=str, default=None)
+    p.add_argument("--random-weights", action="store_true")
+    p.add_argument("--family", type=str, default="sdxl",
+                   choices=["sdxl", "sd1", "sd2"])
+    p.add_argument("--tokenizer-dir", type=str, default=None)
+    p.add_argument("--lora", action="append", default=[],
+                   metavar="PATH[:SCALE]")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-batch", type=int, default=4)
+    p.add_argument("--batch-window-ms", type=float, default=20.0)
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--height", type=int, default=1024)
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--guidance-scale", type=float, default=7.5)
+    p.add_argument("--sampler", type=str, default="ddim",
+                   choices=["ddim", "euler", "dpmpp"])
+    p.add_argument("--vae-bf16", action="store_true")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="Skip the compile-at-boot generation")
+    return p
+
+
+def build_pipeline(args):
+    """Same model resolution logic as the sample CLI."""
+    import jax.numpy as jnp
+
+    loras = []
+    for spec in args.lora:
+        path, sep, scale = spec.rpartition(":")
+        try:
+            if sep and path:
+                loras.append((path, float(scale)))
+                continue
+        except ValueError:
+            pass
+        loras.append((spec, 1.0))
+
+    if args.family in ("sd1", "sd2"):
+        from ..configs import (
+            CLIP_VIT_L_CONFIG,
+            OPEN_CLIP_VITH_CONFIG,
+            SD2_DIFFUSER,
+            SD15_DIFFUSER,
+        )
+        from ..pipeline.sd1 import load_sd1_pipeline, random_sd1_pipeline
+
+        sd2 = args.family == "sd2"
+        clip_cfg = OPEN_CLIP_VITH_CONFIG if sd2 else CLIP_VIT_L_CONFIG
+        d_cfg = SD2_DIFFUSER if sd2 else SD15_DIFFUSER
+        if args.random_weights:
+            return random_sd1_pipeline(
+                clip_cfg=clip_cfg, diffuser_cfg=d_cfg,
+                tokenizer_dir=args.tokenizer_dir, penultimate_hidden=sd2,
+            )
+        return load_sd1_pipeline(
+            args.model_dir, clip_cfg, d_cfg, jnp.bfloat16,
+            args.tokenizer_dir, penultimate_hidden=sd2, loras=loras,
+        )
+    if args.random_weights:
+        from ..pipeline.pipeline import random_pipeline
+
+        return random_pipeline(tokenizer_dir=args.tokenizer_dir)
+    from ..pipeline.loader import load_pipeline
+
+    return load_pipeline(args.model_dir, tokenizer_dir=args.tokenizer_dir,
+                         loras=loras)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if not args.random_weights and args.model_dir is None:
+        print("error: --model-dir is required (or --random-weights)",
+              file=sys.stderr)
+        return 1
+
+    from ..utils.cache import init_compilation_cache
+
+    init_compilation_cache()
+
+    from ..utils import log
+
+    pipe = build_pipeline(args)
+    if args.vae_bf16:
+        import jax.numpy as jnp
+
+        pipe.vae_dtype = jnp.bfloat16
+
+    server = GenerationServer(
+        pipe,
+        max_batch=args.max_batch,
+        batch_window_ms=args.batch_window_ms,
+        default_cfg=GenConfig(
+            width=args.width, height=args.height, steps=args.steps,
+            guidance_scale=args.guidance_scale, sampler=args.sampler,
+        ),
+    )
+    log("compiling (warmup generation)..." if not args.no_warmup
+        else "skipping warmup")
+    server.start(warmup=not args.no_warmup)
+
+    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server))
+    log(f"serving on http://{args.host}:{args.port} "
+        f"(max_batch={args.max_batch})")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        log("shutting down")
+        server.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,141 @@
+"""HTTP serving mode (cli/serve.py): micro-batching worker + HTTP layer."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdxl_tpu.cli.serve import (
+    GenConfig,
+    GenerationServer,
+    GenRequest,
+    make_handler,
+)
+from tests.test_pipeline_e2e import TINY_DIFFUSER, TINY_EMBEDDER, TINY_VAE
+
+TINY_CFG = GenConfig(width=64, height=64, steps=1)
+
+
+@pytest.fixture(scope="module")
+def tiny_pipe():
+    from sdxl_tpu.pipeline.pipeline import random_pipeline
+
+    return random_pipeline(
+        embedder_cfg=TINY_EMBEDDER,
+        diffuser_cfg=TINY_DIFFUSER,
+        vae_cfg=TINY_VAE,
+        compute_dtype=jnp.float32,
+        param_dtype_unet=jnp.float32,
+        tokenizer_dir=None,
+    )
+
+
+def _png_shape(data: bytes):
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(data))).shape
+
+
+def test_single_request_roundtrip(tiny_pipe):
+    srv = GenerationServer(tiny_pipe, default_cfg=TINY_CFG)
+    srv.start(warmup=False)
+    req = srv.submit(GenRequest("a cat", TINY_CFG, seed=3), timeout=300)
+    srv.stop()
+    assert req.error is None
+    assert _png_shape(req.result[0]) == (64, 64, 3)
+    info = srv.info()
+    assert info["requests"] == 1 and info["images"] == 1
+
+
+def test_microbatch_fuses_same_config_requests(tiny_pipe):
+    srv = GenerationServer(tiny_pipe, max_batch=3, batch_window_ms=200,
+                           default_cfg=TINY_CFG)
+    reqs = [GenRequest(p, TINY_CFG, seed=0)
+            for p in ("a cat", "a dog", "a crab")]
+    # enqueue BEFORE the worker starts: the window sees them immediately
+    for r in reqs:
+        srv.queue.put(r)
+    srv.start(warmup=False)
+    for r in reqs:
+        assert r.done.wait(300)
+        assert r.error is None, r.error
+        assert _png_shape(r.result[0]) == (64, 64, 3)
+    srv.stop()
+    assert srv.info()["batches"] == 1  # fused into one pair-batched run
+
+
+def test_mixed_configs_split_batches(tiny_pipe):
+    other = GenConfig(width=64, height=64, steps=2)
+    srv = GenerationServer(tiny_pipe, max_batch=4, batch_window_ms=100,
+                           default_cfg=TINY_CFG)
+    r1 = GenRequest("a cat", TINY_CFG, seed=0)
+    r2 = GenRequest("a dog", other, seed=0)
+    srv.queue.put(r1)
+    srv.queue.put(r2)
+    srv.start(warmup=False)
+    assert r1.done.wait(300) and r2.done.wait(300)
+    srv.stop()
+    assert r1.error is None and r2.error is None
+    assert srv.info()["batches"] == 2
+
+
+def test_http_layer(tiny_pipe):
+    from http.server import ThreadingHTTPServer
+
+    srv = GenerationServer(tiny_pipe, default_cfg=TINY_CFG)
+    srv.start(warmup=False)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as resp:
+            assert resp.status == 200
+            assert json.load(resp)["status"] == "ok"
+
+        body = json.dumps({"prompt": "a crab", "width": 64, "height": 64,
+                           "steps": 1, "seed": 5}).encode()
+        req = urllib.request.Request(f"{base}/v1/generate", data=body,
+                                     headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            out = json.load(resp)
+        import base64
+
+        assert _png_shape(base64.b64decode(out["images"][0])) == (64, 64, 3)
+        assert out["seed"] == 5
+
+        # raw PNG via Accept header
+        req = urllib.request.Request(
+            f"{base}/v1/generate", data=body,
+            headers={"Content-Type": "application/json",
+                     "Accept": "image/png"})
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            assert resp.headers["Content-Type"] == "image/png"
+            assert _png_shape(resp.read()) == (64, 64, 3)
+
+        # missing prompt -> 400
+        bad = urllib.request.Request(f"{base}/v1/generate", data=b"{}")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad, timeout=30)
+        assert e.value.code == 400
+
+        with urllib.request.urlopen(f"{base}/v1/info", timeout=30) as resp:
+            info = json.load(resp)
+        assert info["requests"] >= 2
+    finally:
+        httpd.shutdown()
+        srv.stop()
+
+
+def test_serve_parser_defaults():
+    from sdxl_tpu.cli.serve import build_parser
+
+    args = build_parser().parse_args(["--random-weights"])
+    assert args.port == 8000 and args.max_batch == 4
+    assert args.steps == 30 and args.guidance_scale == 7.5
+    assert args.sampler == "ddim"
