@@ -146,10 +146,12 @@ def main():
             [sys.executable, "-c", code], capture_output=True, text=True,
             timeout=1800,
         )
+        found = False
         for line in out.stdout.splitlines():
             if line.startswith("REFINER_S"):
                 record("base_plus_refiner_30steps_s", float(line.split()[1]))
-        if "base_plus_refiner_30steps_s" not in RESULTS:
+                found = True
+        if not found:
             record("base_plus_refiner_30steps_s",
                    f"ERROR: {out.stderr.strip()[-150:]}")
     except Exception as e:

@@ -70,6 +70,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Sampler: deterministic DDIM (reference), Euler, or "
                         "DPM-Solver++ 2M (best quality at low step counts); "
                         "valid on every path (txt2img/inpaint/img2img/refiner)")
+    p.add_argument("--schedule", type=str, default="linear",
+                   choices=["linear", "karras"],
+                   help="Sigma spacing for the euler/dpmpp samplers; karras "
+                        "(rho=7) improves low-step-count quality")
+    p.add_argument("--embedding", action="append", default=[],
+                   metavar="PATH[:WORD]",
+                   help="Textual-inversion embedding file (repeatable); the "
+                        "trigger word defaults to the file stem. SDXL "
+                        "clip_l/clip_g, SD emb_params, and A1111 .pt layouts")
     p.add_argument("--lora", action="append", default=[], metavar="PATH[:SCALE]",
                    help="Merge a LoRA safetensors file into the model at load "
                         "time (repeatable; kohya and diffusers/peft key "
@@ -185,6 +194,14 @@ def main(argv=None) -> int:
     if args.vae_bf16:
         pipe.vae_dtype = jnp.bfloat16
 
+    if args.embedding:
+        try:
+            pipe.add_textual_inversions(args.embedding)
+        except (ValueError, KeyError, FileNotFoundError) as e:
+            print(f"error: failed to load textual-inversion embedding: {e}",
+                  file=sys.stderr)
+            return 1
+
     prompts = [args.prompt] * args.batch
 
     if args.reference_img is not None and args.img2img_strength is not None:
@@ -198,6 +215,7 @@ def main(argv=None) -> int:
             seed=args.seed,
             negative_prompt=args.negative_prompt,
             sampler=args.sampler,
+            schedule=args.schedule,
         )
     elif args.reference_img is not None:
         ref = load_images([args.reference_img])
@@ -215,6 +233,7 @@ def main(argv=None) -> int:
             use_refiner=args.use_refiner,
             negative_prompt=args.negative_prompt,
             sampler=args.sampler,
+            schedule=args.schedule,
         )
     else:
         images = pipe.txt2img(
@@ -226,6 +245,7 @@ def main(argv=None) -> int:
             use_refiner=args.use_refiner,
             negative_prompt=args.negative_prompt,
             sampler=args.sampler,
+            schedule=args.schedule,
         )
 
     if args.trace:

@@ -67,6 +67,10 @@ def _unfuse_attn(p):
 
 
 def _conv(p, f16=True):
+    if "w" not in p and "w4" in p:  # prepped upsample conv (fold_upsample_conv)
+        from ..ops.conv import unfold_upsample_conv
+
+        p = unfold_upsample_conv(p)
     d = {"weight": _tensor(np.transpose(np.asarray(p["w"], np.float32), (3, 2, 0, 1)), f16)}
     d["bias"] = _tensor(p["b"], f16) if "b" in p else None
     return d

@@ -67,9 +67,10 @@ def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
 
 def fold_upsample_conv(p: dict) -> dict:
     """Precompute the 4 phase kernels for an upsample conv param dict
-    {'w': [3,3,I,O], 'b': ...} -> adds 'w4': [2,2,2,2,I,O] ((a,b,r,c) axes).
+    {'w': [3,3,I,O], 'b': ...} -> {'w4': [2,2,2,2,I,O] ((a,b,r,c) axes),
+    'b': ...}; the original 'w' is dropped (superseded).
     Weight sums are done in f32 and cast back. Idempotent."""
-    if "w4" in p or p["w"].shape[0] != 3:
+    if "w4" in p or p.get("w") is None or p["w"].shape[0] != 3:
         return p
     w = p["w"].astype(jnp.float32)
     row_taps = {0: {0: w[0], 1: w[1] + w[2]},       # a=0: rows (i-1, i)
@@ -92,6 +93,38 @@ def fold_upsample_conv(p: dict) -> dict:
     ])  # [2(a),2(b),2(r),2(c),I,O]
     out = dict(p)
     out["w4"] = w4.astype(p["w"].dtype)
+    # the 3x3 kernel is fully superseded by the phase kernels; dropping it
+    # keeps the prepped base+refiner tree inside the v5e HBM budget (the
+    # two-stage config already sits at ~13.4 GB resident)
+    del out["w"]
+    return out
+
+
+def unfold_upsample_conv(p: dict) -> dict:
+    """Exact inverse of fold_upsample_conv: reconstruct the 3x3 'w' from
+    the 'w4' phase kernels (the fold is a linear bijection on the taps).
+
+    Used by exporters (io/burn_mpk_write.py) so a prepped tree can still be
+    written in the reference's 3x3 layout. Sums/differences in f32."""
+    if "w" in p or "w4" not in p:
+        return p
+    w4 = jnp.asarray(p["w4"], jnp.float32)
+    # undo the column collapse per (a, r): v0 = (b=0,c=0), v2 = (b=1,c=1),
+    # v1 = (b=0,c=1) - v2
+    def rowtap(a, r):
+        v0 = w4[a, 0, r, 0]
+        v2 = w4[a, 1, r, 1]
+        v1 = w4[a, 0, r, 1] - v2
+        return jnp.stack([v0, v1, v2])  # [3(v), I, O]
+
+    # undo the row collapse: w0 = (a=0,r=0), w2 = (a=1,r=1),
+    # w1 = (a=0,r=1) - w2
+    w0 = rowtap(0, 0)
+    w2 = rowtap(1, 1)
+    w1 = rowtap(0, 1) - w2
+    out = dict(p)
+    out["w"] = jnp.stack([w0, w1, w2]).astype(p["w4"].dtype)
+    del out["w4"]
     return out
 
 

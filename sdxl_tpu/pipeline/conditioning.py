@@ -28,7 +28,6 @@ import numpy as np
 from ..configs import EmbedderConfig
 from ..models.clip import clip_hidden, clip_hidden_pooled
 from ..ops.embeddings import conditioning_embedding
-from ..tokenizer import tokenize_text
 
 AESTHETIC_SCORE = 6  # stablediffusion/mod.rs:709 (refiner micro-conditioning)
 
@@ -75,36 +74,59 @@ class Conditioning:
 
 
 def _embed_one(embedder_params, cfg: EmbedderConfig, clip_tokens, open_clip_tokens,
-               size, crop, ar, aesthetic):
+               size, crop, ar, aesthetic, clip_w=None, oc_w=None):
+    """clip_tokens/open_clip_tokens: [B, k, 77] chunked ids (k=1 is the
+    reference's single-window case); optional [B, k, 77] prompt weights
+    (pipeline/prompt.py). Chunks run through the towers batched and are
+    re-concatenated along the token axis; the pooled embedding comes from
+    chunk 0 (standard long-prompt convention)."""
+    b, k, n_ctx = clip_tokens.shape
+
     clip_ctx = clip_hidden(
-        embedder_params["clip"], cfg.clip_config, clip_tokens,
-        cfg.clip_config.n_layer - 1,
+        embedder_params["clip"], cfg.clip_config,
+        clip_tokens.reshape(b * k, n_ctx), cfg.clip_config.n_layer - 1,
     )
+    clip_ctx = clip_ctx.reshape(b, k * n_ctx, -1)
     open_ctx, pooled = clip_hidden_pooled(
-        embedder_params["open_clip"], cfg.open_clip_config, open_clip_tokens,
+        embedder_params["open_clip"], cfg.open_clip_config,
+        open_clip_tokens.reshape(b * k, n_ctx),
         cfg.open_clip_config.n_layer - 1,
     )
+    open_ctx = open_ctx.reshape(b, k * n_ctx, -1)
+    pooled = pooled.reshape(b, k, -1)[:, 0]
+
+    if clip_w is not None:
+        from .prompt import apply_prompt_weights
+
+        clip_ctx = apply_prompt_weights(clip_ctx, clip_w.reshape(b, k * n_ctx))
+        open_ctx = apply_prompt_weights(open_ctx, oc_w.reshape(b, k * n_ctx))
+
     context_full = jnp.concatenate([clip_ctx, open_ctx], axis=-1)
     channel = conditioning_embedding(pooled, 256, size, crop, ar)
     channel_refiner = conditioning_embedding(pooled, 256, size, crop, aesthetic)
     return context_full, open_ctx, channel, channel_refiner
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "weighted"))
 def _conditioning_program(embedder_params, cfg: EmbedderConfig,
                           cond_tokens_clip, cond_tokens_open_clip,
                           uncond_tokens_clip, uncond_tokens_open_clip,
-                          size, crop, ar):
+                          size, crop, ar, weighted=False,
+                          w_clip=None, w_oc=None, uw_clip=None, uw_oc=None):
     n_batch = cond_tokens_clip.shape[0]
     aesthetic = jnp.full((n_batch, 1), AESTHETIC_SCORE, dtype=size.dtype)
 
     ctx_full, ctx_oc, ch, ch_ref = _embed_one(
         embedder_params, cfg, cond_tokens_clip, cond_tokens_open_clip,
         size, crop, ar, aesthetic,
+        clip_w=w_clip if weighted else None,
+        oc_w=w_oc if weighted else None,
     )
     u_full, u_oc, u_ch, u_ch_ref = _embed_one(
         embedder_params, cfg, uncond_tokens_clip, uncond_tokens_open_clip,
         size[:1], crop[:1], ar[:1], aesthetic[:1],
+        clip_w=uw_clip if weighted else None,
+        oc_w=uw_oc if weighted else None,
     )
     return ctx_full, ctx_oc, ch, ch_ref, u_full, u_oc, u_ch, u_ch_ref
 
@@ -118,30 +140,55 @@ def text_to_conditioning(
     resolution: Tuple[int, int] = (1024, 1024),
     crop: Tuple[int, int] = (0, 0),
     negative_prompt: str = "",
+    parse_attention: bool = True,
+    max_chunks: int = 4,
 ) -> Conditioning:
     """Prompts -> Conditioning. `negative_prompt` generalizes the
-    reference's hardcoded "" unconditional branch."""
+    reference's hardcoded "" unconditional branch.
+
+    Prompt-emphasis markup ((word:1.3), [word]) and >75-content-token
+    prompts (chunked, up to max_chunks x 77 context tokens) are handled by
+    pipeline/prompt.py; plain short prompts take the exact reference path
+    (single chunk, no weighting applied)."""
+    from .prompt import batch_weighted_tokens
+
     if isinstance(prompts, str):
         prompts = [prompts]
     n = len(prompts)
     h, w = resolution
 
-    clip_ids = np.array(
-        [tokenize_text(p, clip_tokenizer, cfg.clip_config.n_ctx) for p in prompts],
-        dtype=np.int32,
+    clip_ids, w_clip, u_clip_ids, uw_clip, weighted_c, k1 = batch_weighted_tokens(
+        prompts, negative_prompt, clip_tokenizer, cfg.clip_config.n_ctx,
+        max_chunks, parse_attention,
     )
-    oc_ids = np.array(
-        [tokenize_text(p, open_clip_tokenizer, cfg.open_clip_config.n_ctx) for p in prompts],
-        dtype=np.int32,
+    oc_ids, w_oc, u_oc_ids, uw_oc, weighted_o, k2 = batch_weighted_tokens(
+        prompts, negative_prompt, open_clip_tokenizer,
+        cfg.open_clip_config.n_ctx, max_chunks, parse_attention,
     )
-    u_clip_ids = np.array(
-        [tokenize_text(negative_prompt, clip_tokenizer, cfg.clip_config.n_ctx)],
-        dtype=np.int32,
-    )
-    u_oc_ids = np.array(
-        [tokenize_text(negative_prompt, open_clip_tokenizer, cfg.open_clip_config.n_ctx)],
-        dtype=np.int32,
-    )
+    # the two tokenizers can disagree on chunk count near a boundary; pad
+    # the shorter to the common k so the concatenated contexts align
+    if k1 != k2:
+        from .prompt import pad_chunks as _pc
+
+        k = max(k1, k2)
+        if k1 < k:
+            padded = [_pc(clip_ids[i], w_clip[i], k, clip_tokenizer,
+                          cfg.clip_config.n_ctx) for i in range(n)]
+            clip_ids = np.stack([p[0] for p in padded])
+            w_clip = np.stack([p[1] for p in padded])
+            u_clip_ids0, uw_clip0 = _pc(u_clip_ids[0], uw_clip[0], k,
+                                        clip_tokenizer, cfg.clip_config.n_ctx)
+            u_clip_ids, uw_clip = u_clip_ids0[None], uw_clip0[None]
+        if k2 < k:
+            padded = [_pc(oc_ids[i], w_oc[i], k, open_clip_tokenizer,
+                          cfg.open_clip_config.n_ctx) for i in range(n)]
+            oc_ids = np.stack([p[0] for p in padded])
+            w_oc = np.stack([p[1] for p in padded])
+            u_oc_ids0, uw_oc0 = _pc(u_oc_ids[0], uw_oc[0], k,
+                                    open_clip_tokenizer,
+                                    cfg.open_clip_config.n_ctx)
+            u_oc_ids, uw_oc = u_oc_ids0[None], uw_oc0[None]
+    weighted = bool(weighted_c or weighted_o)
 
     size = jnp.broadcast_to(jnp.array([[h, w]], jnp.int32), (n, 2))
     crop_a = jnp.broadcast_to(jnp.array([list(crop)], jnp.int32), (n, 2))
@@ -150,6 +197,9 @@ def text_to_conditioning(
     ctx_full, ctx_oc, ch, ch_ref, u_full, u_oc, u_ch, u_ch_ref = _conditioning_program(
         embedder_params, cfg, jnp.asarray(clip_ids), jnp.asarray(oc_ids),
         jnp.asarray(u_clip_ids), jnp.asarray(u_oc_ids), size, crop_a, ar,
+        weighted=weighted,
+        w_clip=jnp.asarray(w_clip), w_oc=jnp.asarray(w_oc),
+        uw_clip=jnp.asarray(uw_clip), uw_oc=jnp.asarray(uw_oc),
     )
 
     return Conditioning(

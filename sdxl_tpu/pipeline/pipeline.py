@@ -115,6 +115,23 @@ class SDXLPipeline:
                 fence(cond.context_full)
         return cond
 
+    def add_textual_inversions(self, specs) -> None:
+        """Merge textual-inversion embedding files ('PATH[:word]', in order)
+        into both tokenizers and both CLIP embedding tables
+        (io/textual_inversion.py)."""
+        from ..io.textual_inversion import apply_textual_inversions
+
+        self.embedder_params = apply_textual_inversions(
+            list(specs),
+            tokenizers=[self.clip_tokenizer, self.open_clip_tokenizer],
+            embedder_params=self.embedder_params,
+            tower_keys=["clip", "open_clip"],
+            tower_widths=[
+                self.embedder_cfg.clip_config.n_state,
+                self.embedder_cfg.open_clip_config.n_state,
+            ],
+        )
+
     # -- generation ----------------------------------------------------------
 
     def txt2img(
@@ -132,8 +149,13 @@ class SDXLPipeline:
         device_output: bool = False,
         profile_stages: bool = True,
         sampler: str = "ddim",
+        schedule: str = "linear",
     ) -> np.ndarray:
         """Full pipeline; returns [B, H, W, 3] uint8.
+
+        schedule="karras" applies the Karras rho=7 sigma spacing to the
+        euler/dpmpp samplers (invalid with ddim, whose schedule is fixed
+        by reference semantics).
 
         device_output=True returns the fenced on-device uint8 array without
         the host copy (benchmarking; over the axon tunnel the host link is
@@ -168,6 +190,11 @@ class SDXLPipeline:
 
         if sampler not in SAMPLERS:
             raise ValueError(f"unknown sampler {sampler!r} ({'|'.join(SAMPLERS)})")
+        if schedule != "linear" and sampler == "ddim":
+            raise ValueError(
+                "--schedule applies to the euler/dpmpp samplers; the DDIM "
+                "schedule is fixed by reference semantics"
+            )
 
         with self.timer.stage("diffuser"):
             if sampler in ("euler", "dpmpp"):
@@ -176,6 +203,7 @@ class SDXLPipeline:
                     cond_half, base_key, guidance_scale, n_steps,
                     self.compute_dtype, method=sampler,
                     reference=reference_latent, mask=inpaint_mask,
+                    schedule=schedule,
                 )
             else:
                 latent = sample_latent(
@@ -207,7 +235,7 @@ class SDXLPipeline:
                         self.refiner_params, self.refiner_cfg, refiner_alphas,
                         latent, cond_half, refiner_key, guidance_scale,
                         refiner_step_start, n_steps, self.compute_dtype,
-                        method=sampler,
+                        method=sampler, schedule=schedule,
                     )
                 else:
                     latent = refine_latent(
@@ -243,6 +271,7 @@ class SDXLPipeline:
         negative_prompt: str = "",
         device_output: bool = False,
         sampler: str = "ddim",
+        schedule: str = "linear",
     ) -> np.ndarray:
         """Strength-based image-to-image (capability extension).
 
@@ -267,6 +296,11 @@ class SDXLPipeline:
 
         if sampler not in SAMPLERS:
             raise ValueError(f"unknown sampler {sampler!r} ({'|'.join(SAMPLERS)})")
+        if schedule != "linear" and sampler == "ddim":
+            raise ValueError(
+                "--schedule applies to the euler/dpmpp samplers; the DDIM "
+                "schedule is fixed by reference semantics"
+            )
         # skip the first (1-strength) of the schedule
         step_start = int(round((1.0 - strength) * 1000))
         with self.timer.stage("diffuser"):
@@ -275,6 +309,7 @@ class SDXLPipeline:
                     self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
                     latent, cond, jax.random.PRNGKey(seed), guidance_scale,
                     step_start, n_steps, self.compute_dtype, method=sampler,
+                    schedule=schedule,
                 )
             else:
                 latent = refine_latent(

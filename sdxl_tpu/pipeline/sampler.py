@@ -208,6 +208,19 @@ def diffuse_latent(
     return latent
 
 
+def karras_sigmas(sigma_min: float, sigma_max: float, n: int,
+                  rho: float = 7.0) -> np.ndarray:
+    """Karras et al. 2022 (arXiv:2206.00364 eq. 5) sigma schedule.
+
+    Spends more of the step budget at low noise than the linear-t schedule
+    — the standard quality booster for <=20-step Euler/DPM++ sampling.
+    Capability extension; the reference ships only the DDIM schedule."""
+    ramp = np.linspace(0, 1, n, dtype=np.float64)
+    inv = 1.0 / rho
+    return ((sigma_max**inv + ramp * (sigma_min**inv - sigma_max**inv)) ** rho
+            ).astype(np.float32)
+
+
 def k_timesteps(step_start: int, n_steps: int, n_train: int) -> np.ndarray:
     """diffusers-style linearly spaced timesteps, high -> low (static).
 
@@ -221,7 +234,8 @@ def k_timesteps(step_start: int, n_steps: int, n_train: int) -> np.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "method", "step_start", "n_steps", "compute_dtype", "inpaint"
+        "cfg", "method", "step_start", "n_steps", "compute_dtype", "inpaint",
+        "schedule",
     ),
     donate_argnames=("latent",),
 )
@@ -240,8 +254,15 @@ def k_diffuse_latent(
     reference: Optional[jnp.ndarray] = None,
     mask: Optional[jnp.ndarray] = None,
     key: Optional[jax.Array] = None,
+    schedule: str = "linear",
 ) -> jnp.ndarray:
     """k-diffusion samplers over the same ᾱ table the DDIM path uses.
+
+    schedule="linear" picks sigmas at linearly spaced integer timesteps;
+    schedule="karras" uses the Karras rho=7 sigma spacing between the same
+    endpoints, with fractional UNet timesteps interpolated from the sigma
+    table (the continuous-time conditioning diffusers uses for the same
+    schedule).
 
     Works in sigma space (x_kd = x_vp / sqrt(ᾱ), σ = sqrt((1-ᾱ)/ᾱ)): the
     UNet input is scaled by 1/sqrt(σ²+1) = sqrt(ᾱ), which maps back to the
@@ -261,14 +282,36 @@ def k_diffuse_latent(
     """
     if method not in ("euler", "dpmpp"):
         raise ValueError(f"unknown k-sampler {method!r} (euler|dpmpp)")
+    if schedule not in ("linear", "karras"):
+        raise ValueError(f"unknown schedule {schedule!r} (linear|karras)")
     n_train = alphas_cumprod.shape[0]
     sigmas_full = jnp.sqrt(
         (1.0 - alphas_cumprod.astype(jnp.float32)) / alphas_cumprod
     )
-    ts = k_timesteps(step_start, n_steps, n_train)
-    sigmas = jnp.concatenate(
-        [sigmas_full[jnp.asarray(ts)], jnp.zeros((1,), jnp.float32)]
-    )
+    lin_ts = k_timesteps(step_start, n_steps, n_train)
+    if schedule == "karras":
+        # same sigma endpoints as the linear schedule, Karras rho=7 spacing
+        # between them (descending, like the t schedule); endpoints are
+        # traced values so the ramp is evaluated in jnp
+        smin = sigmas_full[0]
+        smax = sigmas_full[int(lin_ts[0])]
+        rho = 7.0
+        ramp = jnp.asarray(np.linspace(0, 1, n_steps, dtype=np.float32))
+        sig_k = (
+            smax ** (1 / rho) + ramp * (smin ** (1 / rho) - smax ** (1 / rho))
+        ) ** rho
+        # fractional timesteps: interp log-sigma against the (ascending)
+        # table; the UNet's sinusoid embedding is continuous in t
+        ts = jnp.interp(
+            jnp.log(sig_k), jnp.log(sigmas_full),
+            jnp.arange(n_train, dtype=jnp.float32),
+        )
+        sigmas = jnp.concatenate([sig_k, jnp.zeros((1,), jnp.float32)])
+    else:
+        ts = jnp.asarray(lin_ts)
+        sigmas = jnp.concatenate(
+            [sigmas_full[jnp.asarray(lin_ts)], jnp.zeros((1,), jnp.float32)]
+        )
 
     latent = latent.astype(jnp.float32)
     if inpaint:
@@ -327,7 +370,7 @@ def k_diffuse_latent(
         (latent, jnp.zeros_like(latent)),
         (jnp.asarray(ts), sig, sig_next, sig_prev, first, keys),
     )
-    return latent
+    return latent  # noqa: RET504 — symmetry with diffuse_latent
 
 
 def k_sigma_at(alphas_cumprod, t: int) -> jnp.ndarray:
@@ -347,6 +390,7 @@ def euler_sample_latent(
     method: str = "euler",
     reference: Optional[jnp.ndarray] = None,
     mask: Optional[jnp.ndarray] = None,
+    schedule: str = "linear",
 ) -> jnp.ndarray:
     """txt2img (+ optional inpainting) with a k-diffusion sampler."""
     noise_key, inpaint_key = jax.random.split(key)
@@ -358,10 +402,11 @@ def euler_sample_latent(
             unet_params, cfg, alphas_cumprod, latent, cond, guidance_scale,
             method, 0, n_steps, compute_dtype,
             inpaint=True, reference=reference, mask=mask, key=inpaint_key,
+            schedule=schedule,
         )
     return k_diffuse_latent(
         unet_params, cfg, alphas_cumprod, latent, cond, guidance_scale,
-        method, 0, n_steps, compute_dtype,
+        method, 0, n_steps, compute_dtype, schedule=schedule,
     )
 
 
@@ -377,6 +422,7 @@ def k_refine_latent(
     n_steps: int = 30,
     compute_dtype=jnp.bfloat16,
     method: str = "euler",
+    schedule: str = "linear",
 ) -> jnp.ndarray:
     """Refiner/img2img re-noise in sigma space: x = latent + σ_start·noise,
     then run the schedule tail (k-space analogue of mod.rs:355-376)."""
@@ -387,7 +433,7 @@ def k_refine_latent(
     noised = latent.astype(jnp.float32) + sigma_start * noise
     return k_diffuse_latent(
         unet_params, cfg, alphas_cumprod, noised, cond, guidance_scale,
-        method, step_start, n_steps, compute_dtype,
+        method, step_start, n_steps, compute_dtype, schedule=schedule,
     )
 
 

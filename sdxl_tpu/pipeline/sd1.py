@@ -36,22 +36,33 @@ from ..configs import (
     SD15_VAE_SCALE,
 )
 from ..models.clip import clip_final_hidden, clip_hidden
-from ..tokenizer import ClipTokenizer, tokenize_text
+from ..tokenizer import ClipTokenizer
 from ..utils import log
 from .conditioning import Conditioning
 from .pipeline import SDXLPipeline
 from .sampler import scaled_linear_alphas_cumprod
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "penultimate"))
+@functools.partial(jax.jit, static_argnames=("cfg", "penultimate", "weighted"))
 def _sd1_conditioning_program(clip_params, cfg: CLIPConfig, cond_tokens,
-                              uncond_tokens, penultimate: bool):
-    def embed(tokens):
+                              uncond_tokens, penultimate: bool,
+                              weighted: bool = False, w=None, uw=None):
+    def embed(tokens, wts):
+        b, k, n_ctx = tokens.shape
         if penultimate:  # SD 2.x convention: one block early, no final LN
-            return clip_hidden(clip_params, cfg, tokens, cfg.n_layer - 1)
-        return clip_final_hidden(clip_params, cfg, tokens)
+            h = clip_hidden(clip_params, cfg, tokens.reshape(b * k, n_ctx),
+                            cfg.n_layer - 1)
+        else:
+            h = clip_final_hidden(clip_params, cfg,
+                                  tokens.reshape(b * k, n_ctx))
+        h = h.reshape(b, k * n_ctx, -1)
+        if weighted:
+            from .prompt import apply_prompt_weights
 
-    return embed(cond_tokens), embed(uncond_tokens)
+            h = apply_prompt_weights(h, wts.reshape(b, k * n_ctx))
+        return h
+
+    return embed(cond_tokens, w), embed(uncond_tokens, uw)
 
 
 def text_to_conditioning_sd1(
@@ -62,17 +73,20 @@ def text_to_conditioning_sd1(
     resolution: Tuple[int, int],
     negative_prompt: str = "",
     penultimate: bool = False,
+    parse_attention: bool = True,
+    max_chunks: int = 4,
 ) -> Conditioning:
+    from .prompt import batch_weighted_tokens
+
     if isinstance(prompts, str):
         prompts = [prompts]
-    ids = np.array(
-        [tokenize_text(p, tokenizer, cfg.n_ctx) for p in prompts], np.int32
-    )
-    u_ids = np.array(
-        [tokenize_text(negative_prompt, tokenizer, cfg.n_ctx)], np.int32
+    ids, w, u_ids, uw, weighted, _ = batch_weighted_tokens(
+        prompts, negative_prompt, tokenizer, cfg.n_ctx, max_chunks,
+        parse_attention,
     )
     ctx, uctx = _sd1_conditioning_program(
-        clip_params, cfg, jnp.asarray(ids), jnp.asarray(u_ids), penultimate
+        clip_params, cfg, jnp.asarray(ids), jnp.asarray(u_ids), penultimate,
+        weighted=weighted, w=jnp.asarray(w), uw=jnp.asarray(uw),
     )
     return Conditioning(
         unconditional_context_full=uctx,
@@ -94,6 +108,20 @@ class SD1Pipeline(SDXLPipeline):
 
     # SD 2.x taps the penultimate hidden; SD 1.x the final LN output
     penultimate_hidden: bool = False
+
+    def add_textual_inversions(self, specs) -> None:
+        """Single-tower variant: the bare CLIP pytree is wrapped/unwrapped
+        around the shared merge (io/textual_inversion.py)."""
+        from ..io.textual_inversion import apply_textual_inversions
+
+        wrapped = apply_textual_inversions(
+            list(specs),
+            tokenizers=[self.clip_tokenizer],
+            embedder_params={"clip": self.embedder_params},
+            tower_keys=["clip"],
+            tower_widths=[self.embedder_cfg.n_state],
+        )
+        self.embedder_params = wrapped["clip"]
 
     def conditioning(self, prompts, resolution, crop=(0, 0),
                      negative_prompt: str = "", profile_stages: bool = True):

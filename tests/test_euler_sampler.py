@@ -107,3 +107,52 @@ def test_k_refine_latent_runs_tail():
         )
         a = np.asarray(out)
         assert a.shape == (1, 8, 8, 4) and np.isfinite(a).all()
+
+
+def test_karras_sigma_formula():
+    from sdxl_tpu.pipeline.sampler import karras_sigmas
+
+    s = karras_sigmas(0.03, 14.6, 10, rho=7.0)
+    # descending from sigma_max to sigma_min, strictly monotonic
+    assert abs(s[0] - 14.6) < 1e-4 and abs(s[-1] - 0.03) < 1e-6
+    assert (np.diff(s) < 0).all()
+    # closed-form midpoint (eq. 5, arXiv:2206.00364)
+    i, n, rho = 4, 10, 7.0
+    expect = (14.6 ** (1 / rho)
+              + i / (n - 1) * (0.03 ** (1 / rho) - 14.6 ** (1 / rho))) ** rho
+    np.testing.assert_allclose(s[i], expect, rtol=1e-5)
+
+
+def test_karras_schedule_runs_and_differs_from_linear():
+    params, alphas, cond = _setup()
+    k = jax.random.PRNGKey(7)
+    lin = euler_sample_latent(params, TINY_BASE, alphas, cond, k, 7.5, 6,
+                              jnp.float32, method="dpmpp")
+    kar = euler_sample_latent(params, TINY_BASE, alphas, cond, k, 7.5, 6,
+                              jnp.float32, method="dpmpp", schedule="karras")
+    assert np.isfinite(np.asarray(kar)).all()
+    assert not np.allclose(np.asarray(lin), np.asarray(kar))
+    # deterministic
+    kar2 = euler_sample_latent(params, TINY_BASE, alphas, cond, k, 7.5, 6,
+                               jnp.float32, method="dpmpp", schedule="karras")
+    np.testing.assert_array_equal(np.asarray(kar), np.asarray(kar2))
+
+
+def test_karras_refine_tail_and_ddim_rejection():
+    import pytest
+
+    from sdxl_tpu.pipeline.sampler import k_refine_latent
+
+    params, alphas, cond = _setup()
+    lat = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 4), jnp.float32)
+    out = k_refine_latent(params, TINY_BASE, alphas, lat, cond,
+                          jax.random.PRNGKey(1), 7.5, 800, 4, jnp.float32,
+                          method="euler", schedule="karras")
+    assert np.isfinite(np.asarray(out)).all()
+
+    from sdxl_tpu.pipeline.sampler import k_diffuse_latent
+
+    with pytest.raises(ValueError, match="schedule"):
+        k_diffuse_latent(params, TINY_BASE, alphas, lat, cond, 7.5,
+                         method="euler", n_steps=4, compute_dtype=jnp.float32,
+                         schedule="quadratic")

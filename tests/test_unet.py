@@ -335,3 +335,27 @@ def test_fuse_unet_qkv_folds_upsample_and_forward_matches():
     y_prep = unet_forward(prepped, TINY, x, t, ctx, label)
     np.testing.assert_allclose(np.asarray(y_prep), np.asarray(y_raw),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_unfold_upsample_conv_is_exact_inverse():
+    """unfold_upsample_conv recovers the original 3x3 kernel bit-for-bit in
+    f32 (the fold is a linear bijection on the taps; exporters rely on
+    this, io/burn_mpk_write.py)."""
+    import numpy as np
+
+    from sdxl_tpu.ops.conv import fold_upsample_conv, unfold_upsample_conv
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    p = {
+        "w": jax.random.normal(k1, (3, 3, 8, 12), jnp.float32),
+        "b": jax.random.normal(k2, (12,), jnp.float32),
+    }
+    folded = fold_upsample_conv(p)
+    assert "w" not in folded and "w4" in folded
+    back = unfold_upsample_conv(folded)
+    assert "w4" not in back
+    np.testing.assert_allclose(np.asarray(back["w"]), np.asarray(p["w"]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(back["b"]), np.asarray(p["b"]))
+    # no-ops on non-upsample / already-unfolded dicts
+    assert unfold_upsample_conv(p) is p or "w" in unfold_upsample_conv(p)
