@@ -86,8 +86,12 @@ def clip_hidden_pooled(params, cfg: CLIPConfig, tokens: jnp.ndarray, hidden_idx:
             h_out = x
         x = _block(p, x, mask, cfg)
 
-    # EOT token is the highest id in each sequence (clip/mod.rs:141)
-    eot_idx = jnp.argmax(tokens, axis=1)
+    # EOT token is the highest id in each sequence (clip/mod.rs:141).
+    # Textual-inversion pseudo-tokens carry ids >= n_vocab; mask them to -1
+    # so the argmax still lands on the true EOT (identical behavior for
+    # in-vocab prompts).
+    pool_ids = jnp.where(tokens < cfg.n_vocab, tokens, -1)
+    eot_idx = jnp.argmax(pool_ids, axis=1)
     normed = layernorm_affine(x, **params["layer_norm"])
     o = jnp.take_along_axis(normed, eot_idx[:, None, None], axis=1)[:, 0, :]
     t_proj = params.get("text_projection")

@@ -169,6 +169,39 @@ class Tokenizer:
         from .native import try_native_bpe
 
         self._native = try_native_bpe(merges)
+        # textual-inversion trigger words -> pseudo-token id lists; ids live
+        # above the vocab (>= len(encoder)) and index appended embedding rows
+        self._custom: Dict[str, List[int]] = {}
+        self._custom_re = None
+
+    @property
+    def n_base_vocab(self) -> int:
+        return len(self.encoder)
+
+    def register_custom_token(self, word: str, n_vectors: int) -> List[int]:
+        """Register a textual-inversion trigger word mapping to n_vectors
+        consecutive pseudo-token ids (allocated above the base vocab, in
+        registration order). Returns the ids. Idempotent per word.
+
+        Capability extension; the reference tokenizer (token/clip.rs) has a
+        fixed vocabulary."""
+        import re as _re
+
+        key = _whitespace_clean(word.strip()).lower()
+        if not key:
+            raise ValueError("empty textual-inversion trigger word")
+        if key in self._custom:
+            return self._custom[key]
+        next_id = len(self.encoder) + sum(len(v) for v in self._custom.values())
+        ids = list(range(next_id, next_id + int(n_vectors)))
+        self._custom[key] = ids
+        pat = "|".join(
+            _re.escape(w)
+            for w in sorted(self._custom, key=len, reverse=True)
+        )
+        # match only at word boundaries of the cleaned lowercase text
+        self._custom_re = _re.compile(rf"(?<!\w)(?:{pat})(?!\w)")
+        return ids
 
     def bpe(self, token: str) -> str:
         cached = self._cache.get(token)
@@ -217,22 +250,34 @@ class Tokenizer:
         self._cache[token] = out
         return out
 
+    def _encode_fragment(self, fragment: str, out: List[int]) -> None:
+        enc = self.byte_encoder
+        for m in _PAT.finditer(fragment):
+            mapped = "".join(enc[b] for b in m.group(0).encode("utf-8"))
+            out.extend(self.encoder[piece] for piece in self.bpe(mapped).split(" "))
+
     def encode(self, text: str, add_sot: bool = True, add_eot: bool = True) -> List[int]:
         cleaned = _whitespace_clean(text.strip()).lower()
 
         tokens: List[int] = []
         if add_sot:
             tokens.append(self.sot_token)
-        enc = self.byte_encoder
-        for m in _PAT.finditer(cleaned):
-            mapped = "".join(enc[b] for b in m.group(0).encode("utf-8"))
-            tokens.extend(self.encoder[piece] for piece in self.bpe(mapped).split(" "))
+        if self._custom_re is None:
+            self._encode_fragment(cleaned, tokens)
+        else:
+            pos = 0
+            for m in self._custom_re.finditer(cleaned):
+                self._encode_fragment(cleaned[pos:m.start()], tokens)
+                tokens.extend(self._custom[m.group(0)])
+                pos = m.end()
+            self._encode_fragment(cleaned[pos:], tokens)
         if add_eot:
             tokens.append(self.eot_token)
         return tokens
 
     def decode(self, tokens: Sequence[int]) -> str:
-        text = "".join(self.decoder[t] for t in tokens)
+        # custom (textual-inversion) ids have no text form; drop them
+        text = "".join(self.decoder.get(t, "") for t in tokens)
         raw = bytes(self.byte_decoder[c] for c in text)
         return raw.decode("utf-8", errors="replace").replace("</w>", " ")
 
