@@ -95,6 +95,13 @@ def main():
         "an astronaut riding a horse", n_steps=20, sampler="dpmpp", seed=s,
         **common))
 
+    # Turbo-style serving config: guidance-distilled checkpoints run 4
+    # steps with no CFG (the no_cfg fast path halves the UNet batch)
+    timed("base_1024_turbo4_nocfg_s", lambda s: pipe.txt2img(
+        "an astronaut riding a horse", resolution=(1024, 1024), n_steps=4,
+        guidance_scale=1.0, sampler="euler", no_cfg=True, seed=s,
+        device_output=True, profile_stages=False))
+
     # batch-8 throughput: drop the (f32, 3.3 GB) embedder before sampling —
     # the reference bounds VRAM the same way by loading each stage in a
     # scope and dropping it (sample/main.rs:217-278)

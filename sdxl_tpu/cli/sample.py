@@ -74,6 +74,16 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["linear", "karras"],
                    help="Sigma spacing for the euler/dpmpp samplers; karras "
                         "(rho=7) improves low-step-count quality")
+    p.add_argument("--guidance-rescale", type=float, default=0.0,
+                   help="CFG std-rescale factor (Lin et al. 2023); 0.7 is "
+                        "typical for zero-terminal-SNR v-prediction models")
+    p.add_argument("--no-cfg", action="store_true",
+                   help="Drop the unconditional branch (half the UNet work) "
+                        "— for guidance-distilled Turbo/Lightning-style "
+                        "checkpoints; guidance_scale is ignored")
+    p.add_argument("--clip-skip", type=int, default=0,
+                   help="Extra CLIP blocks to skip beyond the family default "
+                        "(the ecosystem clip-skip knob for fine-tuned models)")
     p.add_argument("--embedding", action="append", default=[],
                    metavar="PATH[:WORD]",
                    help="Textual-inversion embedding file (repeatable); the "
@@ -91,6 +101,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug-nans", action="store_true",
                    help="Enable jax.config.debug_nans for bring-up")
     return p
+
+
+def pipe_min_layers(pipe) -> int:
+    """Smallest text-tower depth (bounds --clip-skip)."""
+    cfg = pipe.embedder_cfg
+    if hasattr(cfg, "clip_config"):
+        return min(cfg.clip_config.n_layer, cfg.open_clip_config.n_layer)
+    return cfg.n_layer
 
 
 def main(argv=None) -> int:
@@ -201,6 +219,12 @@ def main(argv=None) -> int:
             print(f"error: failed to load textual-inversion embedding: {e}",
                   file=sys.stderr)
             return 1
+    if args.clip_skip:
+        if not 0 <= args.clip_skip < pipe_min_layers(pipe) - 1:
+            print(f"error: --clip-skip {args.clip_skip} out of range for "
+                  f"this model", file=sys.stderr)
+            return 1
+        pipe.clip_skip = args.clip_skip
 
     prompts = [args.prompt] * args.batch
 
@@ -216,6 +240,8 @@ def main(argv=None) -> int:
             negative_prompt=args.negative_prompt,
             sampler=args.sampler,
             schedule=args.schedule,
+            guidance_rescale=args.guidance_rescale,
+            no_cfg=args.no_cfg,
         )
     elif args.reference_img is not None:
         ref = load_images([args.reference_img])
@@ -234,6 +260,8 @@ def main(argv=None) -> int:
             negative_prompt=args.negative_prompt,
             sampler=args.sampler,
             schedule=args.schedule,
+            guidance_rescale=args.guidance_rescale,
+            no_cfg=args.no_cfg,
         )
     else:
         images = pipe.txt2img(
@@ -246,6 +274,8 @@ def main(argv=None) -> int:
             negative_prompt=args.negative_prompt,
             sampler=args.sampler,
             schedule=args.schedule,
+            guidance_rescale=args.guidance_rescale,
+            no_cfg=args.no_cfg,
         )
 
     if args.trace:

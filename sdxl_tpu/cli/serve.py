@@ -58,6 +58,8 @@ class GenConfig:
     guidance_scale: float = 7.5
     negative_prompt: str = ""
     sampler: str = "ddim"
+    schedule: str = "linear"
+    guidance_rescale: float = 0.0
 
 
 @dataclass
@@ -153,6 +155,8 @@ class GenerationServer:
                 seed=batch[0].seed,
                 negative_prompt=cfg.negative_prompt,
                 sampler=cfg.sampler,
+                schedule=cfg.schedule,
+                guidance_rescale=cfg.guidance_rescale,
             )
             images = np.asarray(images)
             dt = time.perf_counter() - t0
@@ -240,6 +244,10 @@ def make_handler(server: GenerationServer):
                         "negative_prompt", d.negative_prompt
                     ),
                     sampler=payload.get("sampler", d.sampler),
+                    schedule=payload.get("schedule", d.schedule),
+                    guidance_rescale=float(
+                        payload.get("guidance_rescale", d.guidance_rescale)
+                    ),
                 )
                 seed = int(payload.get("seed", 0))
             except (KeyError, ValueError, json.JSONDecodeError) as e:
@@ -278,6 +286,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--family", type=str, default="sdxl",
                    choices=["sdxl", "sd1", "sd2"])
     p.add_argument("--tokenizer-dir", type=str, default=None)
+    p.add_argument("--embedding", action="append", default=[],
+                   help="Textual-inversion embedding file PATH[:word] "
+                        "(repeatable), merged at boot")
     p.add_argument("--lora", action="append", default=[],
                    metavar="PATH[:SCALE]")
     p.add_argument("--host", type=str, default="127.0.0.1")
@@ -360,6 +371,8 @@ def main(argv=None) -> int:
         import jax.numpy as jnp
 
         pipe.vae_dtype = jnp.bfloat16
+    if args.embedding:
+        pipe.add_textual_inversions(args.embedding)
 
     server = GenerationServer(
         pipe,

@@ -74,7 +74,8 @@ class Conditioning:
 
 
 def _embed_one(embedder_params, cfg: EmbedderConfig, clip_tokens, open_clip_tokens,
-               size, crop, ar, aesthetic, clip_w=None, oc_w=None):
+               size, crop, ar, aesthetic, clip_w=None, oc_w=None,
+               clip_skip: int = 0):
     """clip_tokens/open_clip_tokens: [B, k, 77] chunked ids (k=1 is the
     reference's single-window case); optional [B, k, 77] prompt weights
     (pipeline/prompt.py). Chunks run through the towers batched and are
@@ -84,13 +85,14 @@ def _embed_one(embedder_params, cfg: EmbedderConfig, clip_tokens, open_clip_toke
 
     clip_ctx = clip_hidden(
         embedder_params["clip"], cfg.clip_config,
-        clip_tokens.reshape(b * k, n_ctx), cfg.clip_config.n_layer - 1,
+        clip_tokens.reshape(b * k, n_ctx),
+        cfg.clip_config.n_layer - 1 - clip_skip,
     )
     clip_ctx = clip_ctx.reshape(b, k * n_ctx, -1)
     open_ctx, pooled = clip_hidden_pooled(
         embedder_params["open_clip"], cfg.open_clip_config,
         open_clip_tokens.reshape(b * k, n_ctx),
-        cfg.open_clip_config.n_layer - 1,
+        cfg.open_clip_config.n_layer - 1 - clip_skip,
     )
     open_ctx = open_ctx.reshape(b, k * n_ctx, -1)
     pooled = pooled.reshape(b, k, -1)[:, 0]
@@ -107,12 +109,13 @@ def _embed_one(embedder_params, cfg: EmbedderConfig, clip_tokens, open_clip_toke
     return context_full, open_ctx, channel, channel_refiner
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "weighted"))
+@functools.partial(jax.jit, static_argnames=("cfg", "weighted", "clip_skip"))
 def _conditioning_program(embedder_params, cfg: EmbedderConfig,
                           cond_tokens_clip, cond_tokens_open_clip,
                           uncond_tokens_clip, uncond_tokens_open_clip,
                           size, crop, ar, weighted=False,
-                          w_clip=None, w_oc=None, uw_clip=None, uw_oc=None):
+                          w_clip=None, w_oc=None, uw_clip=None, uw_oc=None,
+                          clip_skip: int = 0):
     n_batch = cond_tokens_clip.shape[0]
     aesthetic = jnp.full((n_batch, 1), AESTHETIC_SCORE, dtype=size.dtype)
 
@@ -121,12 +124,14 @@ def _conditioning_program(embedder_params, cfg: EmbedderConfig,
         size, crop, ar, aesthetic,
         clip_w=w_clip if weighted else None,
         oc_w=w_oc if weighted else None,
+        clip_skip=clip_skip,
     )
     u_full, u_oc, u_ch, u_ch_ref = _embed_one(
         embedder_params, cfg, uncond_tokens_clip, uncond_tokens_open_clip,
         size[:1], crop[:1], ar[:1], aesthetic[:1],
         clip_w=uw_clip if weighted else None,
         oc_w=uw_oc if weighted else None,
+        clip_skip=clip_skip,
     )
     return ctx_full, ctx_oc, ch, ch_ref, u_full, u_oc, u_ch, u_ch_ref
 
@@ -142,6 +147,7 @@ def text_to_conditioning(
     negative_prompt: str = "",
     parse_attention: bool = True,
     max_chunks: int = 4,
+    clip_skip: int = 0,
 ) -> Conditioning:
     """Prompts -> Conditioning. `negative_prompt` generalizes the
     reference's hardcoded "" unconditional branch.
@@ -200,6 +206,7 @@ def text_to_conditioning(
         weighted=weighted,
         w_clip=jnp.asarray(w_clip), w_oc=jnp.asarray(w_oc),
         uw_clip=jnp.asarray(uw_clip), uw_oc=jnp.asarray(uw_oc),
+        clip_skip=clip_skip,
     )
 
     return Conditioning(

@@ -70,6 +70,10 @@ class SDXLPipeline:
     # SDXL enforces its trained aspect buckets on inpainting inputs
     # (sample/main.rs:138-144); SD 1.x/2.x pipelines only warn
     strict_resolutions: bool = True
+    # extra CLIP transformer blocks to skip beyond the family default
+    # (SDXL default is already the penultimate hidden) — the ecosystem's
+    # "clip skip" knob for anime/fine-tuned checkpoints
+    clip_skip: int = 0
     timer: StageTimer = field(default_factory=StageTimer)
 
     def _decode(self, latent):
@@ -110,6 +114,7 @@ class SDXLPipeline:
                 resolution,
                 crop,
                 negative_prompt,
+                clip_skip=self.clip_skip,
             )
             if profile_stages:
                 fence(cond.context_full)
@@ -150,12 +155,20 @@ class SDXLPipeline:
         profile_stages: bool = True,
         sampler: str = "ddim",
         schedule: str = "linear",
+        guidance_rescale: float = 0.0,
+        no_cfg: bool = False,
     ) -> np.ndarray:
         """Full pipeline; returns [B, H, W, 3] uint8.
 
         schedule="karras" applies the Karras rho=7 sigma spacing to the
         euler/dpmpp samplers (invalid with ddim, whose schedule is fixed
         by reference semantics).
+
+        guidance_rescale>0 applies the Lin et al. 2023 std-matching CFG
+        correction. no_cfg=True drops the unconditional branch (half the
+        UNet work — for guidance-distilled Turbo/Lightning-style models);
+        guidance_scale == 1 takes the same fast path automatically because
+        u + (c-u)*1 == c exactly.
 
         device_output=True returns the fenced on-device uint8 array without
         the host copy (benchmarking; over the axon tunnel the host link is
@@ -195,6 +208,7 @@ class SDXLPipeline:
                 "--schedule applies to the euler/dpmpp samplers; the DDIM "
                 "schedule is fixed by reference semantics"
             )
+        use_cfg = not (no_cfg or guidance_scale == 1.0)
 
         with self.timer.stage("diffuser"):
             if sampler in ("euler", "dpmpp"):
@@ -203,7 +217,8 @@ class SDXLPipeline:
                     cond_half, base_key, guidance_scale, n_steps,
                     self.compute_dtype, method=sampler,
                     reference=reference_latent, mask=inpaint_mask,
-                    schedule=schedule,
+                    schedule=schedule, use_cfg=use_cfg,
+                    guidance_rescale=guidance_rescale,
                 )
             else:
                 latent = sample_latent(
@@ -217,6 +232,8 @@ class SDXLPipeline:
                     self.compute_dtype,
                     reference=reference_latent,
                     mask=inpaint_mask,
+                    use_cfg=use_cfg,
+                    guidance_rescale=guidance_rescale,
                 )
             if profile_stages:
                 fence(latent)
@@ -272,6 +289,8 @@ class SDXLPipeline:
         device_output: bool = False,
         sampler: str = "ddim",
         schedule: str = "linear",
+        guidance_rescale: float = 0.0,
+        no_cfg: bool = False,
     ) -> np.ndarray:
         """Strength-based image-to-image (capability extension).
 
@@ -303,19 +322,22 @@ class SDXLPipeline:
             )
         # skip the first (1-strength) of the schedule
         step_start = int(round((1.0 - strength) * 1000))
+        use_cfg = not (no_cfg or guidance_scale == 1.0)
         with self.timer.stage("diffuser"):
             if sampler in ("euler", "dpmpp"):
                 latent = k_refine_latent(
                     self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
                     latent, cond, jax.random.PRNGKey(seed), guidance_scale,
                     step_start, n_steps, self.compute_dtype, method=sampler,
-                    schedule=schedule,
+                    schedule=schedule, use_cfg=use_cfg,
+                    guidance_rescale=guidance_rescale,
                 )
             else:
                 latent = refine_latent(
                     self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
                     latent, cond, jax.random.PRNGKey(seed), guidance_scale,
                     step_start, n_steps, self.compute_dtype,
+                    use_cfg=use_cfg, guidance_rescale=guidance_rescale,
                 )
 
         with self.timer.stage("vae_decode"):

@@ -90,10 +90,20 @@ def ddim_timesteps(
     return np.arange(hi - 1, -1, -step_size, dtype=np.int32)
 
 
-def _cfg_contexts(cfg: DiffuserConfig, cond: Conditioning, compute_dtype):
+def _cfg_contexts(cfg: DiffuserConfig, cond: Conditioning, compute_dtype,
+                  use_cfg: bool = True):
     """Scan-invariant context/channel tensors for forward_diffuser
     (mod.rs:494-541): the refiner feeds the OpenCLIP context only and skips
-    CFG; the base gets the [uncond | cond] pair for one batched call."""
+    CFG; the base gets the [uncond | cond] pair for one batched call.
+
+    use_cfg=False drops the unconditional branch entirely (conditional
+    context only, half the UNet work) — mathematically identical to
+    guidance_scale == 1 and the required path for guidance-distilled
+    (Turbo/Lightning-style) models."""
+    if not use_cfg and not cfg.is_refiner:
+        ctx = cond.context_full.astype(compute_dtype)
+        ch = cond.channel_context
+        return ctx, None if ch is None else ch.astype(compute_dtype)
     if cfg.is_refiner:
         return (
             cond.context_open_clip.astype(compute_dtype),
@@ -110,13 +120,20 @@ def _cfg_contexts(cfg: DiffuserConfig, cond: Conditioning, compute_dtype):
 
 
 def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
-             guidance_scale, compute_dtype, cross_kv=None, alpha_t=None):
+             guidance_scale, compute_dtype, cross_kv=None, alpha_t=None,
+             use_cfg: bool = True, guidance_rescale: float = 0.0):
     """One guided epsilon prediction (forward_diffuser, mod.rs:494-541).
 
     For prediction_type="v" (SD 2.x-768) the raw output is converted to
     an epsilon via eps = sqrt(a)*v + sqrt(1-a)*x_vp (identity from
     v = sqrt(a)*eps - sqrt(1-a)*x0); `latent` here is the variance-
-    preserving x_t the model was trained on, `alpha_t` its a-bar."""
+    preserving x_t the model was trained on, `alpha_t` its a-bar.
+
+    use_cfg=False runs the conditional branch only (see _cfg_contexts).
+    guidance_rescale > 0 applies the std-matching correction of Lin et al.
+    2023 (arXiv:2305.08891 eq. 15-16) to the guided epsilon — fixes the
+    over-saturation high CFG scales cause, essential for v-prediction
+    models trained with zero-terminal-SNR."""
     n_batch = latent.shape[0]
     ucfg = cfg.unet_config()
 
@@ -133,6 +150,14 @@ def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
         ).astype(jnp.float32)
         return to_eps(raw, latent.astype(jnp.float32))
 
+    if not use_cfg:  # conditional branch only
+        t_vec = jnp.broadcast_to(t, (n_batch,))
+        raw = unet_forward(
+            unet_params, ucfg, latent.astype(compute_dtype), t_vec, ctx2, ch2,
+            cross_kv=cross_kv,
+        ).astype(jnp.float32)
+        return to_eps(raw, latent.astype(jnp.float32))
+
     # pair-batched CFG: [uncond | cond] in one UNet call
     x2 = jnp.concatenate([latent, latent], axis=0).astype(compute_dtype)
     t2 = jnp.broadcast_to(t, (2 * n_batch,))
@@ -140,12 +165,20 @@ def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
                         cross_kv=cross_kv).astype(jnp.float32)
     eps2 = to_eps(raw2, x2.astype(jnp.float32))
     eps_u, eps_c = jnp.split(eps2, 2, axis=0)
-    return eps_u + (eps_c - eps_u) * guidance_scale
+    eps = eps_u + (eps_c - eps_u) * guidance_scale
+    if guidance_rescale > 0.0:
+        axes = tuple(range(1, eps.ndim))
+        std_c = jnp.std(eps_c, axis=axes, keepdims=True)
+        std_g = jnp.std(eps, axis=axes, keepdims=True)
+        rescaled = eps * (std_c / jnp.maximum(std_g, 1e-12))
+        eps = guidance_rescale * rescaled + (1.0 - guidance_rescale) * eps
+    return eps
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "step_start", "n_steps", "compute_dtype", "inpaint"),
+    static_argnames=("cfg", "step_start", "n_steps", "compute_dtype", "inpaint",
+                     "use_cfg", "guidance_rescale"),
     donate_argnames=("latent",),
 )
 def diffuse_latent(
@@ -162,6 +195,8 @@ def diffuse_latent(
     reference: Optional[jnp.ndarray] = None,
     mask: Optional[jnp.ndarray] = None,
     key: Optional[jax.Array] = None,
+    use_cfg: bool = True,
+    guidance_rescale: float = 0.0,
 ) -> jnp.ndarray:
     """DDIM loop as one lax.scan (diffuse_latent, mod.rs:390-483)."""
     # DDPM table length comes from the table itself; DiffuserConfig.n_steps
@@ -187,7 +222,7 @@ def diffuse_latent(
 
     # loop-invariant conditioning hoisted out of the scan, including every
     # cross-attention K/V projection of the fixed context
-    ctx2, ch2 = _cfg_contexts(cfg, cond, compute_dtype)
+    ctx2, ch2 = _cfg_contexts(cfg, cond, compute_dtype, use_cfg)
     cross_kv = precompute_cross_kv(unet_params, cfg.unet_config(), ctx2)
 
     def step(lat, inp):
@@ -198,7 +233,8 @@ def diffuse_latent(
             lat = jnp.where(mask, lat, noised_ref)
 
         eps = _cfg_eps(unet_params, cfg, lat, t, ctx2, ch2, guidance_scale,
-                       compute_dtype, cross_kv, alpha)
+                       compute_dtype, cross_kv, alpha,
+                       use_cfg=use_cfg, guidance_rescale=guidance_rescale)
         sqrt_noise = jnp.sqrt(1.0 - alpha)
         x0 = (lat - eps * sqrt_noise) / jnp.sqrt(alpha)
         lat = x0 * jnp.sqrt(alpha_prev) + eps * jnp.sqrt(1.0 - alpha_prev)
@@ -235,7 +271,7 @@ def k_timesteps(step_start: int, n_steps: int, n_train: int) -> np.ndarray:
     jax.jit,
     static_argnames=(
         "cfg", "method", "step_start", "n_steps", "compute_dtype", "inpaint",
-        "schedule",
+        "schedule", "use_cfg", "guidance_rescale",
     ),
     donate_argnames=("latent",),
 )
@@ -255,6 +291,8 @@ def k_diffuse_latent(
     mask: Optional[jnp.ndarray] = None,
     key: Optional[jax.Array] = None,
     schedule: str = "linear",
+    use_cfg: bool = True,
+    guidance_rescale: float = 0.0,
 ) -> jnp.ndarray:
     """k-diffusion samplers over the same ᾱ table the DDIM path uses.
 
@@ -320,7 +358,7 @@ def k_diffuse_latent(
     else:
         keys = jnp.zeros((ts.shape[0], 2), dtype=jnp.uint32)
 
-    ctx2, ch2 = _cfg_contexts(cfg, cond, compute_dtype)
+    ctx2, ch2 = _cfg_contexts(cfg, cond, compute_dtype, use_cfg)
     cross_kv = precompute_cross_kv(unet_params, cfg.unet_config(), ctx2)
 
     sig, sig_next = sigmas[:-1], sigmas[1:]
@@ -337,7 +375,8 @@ def k_diffuse_latent(
         scaled = lat / jnp.sqrt(sigma**2 + 1.0)
         # in sigma space a-bar = 1/(sigma^2+1); needed for v-prediction
         eps = _cfg_eps(unet_params, cfg, scaled, t, ctx2, ch2, guidance_scale,
-                       compute_dtype, cross_kv, 1.0 / (sigma**2 + 1.0))
+                       compute_dtype, cross_kv, 1.0 / (sigma**2 + 1.0),
+                       use_cfg=use_cfg, guidance_rescale=guidance_rescale)
         denoised = lat - sigma * eps
 
         if method == "euler":
@@ -391,6 +430,8 @@ def euler_sample_latent(
     reference: Optional[jnp.ndarray] = None,
     mask: Optional[jnp.ndarray] = None,
     schedule: str = "linear",
+    use_cfg: bool = True,
+    guidance_rescale: float = 0.0,
 ) -> jnp.ndarray:
     """txt2img (+ optional inpainting) with a k-diffusion sampler."""
     noise_key, inpaint_key = jax.random.split(key)
@@ -402,11 +443,13 @@ def euler_sample_latent(
             unet_params, cfg, alphas_cumprod, latent, cond, guidance_scale,
             method, 0, n_steps, compute_dtype,
             inpaint=True, reference=reference, mask=mask, key=inpaint_key,
-            schedule=schedule,
+            schedule=schedule, use_cfg=use_cfg,
+            guidance_rescale=guidance_rescale,
         )
     return k_diffuse_latent(
         unet_params, cfg, alphas_cumprod, latent, cond, guidance_scale,
         method, 0, n_steps, compute_dtype, schedule=schedule,
+        use_cfg=use_cfg, guidance_rescale=guidance_rescale,
     )
 
 
@@ -423,6 +466,8 @@ def k_refine_latent(
     compute_dtype=jnp.bfloat16,
     method: str = "euler",
     schedule: str = "linear",
+    use_cfg: bool = True,
+    guidance_rescale: float = 0.0,
 ) -> jnp.ndarray:
     """Refiner/img2img re-noise in sigma space: x = latent + σ_start·noise,
     then run the schedule tail (k-space analogue of mod.rs:355-376)."""
@@ -434,6 +479,7 @@ def k_refine_latent(
     return k_diffuse_latent(
         unet_params, cfg, alphas_cumprod, noised, cond, guidance_scale,
         method, step_start, n_steps, compute_dtype, schedule=schedule,
+        use_cfg=use_cfg, guidance_rescale=guidance_rescale,
     )
 
 
@@ -456,6 +502,8 @@ def sample_latent(
     compute_dtype=jnp.bfloat16,
     reference: Optional[jnp.ndarray] = None,
     mask: Optional[jnp.ndarray] = None,
+    use_cfg: bool = True,
+    guidance_rescale: float = 0.0,
 ) -> jnp.ndarray:
     """txt2img (+ optional latent-mask inpainting) (mod.rs:316-353)."""
     noise_key, inpaint_key = jax.random.split(key)
@@ -465,10 +513,12 @@ def sample_latent(
             unet_params, cfg, alphas_cumprod, latent, cond, guidance_scale,
             0, n_steps, compute_dtype,
             inpaint=True, reference=reference, mask=mask, key=inpaint_key,
+            use_cfg=use_cfg, guidance_rescale=guidance_rescale,
         )
     return diffuse_latent(
         unet_params, cfg, alphas_cumprod, latent, cond, guidance_scale,
         0, n_steps, compute_dtype,
+        use_cfg=use_cfg, guidance_rescale=guidance_rescale,
     )
 
 
@@ -483,6 +533,8 @@ def refine_latent(
     step_start: int = 800,
     n_steps: int = 30,
     compute_dtype=jnp.bfloat16,
+    use_cfg: bool = True,
+    guidance_rescale: float = 0.0,
 ) -> jnp.ndarray:
     """Refiner stage: re-noise at t = n_train - step_start, run the schedule
     tail (refine_latent, mod.rs:355-376)."""
@@ -496,4 +548,5 @@ def refine_latent(
     return diffuse_latent(
         unet_params, cfg, alphas_cumprod, noised, cond, guidance_scale,
         step_start, n_steps, compute_dtype,
+        use_cfg=use_cfg, guidance_rescale=guidance_rescale,
     )

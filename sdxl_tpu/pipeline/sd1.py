@@ -43,15 +43,26 @@ from .pipeline import SDXLPipeline
 from .sampler import scaled_linear_alphas_cumprod
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "penultimate", "weighted"))
+@functools.partial(jax.jit, static_argnames=("cfg", "penultimate", "weighted",
+                                             "clip_skip"))
 def _sd1_conditioning_program(clip_params, cfg: CLIPConfig, cond_tokens,
                               uncond_tokens, penultimate: bool,
-                              weighted: bool = False, w=None, uw=None):
+                              weighted: bool = False, w=None, uw=None,
+                              clip_skip: int = 0):
+    from ..ops.norms import layernorm_affine
+
     def embed(tokens, wts):
         b, k, n_ctx = tokens.shape
         if penultimate:  # SD 2.x convention: one block early, no final LN
             h = clip_hidden(clip_params, cfg, tokens.reshape(b * k, n_ctx),
-                            cfg.n_layer - 1)
+                            cfg.n_layer - 1 - clip_skip)
+        elif clip_skip:
+            # diffusers clip_skip semantics: earlier hidden, final LN kept
+            h = layernorm_affine(
+                clip_hidden(clip_params, cfg, tokens.reshape(b * k, n_ctx),
+                            cfg.n_layer - clip_skip),
+                **clip_params["layer_norm"],
+            )
         else:
             h = clip_final_hidden(clip_params, cfg,
                                   tokens.reshape(b * k, n_ctx))
@@ -75,6 +86,7 @@ def text_to_conditioning_sd1(
     penultimate: bool = False,
     parse_attention: bool = True,
     max_chunks: int = 4,
+    clip_skip: int = 0,
 ) -> Conditioning:
     from .prompt import batch_weighted_tokens
 
@@ -87,6 +99,7 @@ def text_to_conditioning_sd1(
     ctx, uctx = _sd1_conditioning_program(
         clip_params, cfg, jnp.asarray(ids), jnp.asarray(u_ids), penultimate,
         weighted=weighted, w=jnp.asarray(w), uw=jnp.asarray(uw),
+        clip_skip=clip_skip,
     )
     return Conditioning(
         unconditional_context_full=uctx,
@@ -136,6 +149,7 @@ class SD1Pipeline(SDXLPipeline):
                 resolution,
                 negative_prompt,
                 self.penultimate_hidden,
+                clip_skip=self.clip_skip,
             )
             if profile_stages:
                 fence(cond.context_full)

@@ -81,3 +81,22 @@ def test_cli_inpaint_crop_out(tiny_cli, tmp_path):
     assert rc == 0
     img = np.asarray(Image.open(out + "0.png"))
     assert img.shape == (512, 2048, 3)
+
+
+def test_cli_clip_skip_and_no_cfg(tiny_cli, tmp_path):
+    # out-of-range clip-skip is a clean error (tiny towers are 2/3 layers)
+    rc = tiny_cli.main([
+        "--random-weights", "--prompt", "x",
+        "--output-dir", str(tmp_path / "a_"),
+        "--clip-skip", "99", "--height", "64", "--width", "64",
+        "--n-diffusion-steps", "1",
+    ])
+    assert rc == 1
+    # valid clip-skip + no-cfg + rescale run end-to-end
+    rc = tiny_cli.main([
+        "--random-weights", "--prompt", "a cat",
+        "--output-dir", str(tmp_path / "b_"),
+        "--clip-skip", "0", "--no-cfg", "--guidance-rescale", "0.0",
+        "--height", "64", "--width", "64", "--n-diffusion-steps", "1",
+    ])
+    assert rc == 0
