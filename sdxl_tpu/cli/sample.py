@@ -93,9 +93,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Merge a LoRA safetensors file into the model at load "
                         "time (repeatable; kohya and diffusers/peft key "
                         "formats; default scale 1.0)")
+    p.add_argument("--hires-scale", type=float, default=None,
+                   help="Two-pass hires-fix: sample at --height/--width, "
+                        "bicubic-upscale the latent by this factor, re-noise "
+                        "at --hires-strength and denoise the tail")
+    p.add_argument("--hires-strength", type=float, default=0.3,
+                   help="Re-noise strength for the hires pass (0, 1]")
     p.add_argument("--img2img-strength", type=float, default=None,
                    help="With --reference-img: strength-based img2img "
                         "instead of crop-window inpainting")
+    p.add_argument("--dp", type=int, default=None,
+                   help="Data-parallel mesh axis size (multi-chip; default "
+                        "all devices / --tp)")
+    p.add_argument("--tp", type=int, default=None,
+                   help="Tensor-parallel mesh axis size (multi-chip)")
     p.add_argument("--trace", type=str, default=None,
                    help="Write a jax.profiler trace to this directory")
     p.add_argument("--debug-nans", action="store_true",
@@ -219,6 +230,8 @@ def main(argv=None) -> int:
             print(f"error: failed to load textual-inversion embedding: {e}",
                   file=sys.stderr)
             return 1
+    if args.dp is not None or args.tp is not None:
+        pipe.shard(args.dp, args.tp)
     if args.clip_skip:
         if not 0 <= args.clip_skip < pipe_min_layers(pipe) - 1:
             print(f"error: --clip-skip {args.clip_skip} out of range for "
@@ -228,7 +241,26 @@ def main(argv=None) -> int:
 
     prompts = [args.prompt] * args.batch
 
-    if args.reference_img is not None and args.img2img_strength is not None:
+    if args.hires_scale is not None:
+        if args.reference_img is not None or args.use_refiner:
+            print("error: --hires-scale is a txt2img feature (no "
+                  "--reference-img / --use-refiner)", file=sys.stderr)
+            return 1
+        images = pipe.txt2img_hires(
+            prompts,
+            resolution=(args.height, args.width),
+            hires_scale=args.hires_scale,
+            hires_strength=args.hires_strength,
+            n_steps=args.n_diffusion_steps,
+            guidance_scale=args.unconditional_guidance_scale,
+            seed=args.seed,
+            negative_prompt=args.negative_prompt,
+            sampler=args.sampler,
+            schedule=args.schedule,
+            guidance_rescale=args.guidance_rescale,
+            no_cfg=args.no_cfg,
+        )
+    elif args.reference_img is not None and args.img2img_strength is not None:
         ref = load_images([args.reference_img])
         images = pipe.img2img(
             args.prompt,

@@ -302,6 +302,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sampler", type=str, default="ddim",
                    choices=["ddim", "euler", "dpmpp"])
     p.add_argument("--vae-bf16", action="store_true")
+    p.add_argument("--dp", type=int, default=None,
+                   help="Data-parallel mesh axis size (multi-chip)")
+    p.add_argument("--tp", type=int, default=None,
+                   help="Tensor-parallel mesh axis size (multi-chip)")
     p.add_argument("--no-warmup", action="store_true",
                    help="Skip the compile-at-boot generation")
     return p
@@ -373,6 +377,8 @@ def main(argv=None) -> int:
         pipe.vae_dtype = jnp.bfloat16
     if args.embedding:
         pipe.add_textual_inversions(args.embedding)
+    if args.dp is not None or args.tp is not None:
+        pipe.shard(args.dp, args.tp)
 
     server = GenerationServer(
         pipe,

@@ -74,7 +74,41 @@ class SDXLPipeline:
     # (SDXL default is already the penultimate hidden) — the ecosystem's
     # "clip skip" knob for anime/fine-tuned checkpoints
     clip_skip: int = 0
+    # (data, model) device mesh set by .shard(); None = single device
+    mesh: Optional[object] = None
     timer: StageTimer = field(default_factory=StageTimer)
+
+    def shard(self, n_data: Optional[int] = None,
+              n_model: Optional[int] = None,
+              tensor_parallel: bool = True):
+        """Place the pipeline on a (data, model) device mesh
+        (parallel/mesh.py): transformer linears tensor-parallel over the
+        model axis, batch over the data axis, convs/VAE replicated. XLA
+        GSPMD inserts all ICI collectives; subsequent generation calls
+        shard their conditioning automatically. Returns the mesh."""
+        from ..parallel.mesh import make_mesh, shard_params
+
+        mesh = make_mesh(n_data, n_model)
+        self.mesh = mesh
+        self.unet_params = shard_params(self.unet_params, mesh, tensor_parallel)
+        if self.refiner_params is not None:
+            self.refiner_params = shard_params(
+                self.refiner_params, mesh, tensor_parallel
+            )
+        if self.embedder_params is not None:
+            self.embedder_params = shard_params(
+                self.embedder_params, mesh, tensor_parallel
+            )
+        self.vae_params = shard_params(self.vae_params, mesh, False)
+        log(f"pipeline sharded over mesh {dict(mesh.shape)}")
+        return mesh
+
+    def _shard_cond(self, cond):
+        if self.mesh is None:
+            return cond
+        from ..parallel.mesh import shard_batch
+
+        return shard_batch(cond, self.mesh)
 
     def _decode(self, latent):
         """Chunked VAE decode: identical output, bounded peak memory."""
@@ -186,7 +220,7 @@ class SDXLPipeline:
             prompts, resolution, negative_prompt=negative_prompt,
             profile_stages=profile_stages,
         )
-        cond_half = cond.astype(self.compute_dtype)
+        cond_half = self._shard_cond(cond.astype(self.compute_dtype))
 
         key = jax.random.PRNGKey(seed)
         base_key, refiner_key = jax.random.split(key)
@@ -277,6 +311,94 @@ class SDXLPipeline:
             return images
         return np.asarray(images)
 
+    def txt2img_hires(
+        self,
+        prompts,
+        resolution: Tuple[int, int] = (1024, 1024),
+        hires_scale: float = 2.0,
+        hires_strength: float = 0.3,
+        n_steps: int = 30,
+        guidance_scale: float = 7.5,
+        seed: int = 0,
+        negative_prompt: str = "",
+        device_output: bool = False,
+        sampler: str = "ddim",
+        schedule: str = "linear",
+        guidance_rescale: float = 0.0,
+        no_cfg: bool = False,
+    ) -> np.ndarray:
+        """Two-pass high-resolution generation (hires-fix, capability
+        extension): sample at the trained base resolution, bicubic-upscale
+        the LATENT by hires_scale, then re-noise at hires_strength and
+        denoise the schedule tail at the target size — the standard recipe
+        for >1024² outputs without the repeated-subject artifacts direct
+        high-res sampling causes (SDXL buckets, mod.rs:583-624).
+
+        Latent-space upscale skips the decode/re-encode round trip of the
+        image-space variant; one extra conditioning at the target size
+        carries the correct size/crop micro-conditioning."""
+        h, w = resolution
+        hh = int(round(h * hires_scale / 8.0)) * 8
+        hw = int(round(w * hires_scale / 8.0)) * 8
+        if hires_scale <= 1.0:
+            raise ValueError("hires_scale must be > 1")
+        if not 0.0 < hires_strength <= 1.0:
+            raise ValueError("hires_strength must be in (0, 1]")
+        if sampler not in SAMPLERS:
+            raise ValueError(f"unknown sampler {sampler!r} ({'|'.join(SAMPLERS)})")
+
+        use_cfg = not (no_cfg or guidance_scale == 1.0)
+        common = dict(
+            guidance_scale=guidance_scale, compute_dtype=self.compute_dtype,
+            use_cfg=use_cfg, guidance_rescale=guidance_rescale,
+        )
+        key = jax.random.PRNGKey(seed)
+        base_key, hires_key = jax.random.split(key)
+
+        cond = self._shard_cond(self.conditioning(
+            prompts, resolution, negative_prompt=negative_prompt,
+        ).astype(self.compute_dtype))
+        with self.timer.stage("diffuser"):
+            if sampler in ("euler", "dpmpp"):
+                latent = euler_sample_latent(
+                    self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
+                    cond, base_key, n_steps=n_steps, method=sampler,
+                    schedule=schedule, **common,
+                )
+            else:
+                latent = sample_latent(
+                    self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
+                    cond, base_key, n_steps=n_steps, **common,
+                )
+
+        b = latent.shape[0]
+        up = jax.image.resize(
+            latent.astype(jnp.float32), (b, hh // 8, hw // 8, 4), "cubic"
+        )
+        cond_hi = self._shard_cond(self.conditioning(
+            prompts, (hh, hw), negative_prompt=negative_prompt,
+        ).astype(self.compute_dtype))
+        step_start = int(round((1.0 - hires_strength) * 1000))
+        with self.timer.stage("hires"):
+            if sampler in ("euler", "dpmpp"):
+                latent = k_refine_latent(
+                    self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
+                    up, cond_hi, hires_key, step_start=step_start,
+                    n_steps=n_steps, method=sampler, schedule=schedule,
+                    **common,
+                )
+            else:
+                latent = refine_latent(
+                    self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
+                    up, cond_hi, hires_key, step_start=step_start,
+                    n_steps=n_steps, **common,
+                )
+
+        with self.timer.stage("vae_decode"):
+            images = self._decode(latent)
+            fence(images)
+        return images if device_output else np.asarray(images)
+
     def img2img(
         self,
         prompts,
@@ -302,10 +424,10 @@ class SDXLPipeline:
         if not 0.0 < strength <= 1.0:
             raise ValueError("strength must be in (0, 1]")
         _, height, width, _ = reference_images.shape
-        cond = self.conditioning(
+        cond = self._shard_cond(self.conditioning(
             [prompts] if isinstance(prompts, str) else prompts,
             (height, width), negative_prompt=negative_prompt,
-        ).astype(self.compute_dtype)
+        ).astype(self.compute_dtype))
 
         with self.timer.stage("vae_encode"):
             latent = encode_images_to_latent(

@@ -128,3 +128,30 @@ def test_dp_tp_unet_matches_with_fused_qkv_and_cross_kv():
     qkvw = p_sh["input_blocks"][7]["transformer"]["blocks"][0]["attn1"]["qkv"]["w"]
     shard_shapes = {s.data.shape for s in qkvw.addressable_shards}
     assert shard_shapes == {(qkvw.shape[0], qkvw.shape[1] // 4)}
+
+
+def test_sharded_pipeline_matches_single_device(tokenizer_dir):
+    """Pipeline-level .shard(): dp x tp txt2img == unsharded output
+    (the user-facing multi-chip path the --dp/--tp CLI flags drive)."""
+    import jax.numpy as jnp
+
+    from sdxl_tpu.pipeline.pipeline import random_pipeline
+    from tests.test_pipeline_e2e import TINY_DIFFUSER, TINY_EMBEDDER, TINY_VAE
+
+    def build():
+        return random_pipeline(
+            embedder_cfg=TINY_EMBEDDER, diffuser_cfg=TINY_DIFFUSER,
+            vae_cfg=TINY_VAE, compute_dtype=jnp.float32,
+            param_dtype_unet=jnp.float32, tokenizer_dir=tokenizer_dir,
+        )
+
+    kw = dict(resolution=(64, 64), n_steps=2, seed=11)
+    ref = build().txt2img(["a crab"] * 4, **kw)
+
+    pipe = build()
+    mesh = pipe.shard(n_data=2, n_model=4)
+    assert dict(mesh.shape) == {"data": 2, "model": 4}
+    out = pipe.txt2img(["a crab"] * 4, **kw)
+    assert out.shape == ref.shape
+    # u8 quantization: allow off-by-one pixels from f32 reduction reorders
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1

@@ -141,3 +141,27 @@ def test_negative_prompt_changes_output(pipe):
                        negative_prompt="blurry, deformed")
     assert base.shape == neg.shape
     assert not np.array_equal(base, neg)
+
+
+@pytest.mark.parametrize("sampler", ["ddim", "dpmpp"])
+def test_txt2img_hires_two_pass(pipe, sampler):
+    """Hires-fix: base sample at 64, latent-upscaled tail at 128."""
+    img = pipe.txt2img_hires(
+        "a crab", resolution=(64, 64), hires_scale=2.0, hires_strength=0.4,
+        n_steps=2, seed=5, sampler=sampler,
+    )
+    assert img.shape == (1, 128, 128, 3) and img.dtype == np.uint8
+    assert np.isfinite(img.astype(np.float64)).all()
+    # deterministic
+    img2 = pipe.txt2img_hires(
+        "a crab", resolution=(64, 64), hires_scale=2.0, hires_strength=0.4,
+        n_steps=2, seed=5, sampler=sampler,
+    )
+    np.testing.assert_array_equal(img, img2)
+
+
+def test_txt2img_hires_validation(pipe):
+    with pytest.raises(ValueError, match="hires_scale"):
+        pipe.txt2img_hires("x", resolution=(64, 64), hires_scale=1.0)
+    with pytest.raises(ValueError, match="hires_strength"):
+        pipe.txt2img_hires("x", resolution=(64, 64), hires_strength=0.0)
