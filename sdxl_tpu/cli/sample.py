@@ -43,7 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Controls the strength of the adherence to the prompt")
     p.add_argument("--n-diffusion-steps", "-steps", type=int, default=30,
                    help="Number of diffusion iterations")
-    p.add_argument("--prompt", "-pr", type=str, required=True)
+    p.add_argument("--prompt", "-pr", type=str, required=True,
+                   action="append",
+                   help="Prompt; repeatable for distinct prompts in one "
+                        "batched run (with --batch N, a single prompt is "
+                        "replicated N times)")
     p.add_argument("--output-dir", "-od", type=str, required=True,
                    help="Prefix for the image outputs ({output_dir}{i}.png)")
     # --- additions over the reference ---
@@ -239,7 +243,12 @@ def main(argv=None) -> int:
             return 1
         pipe.clip_skip = args.clip_skip
 
-    prompts = [args.prompt] * args.batch
+    if len(args.prompt) > 1 and args.batch != 1:
+        print("error: use either repeated --prompt or --batch, not both",
+              file=sys.stderr)
+        return 1
+    prompts = (args.prompt if len(args.prompt) > 1
+               else [args.prompt[0]] * args.batch)
 
     if args.hires_scale is not None:
         if args.reference_img is not None or args.use_refiner:
@@ -263,7 +272,7 @@ def main(argv=None) -> int:
     elif args.reference_img is not None and args.img2img_strength is not None:
         ref = load_images([args.reference_img])
         images = pipe.img2img(
-            args.prompt,
+            args.prompt[0],
             ref,
             strength=args.img2img_strength,
             n_steps=args.n_diffusion_steps,
@@ -313,7 +322,18 @@ def main(argv=None) -> int:
     if args.trace:
         jax.profiler.stop_trace()
 
-    paths = save_images(np.asarray(images), args.output_dir)
+    meta = {
+        "parameters": (
+            f"{' | '.join(dict.fromkeys(prompts))}\n"
+            f"Negative prompt: {args.negative_prompt}\n"
+            f"Steps: {args.n_diffusion_steps}, Sampler: {args.sampler}"
+            f"{' Karras' if args.schedule == 'karras' else ''}, "
+            f"CFG scale: {args.unconditional_guidance_scale}, "
+            f"Seed: {args.seed}, Size: {args.width}x{args.height}, "
+            f"Model: {args.model_dir or 'random'}, Backend: sdxl-tpu"
+        ),
+    }
+    paths = save_images(np.asarray(images), args.output_dir, metadata=meta)
     log(f"saved: {paths}")
     log(pipe.timer.summary())
     total = pipe.timer.total()

@@ -24,11 +24,23 @@ def load_images(paths: Sequence[str]) -> np.ndarray:
     return np.stack(imgs)
 
 
-def save_images(images: np.ndarray, basepath: str) -> List[str]:
-    """Save [N, H, W, 3] uint8 as {basepath}{i}.png (sample/main.rs:341-348)."""
+def save_images(images: np.ndarray, basepath: str,
+                metadata: dict | None = None) -> List[str]:
+    """Save [N, H, W, 3] uint8 as {basepath}{i}.png (sample/main.rs:341-348).
+
+    metadata (capability extension): generation parameters embedded as a
+    PNG tEXt chunk under the A1111-convention key "parameters" plus one
+    chunk per extra key — reproducibility travels with the file."""
+    pnginfo = None
+    if metadata:
+        from PIL.PngImagePlugin import PngInfo
+
+        pnginfo = PngInfo()
+        for k, v in metadata.items():
+            pnginfo.add_text(str(k), str(v))
     out = []
     for i, img in enumerate(np.asarray(images)):
         path = f"{basepath}{i}.png"
-        Image.fromarray(img, mode="RGB").save(path)
+        Image.fromarray(img, mode="RGB").save(path, pnginfo=pnginfo)
         out.append(path)
     return out

@@ -100,3 +100,30 @@ def test_cli_clip_skip_and_no_cfg(tiny_cli, tmp_path):
         "--height", "64", "--width", "64", "--n-diffusion-steps", "1",
     ])
     assert rc == 0
+
+
+def test_cli_multi_prompt_and_png_metadata(tiny_cli, tmp_path):
+    out = str(tmp_path / "multi_")
+    rc = tiny_cli.main([
+        "--random-weights",
+        "--prompt", "a cat", "--prompt", "a dog",
+        "--output-dir", out,
+        "--n-diffusion-steps", "1", "--height", "64", "--width", "64",
+        "--seed", "7",
+    ])
+    assert rc == 0
+    from PIL import Image
+
+    im0, im1 = Image.open(out + "0.png"), Image.open(out + "1.png")
+    assert im0.size == (64, 64)
+    # distinct prompts produce distinct images in one batch
+    assert np.asarray(im0).tolist() != np.asarray(im1).tolist()
+    # generation parameters travel in the PNG text chunk
+    params = im0.info.get("parameters", "")
+    assert "a cat | a dog" in params and "Seed: 7" in params
+    # --prompt + --batch together is an error
+    rc = tiny_cli.main([
+        "--random-weights", "--prompt", "a", "--prompt", "b",
+        "--batch", "2", "--output-dir", out,
+    ])
+    assert rc == 1
