@@ -82,6 +82,9 @@ class DiffuserConfig:
     # "eps" (SDXL, SD1.x, SD2.x-base) or "v" (SD2.x-768): what the UNet
     # predicts; samplers convert v to eps via eps = sqrt(a)v + sqrt(1-a)x
     prediction_type: str = "eps"
+    # 4 = standard latent UNet (reference, mod.rs:285-295); 9 = inpainting-
+    # specialized models (latent + mask + masked-image latent concat)
+    in_channels: int = 4
 
     def __post_init__(self):
         object.__setattr__(self, "channel_mults", tuple(self.channel_mults))
@@ -89,11 +92,12 @@ class DiffuserConfig:
         object.__setattr__(self, "transformer_levels", tuple(self.transformer_levels))
 
     def unet_config(self) -> UNetConfig:
-        # Diffuser hardwires in/out = 4 latent channels
-        # (stablediffusion/mod.rs:285-295).
+        # The reference hardwires in/out = 4 latent channels
+        # (stablediffusion/mod.rs:285-295); in_channels=9 extends to
+        # inpainting-specialized checkpoints.
         return UNetConfig(
             adm_in_channels=self.adm_in_channels,
-            in_channels=4,
+            in_channels=self.in_channels,
             out_channels=4,
             model_channels=self.model_channels,
             channel_mults=self.channel_mults,

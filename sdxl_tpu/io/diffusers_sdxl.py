@@ -344,9 +344,17 @@ def load_sd1_diffusers_dir(
 ):
     """Load a diffusers-layout SD 1.x/2.x directory (single text encoder,
     no add_embedding). Returns (clip_params | None, unet_params,
-    vae_params, alphas_cumprod | None, vae_scale_factor | None)."""
+    vae_params, alphas_cumprod | None, vae_scale_factor | None,
+    diffuser_cfg) — the cfg comes back with in_channels corrected from the
+    checkpoint's conv_in width (9 for inpainting-specialized models)."""
+    import dataclasses
+
+    unet_tensors = _load_safetensors_dir(os.path.join(model_dir, "unet"))
+    cin = int(unet_tensors["conv_in.weight"].shape[1])
+    if cin != diffuser_cfg.in_channels:
+        diffuser_cfg = dataclasses.replace(diffuser_cfg, in_channels=cin)
     unet = build_unet_from_diffusers(
-        _load_safetensors_dir(os.path.join(model_dir, "unet")),
+        unet_tensors,
         diffuser_cfg.unet_config(),
         unet_dtype,
     )
@@ -384,4 +392,4 @@ def load_sd1_diffusers_dir(
         with open(vae_cfg_path) as f:
             scale = json.load(f).get("scaling_factor")
 
-    return clip, unet, vae, alphas, scale
+    return clip, unet, vae, alphas, scale, diffuser_cfg

@@ -226,7 +226,34 @@ class SDXLPipeline:
         base_key, refiner_key = jax.random.split(key)
 
         reference_latent = None
-        if inpaint_reference is not None:
+        concat_channels = None
+        if inpaint_reference is not None and self.diffuser_cfg.in_channels == 9:
+            # inpainting-specialized UNet (diffusers *-inpainting layout):
+            # instead of pinning re-noised reference latents each step, the
+            # model conditions on [mask, masked-image latent] input channels
+            with self.timer.stage("vae_encode"):
+                m = inpaint_mask[..., :1].astype(jnp.float32)  # 1 = generate
+                px = jnp.repeat(jnp.repeat(m, 8, axis=1), 8, axis=2)
+                ref = jnp.asarray(inpaint_reference).astype(jnp.float32)
+                # masked pixels -> mid-gray (0 in the VAE's [-1, 1] input)
+                masked_px = ref * (1.0 - px) + 127.5 * px
+                masked_latent = encode_images_to_latent(
+                    self.vae_params, self.vae_cfg,
+                    masked_px.astype(jnp.uint8), self.scale_factor,
+                )
+                b = cond.context_full.shape[0]
+                lh, lw = m.shape[1], m.shape[2]
+                concat_channels = jnp.concatenate(
+                    [
+                        jnp.broadcast_to(m, (b, lh, lw, 1)),
+                        jnp.broadcast_to(masked_latent, (b, lh, lw, 4)),
+                    ],
+                    axis=-1,
+                )
+                if profile_stages:
+                    fence(concat_channels)
+            inpaint_mask = None  # the pin path is for 4-channel models
+        elif inpaint_reference is not None:
             with self.timer.stage("vae_encode"):
                 reference_latent = encode_images_to_latent(
                     self.vae_params, self.vae_cfg, jnp.asarray(inpaint_reference),
@@ -253,6 +280,7 @@ class SDXLPipeline:
                     reference=reference_latent, mask=inpaint_mask,
                     schedule=schedule, use_cfg=use_cfg,
                     guidance_rescale=guidance_rescale,
+                    concat_channels=concat_channels,
                 )
             else:
                 latent = sample_latent(
@@ -268,6 +296,7 @@ class SDXLPipeline:
                     mask=inpaint_mask,
                     use_cfg=use_cfg,
                     guidance_rescale=guidance_rescale,
+                    concat_channels=concat_channels,
                 )
             if profile_stages:
                 fence(latent)

@@ -121,7 +121,8 @@ def _cfg_contexts(cfg: DiffuserConfig, cond: Conditioning, compute_dtype,
 
 def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
              guidance_scale, compute_dtype, cross_kv=None, alpha_t=None,
-             use_cfg: bool = True, guidance_rescale: float = 0.0):
+             use_cfg: bool = True, guidance_rescale: float = 0.0,
+             concat=None):
     """One guided epsilon prediction (forward_diffuser, mod.rs:494-541).
 
     For prediction_type="v" (SD 2.x-768) the raw output is converted to
@@ -130,6 +131,10 @@ def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
     preserving x_t the model was trained on, `alpha_t` its a-bar.
 
     use_cfg=False runs the conditional branch only (see _cfg_contexts).
+    concat: extra scan-invariant input channels for inpainting-specialized
+    UNets (in_channels=9: [mask, masked-image latent], already CFG-doubled
+    by the caller) appended to the model input but never to the latent the
+    update rules see.
     guidance_rescale > 0 applies the std-matching correction of Lin et al.
     2023 (arXiv:2305.08891 eq. 15-16) to the guided epsilon — fixes the
     over-saturation high CFG scales cause, essential for v-prediction
@@ -152,16 +157,22 @@ def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
 
     if not use_cfg:  # conditional branch only
         t_vec = jnp.broadcast_to(t, (n_batch,))
+        x_in = latent.astype(compute_dtype)
+        if concat is not None:
+            x_in = jnp.concatenate([x_in, concat.astype(compute_dtype)], -1)
         raw = unet_forward(
-            unet_params, ucfg, latent.astype(compute_dtype), t_vec, ctx2, ch2,
+            unet_params, ucfg, x_in, t_vec, ctx2, ch2,
             cross_kv=cross_kv,
         ).astype(jnp.float32)
         return to_eps(raw, latent.astype(jnp.float32))
 
     # pair-batched CFG: [uncond | cond] in one UNet call
     x2 = jnp.concatenate([latent, latent], axis=0).astype(compute_dtype)
+    x_in = x2
+    if concat is not None:
+        x_in = jnp.concatenate([x_in, concat.astype(compute_dtype)], -1)
     t2 = jnp.broadcast_to(t, (2 * n_batch,))
-    raw2 = unet_forward(unet_params, ucfg, x2, t2, ctx2, ch2,
+    raw2 = unet_forward(unet_params, ucfg, x_in, t2, ctx2, ch2,
                         cross_kv=cross_kv).astype(jnp.float32)
     eps2 = to_eps(raw2, x2.astype(jnp.float32))
     eps_u, eps_c = jnp.split(eps2, 2, axis=0)
@@ -197,8 +208,12 @@ def diffuse_latent(
     key: Optional[jax.Array] = None,
     use_cfg: bool = True,
     guidance_rescale: float = 0.0,
+    concat_channels: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """DDIM loop as one lax.scan (diffuse_latent, mod.rs:390-483)."""
+    """DDIM loop as one lax.scan (diffuse_latent, mod.rs:390-483).
+
+    concat_channels [B,h,w,5]: mask + masked-image latent for
+    inpainting-specialized UNets (DiffuserConfig.in_channels == 9)."""
     # DDPM table length comes from the table itself; DiffuserConfig.n_steps
     # must agree (a loaded .cfg with a different table length is honored,
     # a mismatched one is an error rather than silently ignored).
@@ -224,6 +239,9 @@ def diffuse_latent(
     # cross-attention K/V projection of the fixed context
     ctx2, ch2 = _cfg_contexts(cfg, cond, compute_dtype, use_cfg)
     cross_kv = precompute_cross_kv(unet_params, cfg.unet_config(), ctx2)
+    cc = concat_channels
+    if cc is not None and use_cfg and not cfg.is_refiner:
+        cc = jnp.concatenate([cc, cc], axis=0)
 
     def step(lat, inp):
         t, alpha, alpha_prev, k = inp
@@ -234,7 +252,8 @@ def diffuse_latent(
 
         eps = _cfg_eps(unet_params, cfg, lat, t, ctx2, ch2, guidance_scale,
                        compute_dtype, cross_kv, alpha,
-                       use_cfg=use_cfg, guidance_rescale=guidance_rescale)
+                       use_cfg=use_cfg, guidance_rescale=guidance_rescale,
+                       concat=cc)
         sqrt_noise = jnp.sqrt(1.0 - alpha)
         x0 = (lat - eps * sqrt_noise) / jnp.sqrt(alpha)
         lat = x0 * jnp.sqrt(alpha_prev) + eps * jnp.sqrt(1.0 - alpha_prev)
@@ -293,6 +312,7 @@ def k_diffuse_latent(
     schedule: str = "linear",
     use_cfg: bool = True,
     guidance_rescale: float = 0.0,
+    concat_channels: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """k-diffusion samplers over the same ᾱ table the DDIM path uses.
 
@@ -360,6 +380,9 @@ def k_diffuse_latent(
 
     ctx2, ch2 = _cfg_contexts(cfg, cond, compute_dtype, use_cfg)
     cross_kv = precompute_cross_kv(unet_params, cfg.unet_config(), ctx2)
+    cc = concat_channels
+    if cc is not None and use_cfg and not cfg.is_refiner:
+        cc = jnp.concatenate([cc, cc], axis=0)
 
     sig, sig_next = sigmas[:-1], sigmas[1:]
     sig_prev = jnp.concatenate([sigmas[:1], sigmas[:-2]])  # sig[i-1]; dummy @0
@@ -376,7 +399,8 @@ def k_diffuse_latent(
         # in sigma space a-bar = 1/(sigma^2+1); needed for v-prediction
         eps = _cfg_eps(unet_params, cfg, scaled, t, ctx2, ch2, guidance_scale,
                        compute_dtype, cross_kv, 1.0 / (sigma**2 + 1.0),
-                       use_cfg=use_cfg, guidance_rescale=guidance_rescale)
+                       use_cfg=use_cfg, guidance_rescale=guidance_rescale,
+                       concat=cc)
         denoised = lat - sigma * eps
 
         if method == "euler":
@@ -432,6 +456,7 @@ def euler_sample_latent(
     schedule: str = "linear",
     use_cfg: bool = True,
     guidance_rescale: float = 0.0,
+    concat_channels: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """txt2img (+ optional inpainting) with a k-diffusion sampler."""
     noise_key, inpaint_key = jax.random.split(key)
@@ -445,11 +470,13 @@ def euler_sample_latent(
             inpaint=True, reference=reference, mask=mask, key=inpaint_key,
             schedule=schedule, use_cfg=use_cfg,
             guidance_rescale=guidance_rescale,
+            concat_channels=concat_channels,
         )
     return k_diffuse_latent(
         unet_params, cfg, alphas_cumprod, latent, cond, guidance_scale,
         method, 0, n_steps, compute_dtype, schedule=schedule,
         use_cfg=use_cfg, guidance_rescale=guidance_rescale,
+        concat_channels=concat_channels,
     )
 
 
@@ -504,6 +531,7 @@ def sample_latent(
     mask: Optional[jnp.ndarray] = None,
     use_cfg: bool = True,
     guidance_rescale: float = 0.0,
+    concat_channels: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """txt2img (+ optional latent-mask inpainting) (mod.rs:316-353)."""
     noise_key, inpaint_key = jax.random.split(key)
@@ -514,11 +542,13 @@ def sample_latent(
             0, n_steps, compute_dtype,
             inpaint=True, reference=reference, mask=mask, key=inpaint_key,
             use_cfg=use_cfg, guidance_rescale=guidance_rescale,
+            concat_channels=concat_channels,
         )
     return diffuse_latent(
         unet_params, cfg, alphas_cumprod, latent, cond, guidance_scale,
         0, n_steps, compute_dtype,
         use_cfg=use_cfg, guidance_rescale=guidance_rescale,
+        concat_channels=concat_channels,
     )
 
 

@@ -172,7 +172,7 @@ def load_sd1_pipeline(
     from ..models.unet import fuse_unet_qkv
 
     log(f"loading SD1.x diffusers checkpoint from {model_dir}")
-    clip, unet, vae, alphas, scale = load_sd1_diffusers_dir(
+    clip, unet, vae, alphas, scale, diffuser_cfg = load_sd1_diffusers_dir(
         model_dir, diffuser_cfg, clip_cfg, compute_dtype
     )
     if clip is None:

@@ -165,3 +165,39 @@ def test_txt2img_hires_validation(pipe):
         pipe.txt2img_hires("x", resolution=(64, 64), hires_scale=1.0)
     with pytest.raises(ValueError, match="hires_strength"):
         pipe.txt2img_hires("x", resolution=(64, 64), hires_strength=0.0)
+
+
+def test_inpainting_specialized_9ch_unet(tokenizer_dir):
+    """in_channels=9 models (diffusers *-inpainting): the UNet input is
+    [latent | mask | masked-image latent] instead of the pin path."""
+    import dataclasses
+
+    cfg9 = dataclasses.replace(TINY_DIFFUSER, in_channels=9)
+    pipe = random_pipeline(
+        embedder_cfg=TINY_EMBEDDER, diffuser_cfg=cfg9, vae_cfg=TINY_VAE,
+        compute_dtype=jnp.float32, param_dtype_unet=jnp.float32,
+        tokenizer_dir=tokenizer_dir,
+    )
+    # conv_in really is 9-wide
+    assert pipe.unet_params["input_blocks"][0]["conv"]["w"].shape[2] == 9
+    pipe.strict_resolutions = False  # tiny 64x64 test sizes
+
+    ref = (np.arange(64 * 64 * 3) % 255).reshape(1, 64, 64, 3).astype(np.uint8)
+    for sampler in ("ddim", "euler"):
+        out = pipe.inpaint(
+            "a crab", ref, crop_left=16, crop_right=48, crop_top=16,
+            crop_bottom=48, n_steps=2, seed=4, sampler=sampler,
+        )
+        assert out.shape == (1, 64, 64, 3) and out.dtype == np.uint8
+        assert np.isfinite(out.astype(np.float64)).all()
+    # deterministic
+    a = pipe.inpaint("a crab", ref, crop_left=16, crop_right=48,
+                     crop_top=16, crop_bottom=48, n_steps=2, seed=4)
+    b = pipe.inpaint("a crab", ref, crop_left=16, crop_right=48,
+                     crop_top=16, crop_bottom=48, n_steps=2, seed=4)
+    np.testing.assert_array_equal(a, b)
+    # the mask actually reaches the model: a different crop window changes
+    # the output everywhere (concat channels differ)
+    c = pipe.inpaint("a crab", ref, crop_left=0, crop_right=32,
+                     crop_top=0, crop_bottom=32, n_steps=2, seed=4)
+    assert not np.array_equal(a, c)
