@@ -21,7 +21,10 @@ Endpoints:
   GET  /v1/info     -> config + serving metrics (requests, batches, p50)
   POST /v1/generate -> {"prompt": ..., "width": ..., "height": ...,
                         "steps": ..., "guidance_scale": ..., "seed": ...,
-                        "negative_prompt": ..., "sampler": ...}
+                        "negative_prompt": ..., "sampler": ...,
+                        "schedule": ..., "guidance_rescale": ...}
+  POST /v1/img2img  -> same + {"image": "<base64 png>", "strength": 0.3}
+                       (runs unbatched; resolution follows the image)
      responds {"images": ["<base64 png>", ...], "seed": N, "latency_s": x}
      (or a raw PNG body with Accept: image/png)
 
@@ -67,6 +70,10 @@ class GenRequest:
     prompt: str
     cfg: GenConfig
     seed: int
+    # img2img: reference image [H, W, 3] u8 + re-noise strength; such
+    # requests run alone (no micro-batch fusion)
+    image: Optional[object] = None
+    strength: float = 0.3
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[List[bytes]] = None  # PNG bytes per image
     error: Optional[str] = None
@@ -126,15 +133,16 @@ class GenerationServer:
             except queue.Empty:
                 continue
             batch = [first]
-            # micro-batch window: fuse queued same-config requests
+            # micro-batch window: fuse queued same-config txt2img requests
+            # (img2img runs alone — per-request reference image)
             deadline = time.perf_counter() + self.batch_window_s
-            while len(batch) < self.max_batch:
+            while first.image is None and len(batch) < self.max_batch:
                 remaining = deadline - time.perf_counter()
                 try:
                     nxt = self.queue.get(timeout=max(remaining, 0.0))
                 except queue.Empty:
                     break
-                if nxt.cfg == first.cfg:
+                if nxt.cfg == first.cfg and nxt.image is None:
                     batch.append(nxt)
                 else:  # different config: run it in its own next batch
                     self.queue.put(nxt)
@@ -147,17 +155,31 @@ class GenerationServer:
         try:
             import numpy as np
 
-            images = self.pipe.txt2img(
-                [r.prompt for r in batch],
-                resolution=(cfg.height, cfg.width),
-                n_steps=cfg.steps,
-                guidance_scale=cfg.guidance_scale,
-                seed=batch[0].seed,
-                negative_prompt=cfg.negative_prompt,
-                sampler=cfg.sampler,
-                schedule=cfg.schedule,
-                guidance_rescale=cfg.guidance_rescale,
-            )
+            if batch[0].image is not None:
+                images = self.pipe.img2img(
+                    batch[0].prompt,
+                    np.asarray(batch[0].image)[None],
+                    strength=batch[0].strength,
+                    n_steps=cfg.steps,
+                    guidance_scale=cfg.guidance_scale,
+                    seed=batch[0].seed,
+                    negative_prompt=cfg.negative_prompt,
+                    sampler=cfg.sampler,
+                    schedule=cfg.schedule,
+                    guidance_rescale=cfg.guidance_rescale,
+                )
+            else:
+                images = self.pipe.txt2img(
+                    [r.prompt for r in batch],
+                    resolution=(cfg.height, cfg.width),
+                    n_steps=cfg.steps,
+                    guidance_scale=cfg.guidance_scale,
+                    seed=batch[0].seed,
+                    negative_prompt=cfg.negative_prompt,
+                    sampler=cfg.sampler,
+                    schedule=cfg.schedule,
+                    guidance_rescale=cfg.guidance_rescale,
+                )
             images = np.asarray(images)
             dt = time.perf_counter() - t0
             for i, r in enumerate(batch):
@@ -225,7 +247,7 @@ def make_handler(server: GenerationServer):
                 self._json(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
-            if self.path != "/v1/generate":
+            if self.path not in ("/v1/generate", "/v1/img2img"):
                 self._json(404, {"error": f"unknown path {self.path}"})
                 return
             try:
@@ -250,11 +272,25 @@ def make_handler(server: GenerationServer):
                     ),
                 )
                 seed = int(payload.get("seed", 0))
+                image = None
+                strength = 0.3
+                if self.path == "/v1/img2img":
+                    import numpy as np
+                    from PIL import Image
+
+                    raw = base64.b64decode(payload["image"])
+                    image = np.asarray(
+                        Image.open(io.BytesIO(raw)).convert("RGB"),
+                        dtype=np.uint8,
+                    )
+                    strength = float(payload.get("strength", 0.3))
             except (KeyError, ValueError, json.JSONDecodeError) as e:
                 self._json(400, {"error": f"bad request: {e}"})
                 return
 
-            req = server.submit(GenRequest(prompt, cfg, seed))
+            req = server.submit(
+                GenRequest(prompt, cfg, seed, image=image, strength=strength)
+            )
             if req.error:
                 self._json(500, {"error": req.error})
                 return

