@@ -278,10 +278,18 @@ def load_sdxl_diffusers_dir(
     """Load a diffusers-layout SDXL directory.
 
     Returns (embedder_params | None, unet_params, vae_params,
-    alphas_cumprod | None, vae_scale_factor | None).
+    alphas_cumprod | None, vae_scale_factor | None, diffuser_cfg) — the
+    cfg comes back with in_channels corrected from the checkpoint's
+    conv_in width (9 for inpainting-specialized models).
     """
+    import dataclasses
+
+    unet_tensors = _load_safetensors_dir(os.path.join(model_dir, "unet"))
+    cin = int(unet_tensors["conv_in.weight"].shape[1])
+    if cin != diffuser_cfg.in_channels:
+        diffuser_cfg = dataclasses.replace(diffuser_cfg, in_channels=cin)
     unet = build_unet_from_diffusers(
-        _load_safetensors_dir(os.path.join(model_dir, "unet")),
+        unet_tensors,
         diffuser_cfg.unet_config(),
         unet_dtype,
     )
@@ -333,7 +341,7 @@ def load_sdxl_diffusers_dir(
         with open(vae_cfg_path) as f:
             scale = json.load(f).get("scaling_factor")
 
-    return embedder, unet, vae, alphas, scale
+    return embedder, unet, vae, alphas, scale, diffuser_cfg
 
 
 def load_sd1_diffusers_dir(

@@ -106,7 +106,7 @@ def load_pipeline(
 
         e_cfg = SDXL_EMBEDDER
         d_cfg = SDXL_BASE_DIFFUSER
-        e_params, unet, vae, alphas_np, scale = load_sdxl_diffusers_dir(
+        e_params, unet, vae, alphas_np, scale, d_cfg = load_sdxl_diffusers_dir(
             model_dir, d_cfg, e_cfg, compute_dtype
         )
         if e_params is None:
