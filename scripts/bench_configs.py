@@ -62,6 +62,37 @@ def main():
 
     init_compilation_cache()
 
+    # ---- base + refiner two-stage FIRST, in its own process (~13.4 GB
+    # params): it needs a clean chip; running it after group A leaves
+    # this process's executables resident and OOMs the subprocess ----
+    import subprocess
+
+    # FULLY stage-scoped, exactly like the reference (sample/main.rs:
+    # 217-278 loads each stage in a scope and drops it before the next):
+    # embedder -> drop -> base scan -> swap base for refiner -> refiner
+    # scan -> drop -> decode; the stages are strictly sequential so the
+    # summed stage times ARE the e2e latency. Holding base+refiner
+    # together (9.8 GB) no longer leaves the ~6 GB of scan workspace this
+    # chip currently has free (r1 fit 13.4 GB resident — the tunnel chip
+    # appears to carry a co-tenant now; memory_stats() is unavailable
+    # through it), and the reference's own flow never holds both either.
+    code = 'import sys, time, gc\nsys.path.insert(0, \'.\')\nfrom sdxl_tpu.utils.cache import init_compilation_cache\ninit_compilation_cache()\nimport jax, jax.numpy as jnp\nfrom sdxl_tpu.configs import SDXL_BASE_DIFFUSER, SDXL_REFINER_DIFFUSER\nfrom sdxl_tpu.models.unet import fuse_unet_qkv, init_unet\nfrom sdxl_tpu.pipeline.pipeline import random_pipeline\nfrom sdxl_tpu.pipeline.sampler import refine_latent, sample_latent\nfrom sdxl_tpu.utils.sync import fence\n\ndef stage(msg):\n    print(f"[probe] {msg}", flush=True)\n\nstage("init base-only pipeline")\npipe = random_pipeline()  # embedder + base unet + vae\ncond = pipe.conditioning([\'an astronaut riding a horse\'], (1024, 1024),\n                         profile_stages=False).astype(pipe.compute_dtype)\npipe.embedder_params = None; gc.collect()\n\nstage("base warm")\ndef base(seed):\n    lat = sample_latent(pipe.unet_params, pipe.diffuser_cfg,\n                        pipe.alphas_cumprod, cond, jax.random.PRNGKey(seed),\n                        7.5, 30, pipe.compute_dtype)\n    fence(lat); return lat\nbase(0)\nstage("base timed")\nt0 = time.perf_counter(); lat = base(1); t_base = time.perf_counter() - t0\nstage(f"base {t_base:.3f}s; swap base -> refiner")\nalphas = pipe.alphas_cumprod\nvae_params, vae_cfg, scale, vdt = (pipe.vae_params, pipe.vae_cfg,\n                                   pipe.scale_factor, pipe.vae_dtype)\ndecode_chunk = pipe.vae_decode_chunk\ncompute_dtype = pipe.compute_dtype\npipe.unet_params = None; del pipe; gc.collect()\n\nj_unet = jax.jit(init_unet, static_argnums=(1, 2))\nref_params = jax.jit(fuse_unet_qkv)(\n    j_unet(jax.random.PRNGKey(3), SDXL_REFINER_DIFFUSER.unet_config(),\n           jnp.bfloat16))\nfence(jax.tree_util.tree_leaves(ref_params)[0])\n\nstage("refiner warm")\ndef refine(x, seed):\n    out = refine_latent(ref_params, SDXL_REFINER_DIFFUSER, alphas, x, cond,\n                        jax.random.PRNGKey(seed), 7.5, 800, 30, compute_dtype)\n    fence(out); return out\nrefine(lat, 7)\nstage("refiner timed")\nt0 = time.perf_counter(); lat2 = refine(lat, 2); t_ref = time.perf_counter() - t0\nstage(f"refiner {t_ref:.3f}s; drop refiner; decode")\nref_params = None; gc.collect()\n\nfrom sdxl_tpu.pipeline.latent import decode_latent_to_images\ndef dec():\n    fence(decode_latent_to_images(vae_params, vae_cfg, lat2, scale, vdt))\ndec()\nt0 = time.perf_counter(); dec(); t_dec = time.perf_counter() - t0\nprint(\'REFINER_S\', round(t_base + t_ref + t_dec, 3),\n      \'base\', round(t_base, 3), \'ref\', round(t_ref, 3),\n      \'dec\', round(t_dec, 3), flush=True)\n'
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=1800,
+        )
+        found = False
+        for line in out.stdout.splitlines():
+            if line.startswith("REFINER_S"):
+                record("base_plus_refiner_30steps_s", float(line.split()[1]))
+                found = True
+        if not found:
+            record("base_plus_refiner_30steps_s",
+                   f"ERROR: {out.stderr.strip()[-150:]}")
+    except Exception as e:
+        record("base_plus_refiner_30steps_s", f"ERROR: {e}")
+
     import numpy as np
 
     from sdxl_tpu.pipeline.pipeline import random_pipeline
@@ -129,40 +160,6 @@ def main():
 
     del pipe, cond8
     gc.collect()
-
-    # ---- group B: base + refiner two-stage (own process: ~13.4 GB params) ---
-    import subprocess
-
-    code = (
-        "import sys,time,json; sys.path.insert(0, '.')\n"
-        "from sdxl_tpu.utils.cache import init_compilation_cache\n"
-        "init_compilation_cache()\n"
-        "from sdxl_tpu.configs import SDXL_REFINER_DIFFUSER\n"
-        "from sdxl_tpu.pipeline.pipeline import random_pipeline\n"
-        "pipe = random_pipeline(refiner_cfg=SDXL_REFINER_DIFFUSER)\n"
-        "kw = dict(resolution=(1024,1024), guidance_scale=7.5,"
-        " device_output=True, profile_stages=False, use_refiner=True,"
-        " n_steps=30)\n"
-        "pipe.txt2img('an astronaut riding a horse', seed=0, **kw)\n"
-        "t0=time.perf_counter();"
-        " pipe.txt2img('an astronaut riding a horse', seed=1, **kw);"
-        " print('REFINER_S', round(time.perf_counter()-t0, 3))\n"
-    )
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True,
-            timeout=1800,
-        )
-        found = False
-        for line in out.stdout.splitlines():
-            if line.startswith("REFINER_S"):
-                record("base_plus_refiner_30steps_s", float(line.split()[1]))
-                found = True
-        if not found:
-            record("base_plus_refiner_30steps_s",
-                   f"ERROR: {out.stderr.strip()[-150:]}")
-    except Exception as e:
-        record("base_plus_refiner_30steps_s", f"ERROR: {e}")
 
     print(json.dumps(RESULTS))
 
