@@ -279,11 +279,22 @@ def karras_sigmas(sigma_min: float, sigma_max: float, n: int,
 def k_timesteps(step_start: int, n_steps: int, n_train: int) -> np.ndarray:
     """diffusers-style linearly spaced timesteps, high -> low (static).
 
-    step_start > 0 restricts the schedule to the tail [0, n_train-step_start),
-    mirroring the DDIM schedule's refiner handoff semantics (mod.rs:400-406).
+    step_start > 0 keeps the GLOBAL n_steps spacing and slices the tail
+    below the handoff — the refiner/img2img runs ~n_steps*(tail/n_train)
+    UNet evals, the same step DENSITY as txt2img. This matches both the
+    reference's DDIM handoff (step size stays 1000/n_steps through the
+    refiner window, mod.rs:400-406) and diffusers img2img (which runs
+    strength*num_inference_steps of the full schedule); the previous
+    behavior squeezed all n_steps into the tail, 3-5x the UNet evals for
+    the same nominal step count.
     """
-    hi = n_train - step_start
-    return np.linspace(0, hi - 1, n_steps).round()[::-1].astype(np.int32)
+    ts_full = np.linspace(0, n_train - 1, n_steps).round()[::-1].astype(np.int32)
+    if step_start <= 0:
+        return ts_full
+    ts = ts_full[ts_full < n_train - step_start]
+    if len(ts) == 0:  # degenerate window: at least one denoise step
+        ts = ts_full[-1:]
+    return ts
 
 
 @functools.partial(
@@ -354,7 +365,9 @@ def k_diffuse_latent(
         smin = sigmas_full[0]
         smax = sigmas_full[int(lin_ts[0])]
         rho = 7.0
-        ramp = jnp.asarray(np.linspace(0, 1, n_steps, dtype=np.float32))
+        # len(lin_ts) <= n_steps when step_start truncates the schedule:
+        # the karras spacing covers the same (shortened) step budget
+        ramp = jnp.asarray(np.linspace(0, 1, len(lin_ts), dtype=np.float32))
         sig_k = (
             smax ** (1 / rho) + ramp * (smin ** (1 / rho) - smax ** (1 / rho))
         ) ** rho

@@ -156,3 +156,38 @@ def test_karras_refine_tail_and_ddim_rejection():
         k_diffuse_latent(params, TINY_BASE, alphas, lat, cond, 7.5,
                          method="euler", n_steps=4, compute_dtype=jnp.float32,
                          schedule="quadratic")
+
+
+def test_k_timesteps_tail_keeps_global_density():
+    """step_start slices the GLOBAL n_steps spacing (diffusers img2img /
+    reference DDIM handoff semantics) instead of squeezing all n_steps
+    into the tail (sampler.k_timesteps)."""
+    from sdxl_tpu.pipeline.sampler import k_timesteps
+
+    full = k_timesteps(0, 30, 1000)
+    assert len(full) == 30 and full[0] == 999 and full[-1] == 0
+    tail = k_timesteps(800, 30, 1000)
+    # ~30 * 200/1000 = 6 evals, all below the handoff, same spacing
+    assert 4 <= len(tail) <= 7
+    assert (tail < 200).all()
+    assert set(tail.tolist()) <= set(full.tolist())
+    # degenerate window still yields one step
+    assert len(k_timesteps(999, 10, 1000)) >= 1
+    # karras path matches the shortened budget (no shape mismatch)
+    import jax
+
+    from tests.test_sampler import TINY_BASE, _cond
+    from sdxl_tpu.models.unet import init_unet
+    from sdxl_tpu.pipeline.sampler import (
+        k_refine_latent,
+        scaled_linear_alphas_cumprod,
+    )
+
+    params = init_unet(jax.random.PRNGKey(0), TINY_BASE.unet_config(),
+                       jnp.float32)
+    alphas = jnp.asarray(scaled_linear_alphas_cumprod())
+    lat = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 4), jnp.float32)
+    out = k_refine_latent(params, TINY_BASE, alphas, lat, _cond(),
+                          jax.random.PRNGKey(1), 7.5, 800, 30, jnp.float32,
+                          method="dpmpp", schedule="karras")
+    assert np.isfinite(np.asarray(out)).all()
