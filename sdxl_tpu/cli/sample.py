@@ -106,6 +106,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--img2img-strength", type=float, default=None,
                    help="With --reference-img: strength-based img2img "
                         "instead of crop-window inpainting")
+    p.add_argument("--preview-every", type=int, default=None,
+                   help="txt2img/ddim: write a cheap latent preview PNG "
+                        "({output_dir}preview_{step}.png) every N steps")
     p.add_argument("--dp", type=int, default=None,
                    help="Data-parallel mesh axis size (multi-chip; default "
                         "all devices / --tp)")
@@ -305,6 +308,13 @@ def main(argv=None) -> int:
             no_cfg=args.no_cfg,
         )
     else:
+        preview_cb = None
+        if args.preview_every:
+            def preview_cb(done, total, rgb):
+                from ..io.images import save_images as _si
+
+                _si(rgb[:1], f"{args.output_dir}preview_{done:03d}_")
+                log(f"preview at step {done}/{total}")
         images = pipe.txt2img(
             prompts,
             resolution=(args.height, args.width),
@@ -317,6 +327,8 @@ def main(argv=None) -> int:
             schedule=args.schedule,
             guidance_rescale=args.guidance_rescale,
             no_cfg=args.no_cfg,
+            preview_every=args.preview_every,
+            preview_callback=preview_cb,
         )
 
     if args.trace:

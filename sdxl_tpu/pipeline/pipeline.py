@@ -76,6 +76,8 @@ class SDXLPipeline:
     clip_skip: int = 0
     # (data, model) device mesh set by .shard(); None = single device
     mesh: Optional[object] = None
+    # latent->RGB preview factors (None = SDXL's; SD1Pipeline overrides)
+    preview_factors: Optional[object] = None
     timer: StageTimer = field(default_factory=StageTimer)
 
     def shard(self, n_data: Optional[int] = None,
@@ -191,8 +193,15 @@ class SDXLPipeline:
         schedule: str = "linear",
         guidance_rescale: float = 0.0,
         no_cfg: bool = False,
+        preview_every: Optional[int] = None,
+        preview_callback=None,
     ) -> np.ndarray:
         """Full pipeline; returns [B, H, W, 3] uint8.
+
+        preview_every=N (ddim only): between every N steps,
+        preview_callback(done, total, rgb_u8) receives a cheap linear-map
+        preview of the current latent (sampler.latent_to_preview). The
+        final image is bit-identical to the unsegmented run.
 
         schedule="karras" applies the Karras rho=7 sigma spacing to the
         euler/dpmpp samplers (invalid with ddim, whose schedule is fixed
@@ -270,9 +279,29 @@ class SDXLPipeline:
                 "schedule is fixed by reference semantics"
             )
         use_cfg = not (no_cfg or guidance_scale == 1.0)
+        if preview_every is not None and sampler != "ddim":
+            raise ValueError("step previews are supported on the ddim path")
 
         with self.timer.stage("diffuser"):
-            if sampler in ("euler", "dpmpp"):
+            if preview_every is not None:
+                from .sampler import diffuse_latent_preview, gen_noise
+
+                # same key split as sample_latent: bit-identical noise
+                noise_key, inpaint_key = jax.random.split(base_key)
+                latent = diffuse_latent_preview(
+                    self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
+                    gen_noise(noise_key, cond_half), cond_half,
+                    guidance_scale, preview_every, preview_callback,
+                    0, n_steps, self.compute_dtype,
+                    inpaint=reference_latent is not None
+                    and inpaint_mask is not None,
+                    reference=reference_latent, mask=inpaint_mask,
+                    key=inpaint_key, use_cfg=use_cfg,
+                    guidance_rescale=guidance_rescale,
+                    concat_channels=concat_channels,
+                    preview_factors=self.preview_factors,
+                )
+            elif sampler in ("euler", "dpmpp"):
                 latent = euler_sample_latent(
                     self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
                     cond_half, base_key, guidance_scale, n_steps,

@@ -593,3 +593,153 @@ def refine_latent(
         step_start, n_steps, compute_dtype,
         use_cfg=use_cfg, guidance_rescale=guidance_rescale,
     )
+
+
+# ---------------------------------------------------------------------------
+# Segmented DDIM with step previews (capability extension)
+# ---------------------------------------------------------------------------
+
+# Cheap latent -> RGB approximations (the standard public preview factors
+# used across SD tooling, e.g. ComfyUI's latent_rgb_factors); a real decode
+# of intermediates would cost a VAE pass per preview.
+SDXL_LATENT_RGB = np.array(
+    [[0.3920, 0.4054, 0.4549],
+     [-0.2634, -0.0196, 0.0653],
+     [0.0568, 0.1687, -0.0755],
+     [-0.3112, -0.2359, -0.2076]], np.float32)
+SD1_LATENT_RGB = np.array(
+    [[0.298, 0.207, 0.208],
+     [0.187, 0.286, 0.173],
+     [-0.158, 0.189, 0.264],
+     [-0.184, -0.271, -0.473]], np.float32)
+
+
+def latent_to_preview(latent, factors: Optional[np.ndarray] = None):
+    """[B,h,w,4] latent -> [B,h,w,3] uint8 preview via a linear map."""
+    f = jnp.asarray(SDXL_LATENT_RGB if factors is None else factors)
+    rgb = latent.astype(jnp.float32) @ f
+    return np.asarray(
+        (jnp.clip((rgb + 1.0) * 127.5, 0, 255)).astype(jnp.uint8)
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "compute_dtype", "inpaint", "use_cfg",
+                     "guidance_rescale"),
+    donate_argnames=("latent",),
+)
+def _ddim_segment(
+    unet_params,
+    cfg: DiffuserConfig,
+    latent: jnp.ndarray,
+    cond: Conditioning,
+    guidance_scale,
+    ts: jnp.ndarray,
+    a_t: jnp.ndarray,
+    a_prev: jnp.ndarray,
+    keys: jnp.ndarray,
+    compute_dtype=jnp.bfloat16,
+    inpaint: bool = False,
+    reference: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+    use_cfg: bool = True,
+    guidance_rescale: float = 0.0,
+    concat_channels: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """One contiguous slice of the DDIM schedule (same step math as
+    diffuse_latent; the schedule arrays are traced inputs so equal-length
+    segments share one executable). Used by diffuse_latent_preview."""
+    ctx2, ch2 = _cfg_contexts(cfg, cond, compute_dtype, use_cfg)
+    cross_kv = precompute_cross_kv(unet_params, cfg.unet_config(), ctx2)
+    cc = concat_channels
+    if cc is not None and use_cfg and not cfg.is_refiner:
+        cc = jnp.concatenate([cc, cc], axis=0)
+    if inpaint:
+        reference = reference.astype(jnp.float32)
+
+    def step(lat, inp):
+        t, alpha, alpha_prev, k = inp
+        if inpaint:
+            noise = jax.random.normal(k, lat.shape, jnp.float32)
+            noised_ref = (reference * jnp.sqrt(alpha)
+                          + noise * jnp.sqrt(1.0 - alpha))
+            lat = jnp.where(mask, lat, noised_ref)
+        eps = _cfg_eps(unet_params, cfg, lat, t, ctx2, ch2, guidance_scale,
+                       compute_dtype, cross_kv, alpha,
+                       use_cfg=use_cfg, guidance_rescale=guidance_rescale,
+                       concat=cc)
+        sqrt_noise = jnp.sqrt(1.0 - alpha)
+        x0 = (lat - eps * sqrt_noise) / jnp.sqrt(alpha)
+        lat = x0 * jnp.sqrt(alpha_prev) + eps * jnp.sqrt(1.0 - alpha_prev)
+        return lat, None
+
+    latent, _ = jax.lax.scan(
+        step, latent.astype(jnp.float32), (ts, a_t, a_prev, keys)
+    )
+    return latent
+
+
+def diffuse_latent_preview(
+    unet_params,
+    cfg: DiffuserConfig,
+    alphas_cumprod: jnp.ndarray,
+    latent: jnp.ndarray,
+    cond: Conditioning,
+    guidance_scale: float,
+    preview_every: int,
+    preview_callback,
+    step_start: int = 0,
+    n_steps: int = 30,
+    compute_dtype=jnp.bfloat16,
+    inpaint: bool = False,
+    reference: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+    key: Optional[jax.Array] = None,
+    use_cfg: bool = True,
+    guidance_rescale: float = 0.0,
+    concat_channels: Optional[jnp.ndarray] = None,
+    preview_factors: Optional[np.ndarray] = None,
+) -> jnp.ndarray:
+    """diffuse_latent, segmented every `preview_every` steps: between
+    segments, `preview_callback(done, total, rgb_u8 [B,h,w,3])` receives a
+    cheap linear-map preview of the current latent. Identical step math
+    and schedule to diffuse_latent — the final latent is bit-equal."""
+    n_train = alphas_cumprod.shape[0]
+    if cfg.n_steps != n_train:
+        raise ValueError(
+            f"DiffuserConfig.n_steps={cfg.n_steps} does not match the "
+            f"alphas_cumprod table length {n_train}"
+        )
+    if preview_every < 1:
+        raise ValueError("preview_every must be >= 1")
+    step_size = n_train // n_steps
+    ts = ddim_timesteps(step_start, n_steps, n_train)
+    a_t = np.asarray(alphas_cumprod)[ts]
+    a_prev = np.where(ts >= step_size,
+                      np.asarray(alphas_cumprod)[np.maximum(ts - step_size, 0)],
+                      1.0).astype(np.float32)
+    total = len(ts)
+    if inpaint:
+        keys = jax.random.split(key, total)
+    else:
+        keys = jnp.zeros((total, 2), dtype=jnp.uint32)
+
+    lat = latent.astype(jnp.float32)
+    done = 0
+    while done < total:
+        end = min(done + preview_every, total)
+        lat = _ddim_segment(
+            unet_params, cfg, lat, cond, guidance_scale,
+            jnp.asarray(ts[done:end]), jnp.asarray(a_t[done:end]),
+            jnp.asarray(a_prev[done:end]), keys[done:end],
+            compute_dtype=compute_dtype, inpaint=inpaint,
+            reference=reference, mask=mask, use_cfg=use_cfg,
+            guidance_rescale=guidance_rescale,
+            concat_channels=concat_channels,
+        )
+        done = end
+        if preview_callback is not None and done < total:
+            preview_callback(done, total,
+                             latent_to_preview(lat, preview_factors))
+    return lat

@@ -122,6 +122,12 @@ class SD1Pipeline(SDXLPipeline):
     # SD 2.x taps the penultimate hidden; SD 1.x the final LN output
     penultimate_hidden: bool = False
 
+    def __post_init__(self):
+        if self.preview_factors is None:
+            from .sampler import SD1_LATENT_RGB
+
+            self.preview_factors = SD1_LATENT_RGB
+
     def add_textual_inversions(self, specs) -> None:
         """Single-tower variant: the bare CLIP pytree is wrapped/unwrapped
         around the shared merge (io/textual_inversion.py)."""

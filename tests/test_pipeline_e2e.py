@@ -201,3 +201,30 @@ def test_inpainting_specialized_9ch_unet(tokenizer_dir):
     c = pipe.inpaint("a crab", ref, crop_left=0, crop_right=32,
                      crop_top=0, crop_bottom=32, n_steps=2, seed=4)
     assert not np.array_equal(a, c)
+
+
+def test_preview_segmented_matches_unsegmented(pipe):
+    """preview_every segments the DDIM scan; the final image must be
+    bit-equal to the one-scan run, and the callback must see monotone
+    progress with correctly shaped u8 previews."""
+    seen = []
+
+    def cb(done, total, rgb):
+        seen.append((done, total, rgb.shape, rgb.dtype))
+        assert rgb.dtype == np.uint8 and rgb.shape[-1] == 3
+
+    plain = pipe.txt2img("a crab", resolution=(64, 64), n_steps=4, seed=9)
+    seg = pipe.txt2img("a crab", resolution=(64, 64), n_steps=4, seed=9,
+                       preview_every=2, preview_callback=cb)
+    np.testing.assert_array_equal(plain, seg)
+    # 4 steps -> 4 UNet iterations (999,749,499,249); the callback fires
+    # between segments, not after the last one
+    assert [d for d, _, _, _ in seen] == [2]
+    assert all(t == 4 for _, t, _, _ in seen)
+    assert seen[0][2] == (1, 8, 8, 3)  # latent-resolution preview
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ddim"):
+        pipe.txt2img("x", resolution=(64, 64), n_steps=2, sampler="euler",
+                     preview_every=1)
