@@ -106,6 +106,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--img2img-strength", type=float, default=None,
                    help="With --reference-img: strength-based img2img "
                         "instead of crop-window inpainting")
+    p.add_argument("--vae-tile", type=int, default=None, metavar="LATENT_PX",
+                   help="Tiled VAE decode with this latent tile size "
+                        "(e.g. 96): bounds decode memory for >=4096^2 "
+                        "outputs at a small seam-blend approximation")
     p.add_argument("--preview-every", type=int, default=None,
                    help="txt2img/ddim: write a cheap latent preview PNG "
                         "({output_dir}preview_{step}.png) every N steps")
@@ -229,6 +233,8 @@ def main(argv=None) -> int:
             return 1
     if args.vae_bf16:
         pipe.vae_dtype = jnp.bfloat16
+    if args.vae_tile:
+        pipe.vae_tile = args.vae_tile
 
     if args.embedding:
         try:

@@ -23,6 +23,25 @@ from ..models.vae import encode_image as vae_encode
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def _decode_latent_f32(
+    vae_params, cfg: AutoencoderConfig, latent: jnp.ndarray,
+    scale_factor: float = 0.13025, compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Decode to the un-quantized [0, 255] float image (tiling blends
+    these before the single final round/clip)."""
+    if compute_dtype != jnp.float32:
+        vae_params = jax.tree.map(
+            lambda x: x.astype(compute_dtype)
+            if isinstance(x, jnp.ndarray) and x.dtype == jnp.float32 else x,
+            vae_params,
+        )
+    img = vae_decode(
+        vae_params, cfg, latent.astype(compute_dtype) / scale_factor
+    ).astype(jnp.float32)
+    return (img + 1.0) * (255.0 / 2.0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
 def decode_latent_to_images(
     vae_params, cfg: AutoencoderConfig, latent: jnp.ndarray,
     scale_factor: float = 0.13025, compute_dtype=jnp.float32,
@@ -55,3 +74,73 @@ def encode_images_to_latent(
     """[B,H,W,3] uint8 RGB -> [B,H/8,W/8,4] latent (mod.rs:239-261)."""
     x = images_u8.astype(jnp.float32) / 255.0 * 2.0 - 1.0
     return vae_encode(vae_params, cfg, x) * scale_factor
+
+
+def decode_latent_tiled(
+    vae_params, cfg: AutoencoderConfig, latent: jnp.ndarray,
+    scale_factor: float = 0.13025, compute_dtype=jnp.float32,
+    tile: int = 96, overlap: int = 16,
+) -> jnp.ndarray:
+    """Tiled VAE decode (capability extension): decode overlapping latent
+    tiles independently and blend with linear ramps — the standard "tiled
+    VAE" technique for resolutions whose full decode would not fit HBM
+    (>=4096^2 pixels on 16 GB). Per-tile GroupNorm statistics are the
+    usual approximation; `overlap` latent pixels (128 image px at the
+    default 16) hide the seams.
+
+    tile/overlap are in LATENT pixels; every tile has the same shape, so
+    all tiles share one compiled decode executable.
+    """
+    b, h, w, c = latent.shape
+    if h <= tile and w <= tile:
+        return decode_latent_to_images(vae_params, cfg, latent,
+                                       scale_factor, compute_dtype)
+    if overlap >= tile:
+        raise ValueError("overlap must be < tile")
+    stride = tile - overlap
+
+    def starts(dim):
+        if dim <= tile:
+            return [0]
+        s = list(range(0, dim - tile, stride))
+        s.append(dim - tile)  # last tile aligned to the edge (same shape)
+        return s
+
+    ys, xs = starts(h), starts(w)
+    f = 2 ** (len(cfg.decoder_channels) - 1)  # VAE upsampling factor
+    out = jnp.zeros((b, h * f, w * f, 3), jnp.float32)
+    wsum = jnp.zeros((1, h * f, w * f, 1), jnp.float32)
+
+    # linear blend ramp over the overlap region, flat in the interior
+    ramp1d = jnp.minimum(
+        jnp.arange(1, tile * f + 1, dtype=jnp.float32),
+        jnp.arange(tile * f, 0, -1, dtype=jnp.float32),
+    )
+    ramp1d = jnp.minimum(ramp1d / max(overlap * f, 1), 1.0)
+    tile_w = (ramp1d[:, None] * ramp1d[None, :])[None, :, :, None]
+
+    for y0 in ys:
+        for x0 in xs:
+            part = jax.lax.dynamic_slice(
+                latent, (0, y0, x0, 0), (b, min(tile, h), min(tile, w), c)
+            )
+            rgb = _decode_latent_f32(
+                vae_params, cfg, part, scale_factor, compute_dtype
+            )
+            th, tw = rgb.shape[1], rgb.shape[2]
+            wt = tile_w[:, :th, :tw]
+            out = jax.lax.dynamic_update_slice(
+                out,
+                jax.lax.dynamic_slice(out, (0, y0 * f, x0 * f, 0),
+                                      (b, th, tw, 3)) + rgb * wt,
+                (0, y0 * f, x0 * f, 0),
+            )
+            wsum = jax.lax.dynamic_update_slice(
+                wsum,
+                jax.lax.dynamic_slice(wsum, (0, y0 * f, x0 * f, 0),
+                                      (1, th, tw, 1)) + wt,
+                (0, y0 * f, x0 * f, 0),
+            )
+
+    img = out / jnp.maximum(wsum, 1e-8)
+    return jnp.clip(jnp.round(img), 0.0, 255.0).astype(jnp.uint8)

@@ -78,6 +78,9 @@ class SDXLPipeline:
     mesh: Optional[object] = None
     # latent->RGB preview factors (None = SDXL's; SD1Pipeline overrides)
     preview_factors: Optional[object] = None
+    # tiled VAE decode: latent tile size (None = whole-image decode); for
+    # resolutions whose full decode exceeds HBM (>= 4096^2 px)
+    vae_tile: Optional[int] = None
     timer: StageTimer = field(default_factory=StageTimer)
 
     def shard(self, n_data: Optional[int] = None,
@@ -113,7 +116,19 @@ class SDXLPipeline:
         return shard_batch(cond, self.mesh)
 
     def _decode(self, latent):
-        """Chunked VAE decode: identical output, bounded peak memory."""
+        """Chunked VAE decode: identical output, bounded peak memory.
+        vae_tile additionally tiles SPATIALLY (decode_latent_tiled) for
+        resolutions whose full decode exceeds HBM."""
+        if self.vae_tile is not None:
+            from .latent import decode_latent_tiled
+
+            return jnp.concatenate([
+                decode_latent_tiled(
+                    self.vae_params, self.vae_cfg, latent[i : i + 1],
+                    self.scale_factor, self.vae_dtype, tile=self.vae_tile,
+                )
+                for i in range(latent.shape[0])
+            ], axis=0)
         n = latent.shape[0]
         c = self.vae_decode_chunk
         if c <= 0 or n <= c:
