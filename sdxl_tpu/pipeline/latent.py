@@ -13,6 +13,7 @@ on-chip and only u8 bytes cross PCIe).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -79,7 +80,7 @@ def encode_images_to_latent(
 def decode_latent_tiled(
     vae_params, cfg: AutoencoderConfig, latent: jnp.ndarray,
     scale_factor: float = 0.13025, compute_dtype=jnp.float32,
-    tile: int = 96, overlap: int = 16,
+    tile: int = 96, overlap: Optional[int] = None,
 ) -> jnp.ndarray:
     """Tiled VAE decode (capability extension): decode overlapping latent
     tiles independently and blend with linear ramps — the standard "tiled
@@ -91,6 +92,8 @@ def decode_latent_tiled(
     tile/overlap are in LATENT pixels; every tile has the same shape, so
     all tiles share one compiled decode executable.
     """
+    if overlap is None:  # adapt to small tiles
+        overlap = min(16, max(tile // 4, 1))
     b, h, w, c = latent.shape
     if h <= tile and w <= tile:
         return decode_latent_to_images(vae_params, cfg, latent,
