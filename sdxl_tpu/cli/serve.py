@@ -155,6 +155,7 @@ class GenerationServer:
         try:
             import numpy as np
 
+            seeds = [r.seed for r in batch]
             if batch[0].image is not None:
                 images = self.pipe.img2img(
                     batch[0].prompt,
@@ -174,7 +175,8 @@ class GenerationServer:
                     resolution=(cfg.height, cfg.width),
                     n_steps=cfg.steps,
                     guidance_scale=cfg.guidance_scale,
-                    seed=batch[0].seed,
+                    # per-image seeds: fused requests keep their own seed
+                    seed=seeds[0] if len(seeds) == 1 else seeds,
                     negative_prompt=cfg.negative_prompt,
                     sampler=cfg.sampler,
                     schedule=cfg.schedule,

@@ -213,6 +213,11 @@ class SDXLPipeline:
     ) -> np.ndarray:
         """Full pipeline; returns [B, H, W, 3] uint8.
 
+        seed: one int (reference semantics: the whole batch's noise from
+        one key) or a per-image sequence — each image's noise depends only
+        on its own seed, so batched serving can fuse requests without
+        changing their results.
+
         preview_every=N (ddim only): between every N steps,
         preview_callback(done, total, rgb_u8) receives a cheap linear-map
         preview of the current latent (sampler.latent_to_preview). The
@@ -246,8 +251,22 @@ class SDXLPipeline:
         )
         cond_half = self._shard_cond(cond.astype(self.compute_dtype))
 
+        seeds = None
+        if not isinstance(seed, (int, np.integer)):
+            seeds = list(seed)
+            if len(seeds) != cond.context_full.shape[0]:
+                raise ValueError(
+                    f"{len(seeds)} seeds for a {cond.context_full.shape[0]}"
+                    "-image batch"
+                )
+            seed = seeds[0]
         key = jax.random.PRNGKey(seed)
         base_key, refiner_key = jax.random.split(key)
+        initial_noise = None
+        if seeds is not None:
+            from .sampler import gen_noise_per_seed
+
+            initial_noise = gen_noise_per_seed(seeds, cond_half)
 
         reference_latent = None
         concat_channels = None
@@ -305,7 +324,8 @@ class SDXLPipeline:
                 noise_key, inpaint_key = jax.random.split(base_key)
                 latent = diffuse_latent_preview(
                     self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
-                    gen_noise(noise_key, cond_half), cond_half,
+                    initial_noise if initial_noise is not None
+                    else gen_noise(noise_key, cond_half), cond_half,
                     guidance_scale, preview_every, preview_callback,
                     0, n_steps, self.compute_dtype,
                     inpaint=reference_latent is not None
@@ -325,6 +345,7 @@ class SDXLPipeline:
                     schedule=schedule, use_cfg=use_cfg,
                     guidance_rescale=guidance_rescale,
                     concat_channels=concat_channels,
+                    initial_noise=initial_noise,
                 )
             else:
                 latent = sample_latent(
@@ -341,6 +362,7 @@ class SDXLPipeline:
                     use_cfg=use_cfg,
                     guidance_rescale=guidance_rescale,
                     concat_channels=concat_channels,
+                    initial_noise=initial_noise,
                 )
             if profile_stages:
                 fence(latent)

@@ -470,12 +470,14 @@ def euler_sample_latent(
     use_cfg: bool = True,
     guidance_rescale: float = 0.0,
     concat_channels: Optional[jnp.ndarray] = None,
+    initial_noise: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """txt2img (+ optional inpainting) with a k-diffusion sampler."""
     noise_key, inpaint_key = jax.random.split(key)
     n_train = alphas_cumprod.shape[0]
     sigma_max = k_sigma_at(alphas_cumprod, k_timesteps(0, n_steps, n_train)[0])
-    latent = gen_noise(noise_key, cond) * sigma_max
+    latent = (initial_noise if initial_noise is not None
+              else gen_noise(noise_key, cond)) * sigma_max
     if reference is not None:
         return k_diffuse_latent(
             unet_params, cfg, alphas_cumprod, latent, cond, guidance_scale,
@@ -531,6 +533,19 @@ def gen_noise(key, cond: Conditioning) -> jnp.ndarray:
     )
 
 
+def gen_noise_per_seed(seeds, cond: Conditioning) -> jnp.ndarray:
+    """Per-image initial noise: seeds[i] fully determines image i's noise
+    regardless of its batch position — the batched-serving contract
+    (requests fused into one batch keep their own seeds). Capability
+    extension; the single-seed path draws the whole batch from one key
+    (reference semantics) and is unchanged."""
+    h, w = cond.resolution
+    keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
+    return jax.vmap(
+        lambda k: jax.random.normal(k, (h // 8, w // 8, 4), jnp.float32)
+    )(keys)
+
+
 def sample_latent(
     unet_params,
     cfg: DiffuserConfig,
@@ -545,10 +560,15 @@ def sample_latent(
     use_cfg: bool = True,
     guidance_rescale: float = 0.0,
     concat_channels: Optional[jnp.ndarray] = None,
+    initial_noise: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """txt2img (+ optional latent-mask inpainting) (mod.rs:316-353)."""
+    """txt2img (+ optional latent-mask inpainting) (mod.rs:316-353).
+
+    initial_noise overrides the key-derived starting noise (per-image
+    seeds, gen_noise_per_seed)."""
     noise_key, inpaint_key = jax.random.split(key)
-    latent = gen_noise(noise_key, cond)
+    latent = initial_noise if initial_noise is not None else gen_noise(
+        noise_key, cond)
     if reference is not None:
         return diffuse_latent(
             unet_params, cfg, alphas_cumprod, latent, cond, guidance_scale,

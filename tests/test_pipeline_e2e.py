@@ -228,3 +228,23 @@ def test_preview_segmented_matches_unsegmented(pipe):
     with _pytest.raises(ValueError, match="ddim"):
         pipe.txt2img("x", resolution=(64, 64), n_steps=2, sampler="euler",
                      preview_every=1)
+
+
+def test_per_image_seeds_are_batch_position_independent(pipe):
+    """seed=[a, b]: image i depends only on seeds[i] — fused serving keeps
+    each request's seed. Single-int seed keeps the reference semantics."""
+    both = pipe.txt2img(["a cat", "a cat"], resolution=(64, 64), n_steps=2,
+                        seed=[11, 22])
+    solo_a = pipe.txt2img(["a cat"], resolution=(64, 64), n_steps=2,
+                          seed=[11])
+    solo_b = pipe.txt2img(["a cat"], resolution=(64, 64), n_steps=2,
+                          seed=[22])
+    # batch-2 vs batch-1 executions reorder f32 reductions; allow the
+    # resulting off-by-one u8 rounding on isolated pixels
+    for got, want in ((both[0], solo_a[0]), (both[1], solo_b[0])):
+        d = np.abs(got.astype(int) - want.astype(int))
+        assert d.max() <= 1 and (d > 0).mean() < 0.01, (d.max(), (d > 0).mean())
+    assert not np.array_equal(both[0], both[1])
+
+    with pytest.raises(ValueError, match="seeds"):
+        pipe.txt2img(["a cat"], resolution=(64, 64), n_steps=2, seed=[1, 2])
