@@ -175,8 +175,9 @@ class GenerationServer:
                     resolution=(cfg.height, cfg.width),
                     n_steps=cfg.steps,
                     guidance_scale=cfg.guidance_scale,
-                    # per-image seeds: fused requests keep their own seed
-                    seed=seeds[0] if len(seeds) == 1 else seeds,
+                    # ALWAYS per-image seeds: a request's image depends
+                    # only on its own seed, never on how it was batched
+                    seed=seeds,
                     negative_prompt=cfg.negative_prompt,
                     sampler=cfg.sampler,
                     schedule=cfg.schedule,

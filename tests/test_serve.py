@@ -186,3 +186,36 @@ def test_http_img2img_endpoint(tiny_pipe):
     finally:
         httpd.shutdown()
         srv.stop()
+
+
+def test_fused_batch_keeps_per_request_seeds(tiny_pipe):
+    """Two fused same-prompt requests with different seeds must get the
+    same images they would get served alone (per-image seeds)."""
+    def run(reqs, max_batch):
+        srv = GenerationServer(tiny_pipe, max_batch=max_batch,
+                               batch_window_ms=200, default_cfg=TINY_CFG)
+        for r in reqs:
+            srv.queue.put(r)
+        srv.start(warmup=False)
+        for r in reqs:
+            assert r.done.wait(300) and r.error is None, r.error
+        srv.stop()
+        return srv
+
+    a = GenRequest("a cat", TINY_CFG, seed=101)
+    b = GenRequest("a cat", TINY_CFG, seed=202)
+    srv = run([a, b], max_batch=2)
+    assert srv.info()["batches"] == 1  # really fused
+
+    solo_a = GenRequest("a cat", TINY_CFG, seed=101)
+    run([solo_a], max_batch=1)
+
+    from PIL import Image
+
+    img_a = np.asarray(Image.open(io.BytesIO(a.result[0])), dtype=int)
+    img_b = np.asarray(Image.open(io.BytesIO(b.result[0])), dtype=int)
+    img_solo = np.asarray(Image.open(io.BytesIO(solo_a.result[0])), dtype=int)
+    assert not np.array_equal(img_a, img_b)
+    # batch-size-dependent f32 reduction order: allow off-by-one pixels
+    d = np.abs(img_a - img_solo)
+    assert d.max() <= 1 and (d > 0).mean() < 0.01, (d.max(), (d > 0).mean())
