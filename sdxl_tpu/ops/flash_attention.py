@@ -112,6 +112,10 @@ def _default_blocks(tq: int, tk: int, d: int):
     return 1024, 1024
 
 
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
 def flash_attention_bhtd(
     q: jnp.ndarray,  # [B, H, Tq, D]
@@ -122,22 +126,33 @@ def flash_attention_bhtd(
 ) -> jnp.ndarray:
     """Unmasked flash attention over [B, H, T, D]; softmax scale 1/sqrt(D).
 
-    Short-kv cross attention (Tk not 128-aligned, e.g. the 77-token text
-    context) is zero-padded up to the lane tile and masked inside the
-    kernel — the [Tq, Tk] logits never round-trip HBM, unlike the XLA
-    path which materializes ~25 MB of f32 logits per L1 cross-attention.
+    Ragged token counts are handled on both sides, so every SDXL aspect
+    bucket (stablediffusion/mod.rs:583-624; level-1 self-attention runs at
+    e.g. 52x76 = 3952 tokens for 832x1216) hits the kernel:
+    - kv shorter than a block multiple (incl. the 77-token text context)
+      is zero-padded and masked inside the kernel via ``n_valid`` — the
+      [Tq, Tk] logits never round-trip HBM, unlike the XLA path which
+      materializes ~62 MB of f32 logits per non-square L1 self-attention.
+    - q is zero-padded up to a block_q multiple; the padded rows attend
+      only to valid kv (finite softmax, no NaNs) and are sliced off the
+      output. Padding overhead is < 1 block (< 3.7% FLOPs at T=3952).
     """
     b, h, tq, d = q.shape
-    tk = k.shape[2]
+    tq_orig, tk_orig = tq, k.shape[2]
+    tk = tk_orig
+    dbq, dbk = _default_blocks(tq, _round_up(tk, _LANES), d)
+    # sublane alignment: bf16 tiles want block_q % 16 == 0
+    block_q = min(block_q or dbq, _round_up(tq, 16))
+    block_k = min(block_k or dbk, _round_up(tk, _LANES))
+    if tq % block_q != 0:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, -tq % block_q), (0, 0)))
+        tq = q.shape[2]
     n_valid = 0
-    if tk % _LANES != 0:
-        pad = -tk % _LANES
+    if tk % block_k != 0:
+        pad = -tk % block_k
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
         n_valid, tk = tk, tk + pad
-    dbq, dbk = _default_blocks(tq, tk, d)
-    block_q = min(block_q or dbq, tq)
-    block_k = min(block_k or dbk, tk)
     assert tq % block_q == 0 and tk % block_k == 0, (tq, tk, block_q, block_k)
     n_k = tk // block_k
     # base-2 softmax scale (see _LOG2E above), folded into q ahead of the
@@ -189,7 +204,9 @@ def flash_attention_bhtd(
         interpret=interpret,
     )(qf, kf, vf)
 
-    return out.reshape(b, h, tq, d)
+    if tq != tq_orig:
+        out = out[:, :tq_orig]
+    return out.reshape(b, h, tq_orig, d)
 
 
 import os
@@ -198,10 +215,20 @@ import os
 # the XLA attention path.
 FLASH_DISABLED = os.environ.get("SDXL_TPU_DISABLE_FLASH", "0") == "1"
 
+# Minimum self-attention token count routed to the kernel; 924 covers the
+# smallest level-2 bucket (scripts/bench_flash_ragged.py + in-program
+# A/B via scripts/bench_nonsquare.py back the default).
+FLASH_MIN_T = int(os.environ.get("SDXL_TPU_FLASH_MIN_T", "924"))
+
 
 def use_flash(tq: int, tk: int, d: int, has_mask: bool) -> bool:
     """Flash pays off for the long spatial self-attentions (UNet levels 1-2
-    and the VAE mid-attention at 16k tokens). Short-kv cross-attention
+    and the VAE mid-attention at ~16k tokens). Ragged token counts are
+    fine (padded q + masked kv in-kernel), so ALL 40 SDXL aspect buckets
+    route here: level-1 self-attention runs at 3696..4096 tokens and
+    level-2 at 924..1024 across the bucket table
+    (stablediffusion/mod.rs:583-624); 924 is the smallest level-2 count
+    (704x1344 -> 22x42). Short-kv cross-attention
     stays on XLA: the kernel supports padded 77-token kv (n_valid masking,
     tested in interpret mode), but routing it was measured SLOWER in the
     UNet step (128.2 vs 120.7 ms/step on v5e) — 128-column k-blocks leave
@@ -211,7 +238,6 @@ def use_flash(tq: int, tk: int, d: int, has_mask: bool) -> bool:
         not FLASH_DISABLED
         and not has_mask
         and tq == tk
-        and tq >= 1024
-        and tq % 512 == 0
-        and (d in (64, 128) or (tq >= 4096 and d <= 512 and d % 128 == 0))
+        and tq >= FLASH_MIN_T
+        and (d in (64, 128) or (tq >= 3696 and d <= 512 and d % 128 == 0))
     )

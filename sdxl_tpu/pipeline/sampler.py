@@ -297,6 +297,86 @@ def k_timesteps(step_start: int, n_steps: int, n_train: int) -> np.ndarray:
     return ts
 
 
+def k_schedule(alphas_cumprod, step_start: int, n_steps: int,
+               schedule: str = "linear"):
+    """(timesteps, sigmas) for the k-samplers; sigmas has n+1 entries
+    (trailing 0), timesteps n entries, both descending.
+
+    schedule="linear" indexes the sigma table at the k_timesteps integer
+    grid; schedule="karras" respaces the SAME sigma endpoints with the
+    Karras rho=7 ramp (arXiv:2206.00364 eq. 5 — diffusers'
+    _convert_to_karras takes sigma_min/max from the selected schedule's
+    ends the same way) and interpolates fractional UNet timesteps from
+    log-sigma (continuous-time conditioning, as diffusers does for
+    use_karras_sigmas=True). Pinned against literal transcriptions of the
+    public algorithms in tests/test_k_goldens.py.
+    """
+    n_train = alphas_cumprod.shape[0]
+    sigmas_full = jnp.sqrt(
+        (1.0 - alphas_cumprod.astype(jnp.float32)) / alphas_cumprod
+    )
+    lin_ts = k_timesteps(step_start, n_steps, n_train)
+    if schedule == "karras":
+        # same sigma endpoints as the linear schedule, Karras rho=7 spacing
+        # between them (descending, like the t schedule); endpoints are
+        # traced values so the ramp is evaluated in jnp
+        smin = sigmas_full[0]
+        smax = sigmas_full[int(lin_ts[0])]
+        rho = 7.0
+        # len(lin_ts) <= n_steps when step_start truncates the schedule:
+        # the karras spacing covers the same (shortened) step budget
+        ramp = jnp.asarray(np.linspace(0, 1, len(lin_ts), dtype=np.float32))
+        sig_k = (
+            smax ** (1 / rho) + ramp * (smin ** (1 / rho) - smax ** (1 / rho))
+        ) ** rho
+        # fractional timesteps: interp log-sigma against the (ascending)
+        # table; the UNet's sinusoid embedding is continuous in t
+        ts = jnp.interp(
+            jnp.log(sig_k), jnp.log(sigmas_full),
+            jnp.arange(n_train, dtype=jnp.float32),
+        )
+        sigmas = jnp.concatenate([sig_k, jnp.zeros((1,), jnp.float32)])
+    else:
+        ts = jnp.asarray(lin_ts)
+        sigmas = jnp.concatenate(
+            [sigmas_full[jnp.asarray(lin_ts)], jnp.zeros((1,), jnp.float32)]
+        )
+    return ts, sigmas
+
+
+def k_step_update(method: str, lat, denoised, old_denoised, sigma, sigma_next,
+                  sigma_prev, is_first):
+    """One k-sampler latent update (pure math, no UNet).
+
+    method="euler": EulerDiscrete's step (diffusers
+    EulerDiscreteScheduler.step with gamma=0): d = (x - denoised)/sigma,
+    x += d*(sigma_next - sigma).
+
+    method="dpmpp": DPM-Solver++ 2M multistep (k-diffusion
+    sample_dpmpp_2m, itself Lu et al. arXiv:2211.01095 algorithm 2) in
+    lambda = -log(sigma) space; first step and final (sigma_next = 0)
+    step fall back to the exact first-order DPM++ update. Pinned against
+    a literal sequential transcription of the public loop in
+    tests/test_k_goldens.py.
+    """
+    if method == "euler":
+        d = (lat - denoised) / sigma
+        return lat + d * (sigma_next - sigma)
+    lam, lam_next = -jnp.log(sigma), -jnp.log(jnp.maximum(sigma_next, 1e-10))
+    h = lam_next - lam
+    ratio = jnp.where(sigma_next > 0, sigma_next / sigma, 0.0)
+    em1 = -jnp.expm1(-h)  # (1 - e^-h)
+    h_last = lam - (-jnp.log(sigma_prev))
+    # first step has no history: r is irrelevant there (the where below
+    # picks the first-order update) but must stay finite so NaNs can't
+    # leak through jax.debug_nans
+    r = jnp.where(is_first, 1.0, h_last / h)
+    denoised_d = (1 + 1 / (2 * r)) * denoised - (1 / (2 * r)) * old_denoised
+    use_first_order = jnp.logical_or(is_first, sigma_next <= 0.0)
+    d_eff = jnp.where(use_first_order, denoised, denoised_d)
+    return ratio * lat + em1 * d_eff
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -353,36 +433,7 @@ def k_diffuse_latent(
         raise ValueError(f"unknown k-sampler {method!r} (euler|dpmpp)")
     if schedule not in ("linear", "karras"):
         raise ValueError(f"unknown schedule {schedule!r} (linear|karras)")
-    n_train = alphas_cumprod.shape[0]
-    sigmas_full = jnp.sqrt(
-        (1.0 - alphas_cumprod.astype(jnp.float32)) / alphas_cumprod
-    )
-    lin_ts = k_timesteps(step_start, n_steps, n_train)
-    if schedule == "karras":
-        # same sigma endpoints as the linear schedule, Karras rho=7 spacing
-        # between them (descending, like the t schedule); endpoints are
-        # traced values so the ramp is evaluated in jnp
-        smin = sigmas_full[0]
-        smax = sigmas_full[int(lin_ts[0])]
-        rho = 7.0
-        # len(lin_ts) <= n_steps when step_start truncates the schedule:
-        # the karras spacing covers the same (shortened) step budget
-        ramp = jnp.asarray(np.linspace(0, 1, len(lin_ts), dtype=np.float32))
-        sig_k = (
-            smax ** (1 / rho) + ramp * (smin ** (1 / rho) - smax ** (1 / rho))
-        ) ** rho
-        # fractional timesteps: interp log-sigma against the (ascending)
-        # table; the UNet's sinusoid embedding is continuous in t
-        ts = jnp.interp(
-            jnp.log(sig_k), jnp.log(sigmas_full),
-            jnp.arange(n_train, dtype=jnp.float32),
-        )
-        sigmas = jnp.concatenate([sig_k, jnp.zeros((1,), jnp.float32)])
-    else:
-        ts = jnp.asarray(lin_ts)
-        sigmas = jnp.concatenate(
-            [sigmas_full[jnp.asarray(lin_ts)], jnp.zeros((1,), jnp.float32)]
-        )
+    ts, sigmas = k_schedule(alphas_cumprod, step_start, n_steps, schedule)
 
     latent = latent.astype(jnp.float32)
     if inpaint:
@@ -415,30 +466,8 @@ def k_diffuse_latent(
                        use_cfg=use_cfg, guidance_rescale=guidance_rescale,
                        concat=cc)
         denoised = lat - sigma * eps
-
-        if method == "euler":
-            d = (lat - denoised) / sigma
-            new_lat = lat + d * (sigma_next - sigma)
-        else:
-            # DPM++ 2M in lambda = -log(sigma) space (k-diffusion
-            # sample_dpmpp_2m); sigma_next==0 and the first step fall back
-            # to the exact first-order DPM++ update.
-            lam, lam_next = -jnp.log(sigma), -jnp.log(
-                jnp.maximum(sigma_next, 1e-10)
-            )
-            h = lam_next - lam
-            ratio = jnp.where(sigma_next > 0, sigma_next / sigma, 0.0)
-            em1 = -jnp.expm1(-h)  # (1 - e^-h)
-            h_last = lam - (-jnp.log(sigma_prev))
-            # first step has no history: r is irrelevant there (the where
-            # below picks the first-order update) but must stay finite so
-            # NaNs can't leak through jax.debug_nans
-            r = jnp.where(is_first, 1.0, h_last / h)
-            denoised_d = (1 + 1 / (2 * r)) * denoised - (1 / (2 * r)) * old_denoised
-            use_first_order = jnp.logical_or(is_first, sigma_next <= 0.0)
-            d_eff = jnp.where(use_first_order, denoised, denoised_d)
-            new_lat = ratio * lat + em1 * d_eff
-
+        new_lat = k_step_update(method, lat, denoised, old_denoised,
+                                sigma, sigma_next, sigma_prev, is_first)
         return (new_lat, denoised), None
 
     (latent, _), _ = jax.lax.scan(

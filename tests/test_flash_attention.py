@@ -59,7 +59,45 @@ def test_use_flash_gating():
     assert not use_flash(1024, 1024, 64, True)     # masked (CLIP causal)
     assert use_flash(4096, 4096, 64, False)        # UNet L1 self
     assert use_flash(16384, 16384, 512, False)     # VAE mid attn @1024px
-    assert not use_flash(15808, 15808, 512, False) # odd bucket -> XLA
+    # ragged buckets (padded-q + masked kv) route to flash too
+    assert use_flash(15808, 15808, 512, False)     # VAE mid attn @832x1216
+    assert use_flash(3952, 3952, 64, False)        # UNet L1 @832x1216
+    assert use_flash(988, 988, 64, False)          # UNet L2 @832x1216
+    assert use_flash(924, 924, 64, False)          # smallest L2 (704x1344)
+    assert not use_flash(512, 512, 64, False)      # below the win threshold
+
+
+@pytest.mark.parametrize("t,d", [
+    (3952, 64),   # UNet L1 @832x1216: ragged q AND kv, multi k-block
+    (988, 64),    # UNet L2 @832x1216: ragged, single padded block
+    (1020, 128),  # ragged, d=128
+])
+def test_flash_ragged_tokens_match_xla(t, d):
+    """Non-square aspect buckets produce token counts that are not block
+    multiples; the kernel pads q (sliced off the output) and masks kv."""
+    shape = (1, 2, t, d)
+    q = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), shape, jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), shape, jnp.float32)
+    ref = np.asarray(xla_ref(q, k, v))
+    got = np.asarray(flash_attention_bhtd(q, k, v))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_flash_ragged_dispatch_through_qkv_attention():
+    b, t, c, h = 1, 988, 128, 2
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, t, c))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, t, c))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, t, c))
+    assert use_flash(t, t, c // h, False)
+    out = qkv_attention(q, k, v, None, h)
+    qh = q.reshape(b, t, h, c // h).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, t, h, c // h).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, t, h, c // h).transpose(0, 2, 1, 3)
+    ref = np.asarray(xla_ref(qh, kh, vh))
+    got = np.asarray(out.reshape(b, t, h, c // h).transpose(0, 2, 1, 3))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
 @pytest.mark.parametrize("tq", [1024, 2048])
