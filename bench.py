@@ -54,6 +54,10 @@ def check_flash_kernel():
         # (B, H, T, D, dtype, tol)
         (2, 20, 1024, 64, jnp.bfloat16, 2e-2),
         (2, 10, 4096, 64, jnp.bfloat16, 2e-2),
+        # ragged (non-square-bucket) token counts exercise the padded-Q +
+        # masked-KV path: 3952 = 52x76, the 832x1216 level-1 count
+        (2, 10, 3952, 64, jnp.bfloat16, 2e-2),
+        (2, 20, 988, 64, jnp.bfloat16, 2e-2),
         # f32 @ 16k tokens: online softmax over 32 k-blocks reorders the
         # f32 accumulation vs the one-shot XLA softmax; measured 2.7e-4 on
         # v5e — pure rounding, bounded at 1e-3 (a real tiling/semantics bug

@@ -26,10 +26,24 @@ def main(argv=None) -> int:
     src.add_argument("--dump-dir", type=str, help="reference .npy dump tree")
     src.add_argument("--mpk-dir", type=str, help="reference .mpk model dir")
     src.add_argument("--native-dir", type=str, help="native safetensors model dir")
-    p.add_argument("--output-dir", type=str, required=True)
+    src.add_argument(
+        "--inspect", type=str, metavar="FILE.mpk",
+        help="dump a .mpk record tree (keys, shapes, dtype tags, wrapper "
+             "variants) without building params — field diagnosis for "
+             "first contact with a real burn artifact",
+    )
+    p.add_argument("--output-dir", type=str)
     p.add_argument("--to", choices=["native", "mpk"], default="native")
     p.add_argument("--skip-refiner", action="store_true")
     args = p.parse_args(argv)
+
+    if args.inspect:
+        from ..io.burn_mpk import inspect_mpk
+
+        print(inspect_mpk(args.inspect))
+        return 0
+    if not args.output_dir:
+        p.error("--output-dir is required (except with --inspect)")
 
     import jax.numpy as jnp
     import numpy as np

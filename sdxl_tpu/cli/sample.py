@@ -111,8 +111,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "(e.g. 96): bounds decode memory for >=4096^2 "
                         "outputs at a small seam-blend approximation")
     p.add_argument("--preview-every", type=int, default=None,
-                   help="txt2img/ddim: write a cheap latent preview PNG "
-                        "({output_dir}preview_{step}.png) every N steps")
+                   help="txt2img (any sampler): write a cheap latent preview "
+                        "PNG ({output_dir}preview_{step}.png) every N steps")
     p.add_argument("--dp", type=int, default=None,
                    help="Data-parallel mesh axis size (multi-chip; default "
                         "all devices / --tp)")
@@ -154,16 +154,9 @@ def main(argv=None) -> int:
 
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
 
-    loras = []
-    for spec in args.lora:
-        path, sep, scale = spec.rpartition(":")
-        if sep and not os.path.exists(spec) and path:
-            try:
-                loras.append((path, float(scale)))
-                continue
-            except ValueError:
-                pass
-        loras.append((spec, 1.0))
+    from ..io.lora import parse_lora_specs
+
+    loras = parse_lora_specs(args.lora)
     if loras and args.random_weights:
         print("error: --lora requires a real checkpoint (--model-dir)",
               file=sys.stderr)
@@ -280,8 +273,12 @@ def main(argv=None) -> int:
         )
     elif args.reference_img is not None and args.img2img_strength is not None:
         ref = load_images([args.reference_img])
+        if len(prompts) > 1:
+            # repeated --prompt / --batch: one variation per prompt off the
+            # same reference (previously only the first prompt survived)
+            ref = np.repeat(ref, len(prompts), axis=0)
         images = pipe.img2img(
-            args.prompt[0],
+            prompts,
             ref,
             strength=args.img2img_strength,
             n_steps=args.n_diffusion_steps,

@@ -25,8 +25,19 @@ Endpoints:
                         "schedule": ..., "guidance_rescale": ...}
   POST /v1/img2img  -> same + {"image": "<base64 png>", "strength": 0.3}
                        (runs unbatched; resolution follows the image)
+  POST /v1/inpaint  -> same + {"image": "<base64 png>"} and EITHER a
+                       pixel-space crop window {"crop_left", "crop_right",
+                       "crop_top", "crop_bottom", "crop_out"} OR a
+                       {"mask": "<base64 png>"} image (>127 = generate);
+                       runs unbatched
      responds {"images": ["<base64 png>", ...], "seed": N, "latency_s": x}
      (or a raw PNG body with Accept: image/png)
+
+Robustness: the queue is bounded (--max-queue; overflow -> 503), a client
+timeout (504) marks its request abandoned so the worker drops it at
+dequeue instead of generating for a client that left, and a config-
+mismatched request is held as the HEAD of the next batch (never re-queued
+to the tail, which could starve it under a same-config stream).
 
 Usage:
   python -m sdxl_tpu.cli.serve --model-dir ./weights --port 8000
@@ -74,10 +85,27 @@ class GenRequest:
     # requests run alone (no micro-batch fusion)
     image: Optional[object] = None
     strength: float = 0.3
+    # inpaint (reference image + one of): pixel-space crop window
+    # (left, right, top, bottom, crop_out) or a [H, W] u8 mask image
+    # (>127 = generate); also runs alone
+    crop: Optional[tuple] = None
+    mask_image: Optional[object] = None
+    # set when the submitter stopped waiting (timeout): the worker drops
+    # the request at dequeue instead of burning a generation on a client
+    # that left
+    abandoned: bool = False
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[List[bytes]] = None  # PNG bytes per image
     error: Optional[str] = None
+    status: int = 200
     latency_s: float = 0.0
+
+    @property
+    def solo(self) -> bool:
+        """True for requests that cannot join a micro-batch (per-request
+        reference image / mask)."""
+        return (self.image is not None or self.crop is not None
+                or self.mask_image is not None)
 
 
 def _png_bytes(img_u8) -> bytes:
@@ -92,17 +120,18 @@ class GenerationServer:
     """Owns the pipeline and the single worker thread."""
 
     def __init__(self, pipe, max_batch: int = 4, batch_window_ms: float = 20.0,
-                 default_cfg: GenConfig = GenConfig()):
+                 default_cfg: GenConfig = GenConfig(), max_queue: int = 64):
         self.pipe = pipe
         self.max_batch = max_batch
         self.batch_window_s = batch_window_ms / 1000.0
         self.default_cfg = default_cfg
-        self.queue: "queue.Queue[GenRequest]" = queue.Queue()
+        self.queue: "queue.Queue[GenRequest]" = queue.Queue(maxsize=max_queue)
         self.ready = threading.Event()
         self.stats_lock = threading.Lock()
         self.n_requests = 0
         self.n_images = 0
         self.n_batches = 0
+        self.n_dropped = 0
         self.latencies: List[float] = []
         self._stop = False
         self.worker = threading.Thread(target=self._run, daemon=True)
@@ -115,39 +144,75 @@ class GenerationServer:
         self.ready.set()
         self.worker.start()
 
-    def stop(self):
+    def stop(self, join_timeout: float = 10.0):
         self._stop = True
+        if self.worker.is_alive():
+            self.worker.join(timeout=join_timeout)
 
     # -- serving ------------------------------------------------------------
 
     def submit(self, req: GenRequest, timeout: float = 600.0) -> GenRequest:
-        self.queue.put(req)
+        try:
+            self.queue.put_nowait(req)
+        except queue.Full:
+            req.error = "queue full"
+            req.status = 503
+            req.done.set()
+            return req
         if not req.done.wait(timeout):
             req.error = "generation timed out"
+            req.status = 504
+            # the worker drops it at dequeue instead of generating for a
+            # client that already left
+            req.abandoned = True
         return req
 
+    def _drop(self, req: GenRequest):
+        with self.stats_lock:
+            self.n_dropped += 1
+        req.done.set()
+
     def _run(self):
+        pending: Optional[GenRequest] = None  # config-mismatched holdover
         while not self._stop:
-            try:
-                first = self.queue.get(timeout=0.2)
-            except queue.Empty:
+            if pending is not None:
+                first, pending = pending, None
+            else:
+                try:
+                    first = self.queue.get(timeout=0.2)
+                except queue.Empty:
+                    continue
+            if first.abandoned:
+                self._drop(first)
                 continue
             batch = [first]
             # micro-batch window: fuse queued same-config txt2img requests
-            # (img2img runs alone — per-request reference image)
+            # (img2img/inpaint run alone — per-request reference image)
             deadline = time.perf_counter() + self.batch_window_s
-            while first.image is None and len(batch) < self.max_batch:
+            while not first.solo and len(batch) < self.max_batch:
                 remaining = deadline - time.perf_counter()
                 try:
                     nxt = self.queue.get(timeout=max(remaining, 0.0))
                 except queue.Empty:
                     break
-                if nxt.cfg == first.cfg and nxt.image is None:
+                if nxt.abandoned:
+                    self._drop(nxt)
+                    continue
+                if nxt.cfg == first.cfg and not nxt.solo:
                     batch.append(nxt)
-                else:  # different config: run it in its own next batch
-                    self.queue.put(nxt)
+                else:
+                    # hold it as the HEAD of the next batch — re-queueing
+                    # to the tail would starve it under a sustained stream
+                    # of same-config requests
+                    pending = nxt
                     break
-            self._generate(batch)
+            # drop requests whose client timed out during the window
+            live = [r for r in batch if not r.abandoned]
+            for r in batch:
+                if r.abandoned:
+                    self._drop(r)
+            if live:
+                self._generate(live)
 
     def _generate(self, batch: List[GenRequest]):
         cfg = batch[0].cfg
@@ -156,7 +221,9 @@ class GenerationServer:
             import numpy as np
 
             seeds = [r.seed for r in batch]
-            if batch[0].image is not None:
+            if batch[0].crop is not None or batch[0].mask_image is not None:
+                images = self._inpaint_one(batch[0], cfg)
+            elif batch[0].image is not None:
                 images = self.pipe.img2img(
                     batch[0].prompt,
                     np.asarray(batch[0].image)[None],
@@ -201,6 +268,48 @@ class GenerationServer:
             for r in batch:
                 r.done.set()
 
+    def _inpaint_one(self, r: GenRequest, cfg: GenConfig):
+        """Dispatch one inpaint request: crop-window variant goes through
+        pipe.inpaint (reference sample/main.rs:135-197 semantics); the
+        mask-image variant builds a latent mask (any >127 pixel in an 8x8
+        cell marks the cell generated) and uses the same pinned-latent
+        machinery."""
+        import numpy as np
+
+        common = dict(
+            n_steps=cfg.steps, guidance_scale=cfg.guidance_scale,
+            seed=r.seed, negative_prompt=cfg.negative_prompt,
+            sampler=cfg.sampler, schedule=cfg.schedule,
+            guidance_rescale=cfg.guidance_rescale,
+        )
+        ref = np.asarray(r.image)[None]
+        if r.mask_image is not None:
+            import jax.numpy as jnp
+
+            h, w = ref.shape[1:3]
+            m = np.asarray(r.mask_image)
+            if m.shape[:2] != (h, w):
+                raise ValueError(
+                    f"mask {m.shape[:2]} does not match image {(h, w)}"
+                )
+            if m.ndim == 3:
+                m = m.max(axis=-1)
+            lh, lw = h // 8, w // 8
+            cells = (m[: lh * 8, : lw * 8].reshape(lh, 8, lw, 8)
+                     .max(axis=(1, 3)) > 127)
+            mask = jnp.asarray(
+                np.broadcast_to(cells[None, :, :, None], (1, lh, lw, 4))
+            )
+            return self.pipe.txt2img(
+                [r.prompt], resolution=(h, w), inpaint_reference=ref,
+                inpaint_mask=mask, **common,
+            )
+        left, right, top, bottom, crop_out = r.crop
+        return self.pipe.inpaint(
+            [r.prompt], ref, crop_left=left, crop_right=right,
+            crop_top=top, crop_bottom=bottom, crop_out=crop_out, **common,
+        )
+
     def info(self) -> dict:
         with self.stats_lock:
             lat = sorted(self.latencies)
@@ -212,6 +321,7 @@ class GenerationServer:
                 "requests": self.n_requests,
                 "images": self.n_images,
                 "batches": self.n_batches,
+                "dropped": self.n_dropped,
                 "p50_batch_latency_s": (
                     round(statistics.median(lat), 3) if lat else None
                 ),
@@ -249,8 +359,17 @@ def make_handler(server: GenerationServer):
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 
+        def _decode_image(self, payload, key="image"):
+            import numpy as np
+            from PIL import Image
+
+            raw = base64.b64decode(payload[key])
+            return np.asarray(
+                Image.open(io.BytesIO(raw)).convert("RGB"), dtype=np.uint8
+            )
+
         def do_POST(self):
-            if self.path not in ("/v1/generate", "/v1/img2img"):
+            if self.path not in ("/v1/generate", "/v1/img2img", "/v1/inpaint"):
                 self._json(404, {"error": f"unknown path {self.path}"})
                 return
             try:
@@ -277,25 +396,42 @@ def make_handler(server: GenerationServer):
                 seed = int(payload.get("seed", 0))
                 image = None
                 strength = 0.3
+                crop = None
+                mask_image = None
                 if self.path == "/v1/img2img":
-                    import numpy as np
-                    from PIL import Image
-
-                    raw = base64.b64decode(payload["image"])
-                    image = np.asarray(
-                        Image.open(io.BytesIO(raw)).convert("RGB"),
-                        dtype=np.uint8,
-                    )
+                    image = self._decode_image(payload)
                     strength = float(payload.get("strength", 0.3))
+                elif self.path == "/v1/inpaint":
+                    image = self._decode_image(payload)
+                    h, w = image.shape[:2]
+                    if "mask" in payload:
+                        mask_image = self._decode_image(payload, "mask")
+                    elif any(
+                        k in payload for k in
+                        ("crop_left", "crop_right", "crop_top", "crop_bottom")
+                    ):
+                        crop = (
+                            int(payload.get("crop_left", 0)),
+                            int(payload.get("crop_right", w)),
+                            int(payload.get("crop_top", 0)),
+                            int(payload.get("crop_bottom", h)),
+                            bool(payload.get("crop_out", False)),
+                        )
+                    else:
+                        raise ValueError(
+                            "inpaint needs a 'mask' image or crop_* window"
+                        )
             except (KeyError, ValueError, json.JSONDecodeError) as e:
                 self._json(400, {"error": f"bad request: {e}"})
                 return
 
             req = server.submit(
-                GenRequest(prompt, cfg, seed, image=image, strength=strength)
+                GenRequest(prompt, cfg, seed, image=image, strength=strength,
+                           crop=crop, mask_image=mask_image)
             )
             if req.error:
-                self._json(500, {"error": req.error})
+                self._json(req.status if req.status != 200 else 500,
+                           {"error": req.error})
                 return
             if "image/png" in (self.headers.get("Accept") or ""):
                 body = req.result[0]
@@ -333,6 +469,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-batch", type=int, default=4)
+    p.add_argument("--max-queue", type=int, default=64,
+                   help="Pending-request bound; overflow returns 503")
     p.add_argument("--batch-window-ms", type=float, default=20.0)
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--height", type=int, default=1024)
@@ -354,16 +492,9 @@ def build_pipeline(args):
     """Same model resolution logic as the sample CLI."""
     import jax.numpy as jnp
 
-    loras = []
-    for spec in args.lora:
-        path, sep, scale = spec.rpartition(":")
-        try:
-            if sep and path:
-                loras.append((path, float(scale)))
-                continue
-        except ValueError:
-            pass
-        loras.append((spec, 1.0))
+    from ..io.lora import parse_lora_specs
+
+    loras = parse_lora_specs(args.lora)
 
     if args.family in ("sd1", "sd2"):
         from ..configs import (
@@ -422,6 +553,7 @@ def main(argv=None) -> int:
     server = GenerationServer(
         pipe,
         max_batch=args.max_batch,
+        max_queue=args.max_queue,
         batch_window_ms=args.batch_window_ms,
         default_cfg=GenConfig(
             width=args.width, height=args.height, steps=args.steps,

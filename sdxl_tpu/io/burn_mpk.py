@@ -228,3 +228,86 @@ def parse_mpk_file(path: str) -> MpkSource:
     with open(path, "rb") as f:
         node = msgpack.unpack(f, raw=False, strict_map_key=False)
     return MpkSource(node)
+
+
+def _leaf_summary(leaf) -> str:
+    """One-line description of a DataSerialize tensor leaf: shape, payload
+    encoding and dtype tag, without materializing the array."""
+    shape = [int(s) for s in leaf.get("shape", [])]
+    tag = leaf.get("dtype")
+    raw = leaf.get("bytes", leaf.get("data"))
+    if isinstance(raw, (bytes, bytearray, memoryview)):
+        enc = f"raw {len(bytes(raw))}B"
+    elif "value" in leaf:
+        v = leaf["value"]
+        if isinstance(v, (list, tuple)) and v and isinstance(v[0], int):
+            enc = "u16-bit list" if tag in (None, "F16", "f16") else "int list"
+        else:
+            enc = "float list"
+    else:
+        enc = "?"
+    return f"tensor{shape} [{tag or 'untagged'}, {enc}]"
+
+
+def inspect_mpk_lines(node, path: str = "$", max_depth: int = 64):
+    """Yield one line per record node: keys, wrapper variants detected,
+    tensor leaves (shape + dtype tag + payload encoding), block-enum
+    variants. Diagnosis tool for first contact with a real burn artifact
+    (the reader/writer pair was reverse-engineered from burn 0.13's serde;
+    convert/main.rs:65-70): a field-name or layout drift shows up here as
+    a readable tree instead of a deep parse error."""
+    if max_depth < 0:
+        yield f"{path}: ... (depth limit)"
+        return
+    wrappers = []
+    while isinstance(node, dict):
+        if "item" in node and set(node.keys()) <= {"item", "metadata"}:
+            meta = node.get("metadata")
+            wrappers.append(
+                "BurnRecord" + (f"(metadata={meta})" if meta else "")
+            )
+            node = node["item"]
+            continue
+        if "param" in node and set(node.keys()) <= {"id", "param"}:
+            wrappers.append("Param" + (f"(id={node.get('id')})" if node.get("id") else ""))
+            node = node["param"]
+            continue
+        break
+    w = (" <" + "+".join(wrappers) + ">") if wrappers else ""
+
+    leaf = _unwrap_tensor(node)
+    if _is_tensor_leaf(leaf):
+        yield f"{path}{w}: {_leaf_summary(leaf)}"
+        return
+    if isinstance(node, dict):
+        if len(node) == 1 and next(iter(node)) in _ENUM_TO_TYPE:
+            variant = next(iter(node))
+            yield (f"{path}{w}: block enum {variant} "
+                   f"(type.txt '{_ENUM_TO_TYPE[variant]}')")
+            yield from inspect_mpk_lines(
+                node[variant], f"{path}.{variant}", max_depth - 1
+            )
+            return
+        if not node:
+            yield f"{path}{w}: {{}} (ConstantRecord)"
+            return
+        yield f"{path}{w}: record with {len(node)} fields"
+        for k, v in node.items():
+            yield from inspect_mpk_lines(v, f"{path}.{k}", max_depth - 1)
+        return
+    if isinstance(node, (list, tuple)):
+        yield f"{path}{w}: sequence of {len(node)}"
+        for i, v in enumerate(node):
+            yield from inspect_mpk_lines(v, f"{path}[{i}]", max_depth - 1)
+        return
+    if node is None:
+        yield f"{path}{w}: nil (Option::None / ConstantRecord)"
+        return
+    yield f"{path}{w}: {type(node).__name__} = {node!r}"
+
+
+def inspect_mpk(path: str) -> str:
+    """Full record-tree dump of a .mpk file (see inspect_mpk_lines)."""
+    with open(path, "rb") as f:
+        node = msgpack.unpack(f, raw=False, strict_map_key=False)
+    return "\n".join(inspect_mpk_lines(node))

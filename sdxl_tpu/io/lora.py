@@ -330,6 +330,28 @@ def load_lora_file(path: str) -> Dict[str, LoRAEntry]:
     return entries
 
 
+def parse_lora_specs(specs) -> List[Tuple[str, float]]:
+    """CLI 'PATH[:SCALE]' specs -> (path, scale) pairs.
+
+    A spec that names an existing file verbatim is NEVER split: a filename
+    containing a colon followed by digits (style:2.safetensors) loads as a
+    path rather than misparsing as PATH:SCALE. Shared by the sample and
+    serve CLIs."""
+    import os
+
+    out = []
+    for spec in specs:
+        path, sep, scale = spec.rpartition(":")
+        if sep and path and not os.path.exists(spec):
+            try:
+                out.append((path, float(scale)))
+                continue
+            except ValueError:
+                pass
+        out.append((spec, 1.0))
+    return out
+
+
 def apply_lora_files(
     loras: List[Tuple[str, float]],
     unet=None,

@@ -52,24 +52,29 @@ def make_mesh(
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
-# (path regex, PartitionSpec) — first match wins; default replicated.
+# (path regex, PartitionSpec, kind) — first match wins; default replicated.
 # Paths are dot-joined pytree key paths, e.g.
 # "input_blocks.4.transformer.blocks.0.attn1.q.w".
+# kind marks attention projections whose sharding must stay HEAD-ALIGNED
+# (see shard_params): splitting the feature axis mid-head (e.g. the base
+# UNet's 10 heads at 640ch over tp=4) forces GSPMD to all-gather the
+# activations at the [B,T,H,64] head reshape — measured 6 all-gathers per
+# transformer block vs 0 when head-aligned (scripts/exp_tp_hlo.py).
 _TP_RULES: Sequence = (
     # column-parallel: split output features over MODEL
-    (re.compile(r"\.attn\d?\.(q|k|v)\.w$"), P(None, MODEL_AXIS)),
+    (re.compile(r"\.attn\d?\.(q|k|v)\.w$"), P(None, MODEL_AXIS), "attn_col"),
     # fused self-attn qkv ([C, 3C], fuse_unet_qkv): still column-parallel;
     # GSPMD reshards at the 3-way split (dp x tp equivalence is tested with
     # fused params in tests/test_parallel.py)
-    (re.compile(r"\.attn\d?\.qkv\.w$"), P(None, MODEL_AXIS)),
-    (re.compile(r"\.mlp\.proj\.w$"), P(None, MODEL_AXIS)),
-    (re.compile(r"\.mlp\.fc1\.w$"), P(None, MODEL_AXIS)),
-    (re.compile(r"\.mlp\.proj\.b$"), P(MODEL_AXIS)),
-    (re.compile(r"\.mlp\.fc1\.b$"), P(MODEL_AXIS)),
+    (re.compile(r"\.attn\d?\.qkv\.w$"), P(None, MODEL_AXIS), "attn_qkv"),
+    (re.compile(r"\.mlp\.proj\.w$"), P(None, MODEL_AXIS), None),
+    (re.compile(r"\.mlp\.fc1\.w$"), P(None, MODEL_AXIS), None),
+    (re.compile(r"\.mlp\.proj\.b$"), P(MODEL_AXIS), None),
+    (re.compile(r"\.mlp\.fc1\.b$"), P(MODEL_AXIS), None),
     # row-parallel: split input features over MODEL (output all-reduced)
-    (re.compile(r"\.attn\d?\.out\.w$"), P(MODEL_AXIS, None)),
-    (re.compile(r"\.mlp\.fc2\.w$"), P(MODEL_AXIS, None)),
-    (re.compile(r"\.mlp\.lin\.w$"), P(MODEL_AXIS, None)),
+    (re.compile(r"\.attn\d?\.out\.w$"), P(MODEL_AXIS, None), "attn_row"),
+    (re.compile(r"\.mlp\.fc2\.w$"), P(MODEL_AXIS, None), None),
+    (re.compile(r"\.mlp\.lin\.w$"), P(MODEL_AXIS, None), None),
 )
 
 
@@ -85,26 +90,54 @@ def _path_str(path) -> str:
     return ".".join(parts)
 
 
-def partition_spec_for(path: str, tensor_parallel: bool) -> P:
+def _spec_kind_for(path: str, tensor_parallel: bool):
     if tensor_parallel:
-        for rx, spec in _TP_RULES:
+        for rx, spec, kind in _TP_RULES:
             if rx.search("." + path):
-                return spec
-    return P()
+                return spec, kind
+    return P(), None
 
 
-def shard_params(params, mesh: Mesh, tensor_parallel: bool = True):
+def partition_spec_for(path: str, tensor_parallel: bool) -> P:
+    return _spec_kind_for(path, tensor_parallel)[0]
+
+
+def shard_params(params, mesh: Mesh, tensor_parallel: bool = True,
+                 head_channels: int = 64, fixed_heads: int = 0):
     """Place a parameter pytree on the mesh per the TP rules.
 
     With tensor_parallel=False (or a size-1 model axis) everything is
     replicated — the pure data-parallel throughput mode.
+
+    Attention projections are sharded only when the split is HEAD-ALIGNED:
+    n_heads % tp == 0, with n_heads = fixed_heads (SD1/2-style configs) or
+    attention features / head_channels (SDXL: 64, unet/mod.rs:113). A
+    mid-head split (the base UNet's 10 heads at 640ch over tp=4) would
+    make GSPMD all-gather activations at every [B,T,H,D] head reshape —
+    measured 6 all-gathers/transformer block vs 0 aligned
+    (scripts/exp_tp_hlo.py); such tensors are replicated instead and only
+    the MLP halves of those blocks stay tensor-parallel.
     """
     tp = tensor_parallel and mesh.shape[MODEL_AXIS] > 1
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def attn_heads(kind, shape) -> int:
+        """Head count of the attention this projection belongs to; 0 if
+        it cannot be derived (conservatively replicates)."""
+        if fixed_heads:
+            return fixed_heads
+        if kind == "attn_col":      # [C_in, H*D] (or stacked [S, ., .])
+            feat = shape[-1]
+        elif kind == "attn_qkv":    # [C, 3*H*D]
+            feat = shape[-1] // 3
+        else:                       # attn_row: [H*D, C]
+            feat = shape[-2] if len(shape) == 3 else shape[0]
+        return feat // head_channels if feat % head_channels == 0 else 0
 
     def place(path, leaf):
         if leaf is None:
             return None
-        spec = partition_spec_for(_path_str(path), tp)
+        spec, kind = _spec_kind_for(_path_str(path), tp)
         # TP rules target 2-D linear weights / 1-D biases. Stacked
         # transformer blocks (stack_unet_transformers) add a leading depth
         # axis — shift the spec right. The VAE mid-attention reuses q/k/v
@@ -115,6 +148,10 @@ def shard_params(params, mesh: Mesh, tensor_parallel: bool = True):
             spec = P(None, *spec)
         elif len(spec) > 0 and leaf.ndim > len(spec):
             spec = P()
+        if kind is not None and len(spec) > 0:
+            heads = attn_heads(kind, leaf.shape)
+            if heads <= 0 or heads % n_model != 0:
+                spec = P()
         # guard: axes must divide the dim; otherwise replicate
         for dim, axis in zip(leaf.shape, spec):
             if axis is not None and dim % mesh.shape[axis] != 0:

@@ -110,30 +110,25 @@ def _embed_one(embedder_params, cfg: EmbedderConfig, clip_tokens, open_clip_toke
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "weighted", "clip_skip"))
-def _conditioning_program(embedder_params, cfg: EmbedderConfig,
-                          cond_tokens_clip, cond_tokens_open_clip,
-                          uncond_tokens_clip, uncond_tokens_open_clip,
-                          size, crop, ar, weighted=False,
-                          w_clip=None, w_oc=None, uw_clip=None, uw_oc=None,
-                          clip_skip: int = 0):
-    n_batch = cond_tokens_clip.shape[0]
+def _conditioning_half_program(embedder_params, cfg: EmbedderConfig,
+                               tokens_clip, tokens_open_clip,
+                               size, crop, ar, weighted=False,
+                               w_clip=None, w_oc=None, clip_skip: int = 0):
+    """One branch (conditional OR unconditional) of the conditioning
+    computation. Split so the unconditional half — which for the default
+    "" negative prompt depends only on (resolution, crop, clip_skip), not
+    on the request's prompts — can be cached across requests
+    (the reference recomputes uncond per request; uncond is always "",
+    stablediffusion/mod.rs:698-726)."""
+    n_batch = tokens_clip.shape[0]
     aesthetic = jnp.full((n_batch, 1), AESTHETIC_SCORE, dtype=size.dtype)
-
-    ctx_full, ctx_oc, ch, ch_ref = _embed_one(
-        embedder_params, cfg, cond_tokens_clip, cond_tokens_open_clip,
+    return _embed_one(
+        embedder_params, cfg, tokens_clip, tokens_open_clip,
         size, crop, ar, aesthetic,
         clip_w=w_clip if weighted else None,
         oc_w=w_oc if weighted else None,
         clip_skip=clip_skip,
     )
-    u_full, u_oc, u_ch, u_ch_ref = _embed_one(
-        embedder_params, cfg, uncond_tokens_clip, uncond_tokens_open_clip,
-        size[:1], crop[:1], ar[:1], aesthetic[:1],
-        clip_w=uw_clip if weighted else None,
-        oc_w=uw_oc if weighted else None,
-        clip_skip=clip_skip,
-    )
-    return ctx_full, ctx_oc, ch, ch_ref, u_full, u_oc, u_ch, u_ch_ref
 
 
 def text_to_conditioning(
@@ -148,6 +143,7 @@ def text_to_conditioning(
     parse_attention: bool = True,
     max_chunks: int = 4,
     clip_skip: int = 0,
+    uncond_cache: dict | None = None,
 ) -> Conditioning:
     """Prompts -> Conditioning. `negative_prompt` generalizes the
     reference's hardcoded "" unconditional branch.
@@ -155,7 +151,13 @@ def text_to_conditioning(
     Prompt-emphasis markup ((word:1.3), [word]) and >75-content-token
     prompts (chunked, up to max_chunks x 77 context tokens) are handled by
     pipeline/prompt.py; plain short prompts take the exact reference path
-    (single chunk, no weighting applied)."""
+    (single chunk, no weighting applied).
+
+    uncond_cache: optional mutable dict; the unconditional half depends
+    only on (negative_prompt, resolution, crop, clip_skip, chunk count,
+    weighting) — NOT on the prompts — so it is memoized there across
+    requests. The caller owns invalidation (must clear when the embedder
+    params change, e.g. textual inversions)."""
     from .prompt import batch_weighted_tokens
 
     if isinstance(prompts, str):
@@ -200,14 +202,29 @@ def text_to_conditioning(
     crop_a = jnp.broadcast_to(jnp.array([list(crop)], jnp.int32), (n, 2))
     ar = jnp.broadcast_to(jnp.array([[h, w]], jnp.int32), (n, 2))
 
-    ctx_full, ctx_oc, ch, ch_ref, u_full, u_oc, u_ch, u_ch_ref = _conditioning_program(
+    ctx_full, ctx_oc, ch, ch_ref = _conditioning_half_program(
         embedder_params, cfg, jnp.asarray(clip_ids), jnp.asarray(oc_ids),
-        jnp.asarray(u_clip_ids), jnp.asarray(u_oc_ids), size, crop_a, ar,
-        weighted=weighted,
+        size, crop_a, ar, weighted=weighted,
         w_clip=jnp.asarray(w_clip), w_oc=jnp.asarray(w_oc),
-        uw_clip=jnp.asarray(uw_clip), uw_oc=jnp.asarray(uw_oc),
         clip_skip=clip_skip,
     )
+
+    cache_key = None
+    if uncond_cache is not None:
+        cache_key = (negative_prompt, (h, w), tuple(crop), clip_skip,
+                     int(clip_ids.shape[1]), weighted)
+    if cache_key is not None and cache_key in uncond_cache:
+        u_full, u_oc, u_ch, u_ch_ref = uncond_cache[cache_key]
+    else:
+        u_full, u_oc, u_ch, u_ch_ref = _conditioning_half_program(
+            embedder_params, cfg, jnp.asarray(u_clip_ids),
+            jnp.asarray(u_oc_ids), size[:1], crop_a[:1], ar[:1],
+            weighted=weighted,
+            w_clip=jnp.asarray(uw_clip), w_oc=jnp.asarray(uw_oc),
+            clip_skip=clip_skip,
+        )
+        if cache_key is not None:
+            uncond_cache[cache_key] = (u_full, u_oc, u_ch, u_ch_ref)
 
     return Conditioning(
         unconditional_context_full=u_full,

@@ -34,6 +34,42 @@ from .pipeline import SDXLPipeline
 from .sampler import scaled_linear_alphas_cumprod
 
 
+def _refiner_load_ctx(base_cfg, unet, e_params, vae=None):
+    """Context for loading refiner weights: when base + refiner params +
+    scan workspace would exceed the HBM budget, load onto the HOST instead
+    (jax.default_device cpu) — the pipeline's auto stage-scoping
+    (plan_refiner_mode) swaps them in for the refiner stage. Mirrors the
+    reference's per-stage VRAM scoping (sample/main.rs:217-278) without
+    paying a per-request disk load when everything fits."""
+    import contextlib
+
+    import jax
+
+    from ..utils.memory import (
+        hbm_budget_bytes,
+        param_bytes,
+        unet_scan_workspace_bytes,
+    )
+
+    have = param_bytes(unet) + param_bytes(e_params) + param_bytes(vae)
+    est_refiner = int(param_bytes(unet) * 0.9)  # 2.3B vs 2.6B params
+    work = unet_scan_workspace_bytes(base_cfg, 1, (128, 128), jnp.bfloat16)
+    budget = hbm_budget_bytes()
+    if have + est_refiner + work > budget:
+        try:
+            cpu = jax.devices("cpu")[0]
+            gb = 1 << 30
+            log(
+                f"refiner: parking weights on host — params "
+                f"{(have + est_refiner) / gb:.1f} + workspace "
+                f"{work / gb:.1f} GiB exceed budget {budget / gb:.1f} GiB"
+            )
+            return jax.default_device(cpu)
+        except Exception:
+            pass
+    return contextlib.nullcontext()
+
+
 def _maybe_stack(params, flag: bool):
     """Run-time UNet param prep: fuse self-attn qkv (math-identical, one
     [C,3C] MXU dot instead of three) and optionally stack deep transformer
@@ -46,6 +82,28 @@ def _maybe_stack(params, flag: bool):
     if not flag:
         return params
     return stack_unet_transformers(params)
+
+
+def _prep_refiner(r_params, stack: bool):
+    """_maybe_stack for the refiner, keeping host-parked weights on the
+    host: commit the tree to the cpu device first so the fuse/stack ops
+    run (and their results stay) there instead of migrating 4+ GB to the
+    accelerator the parking was meant to protect."""
+    if r_params is None:
+        return None
+    import jax
+
+    from ..utils.memory import tree_is_on_host
+
+    if jax.default_backend() != "cpu" and tree_is_on_host(r_params):
+        cpu = jax.devices("cpu")[0]
+        r_params = jax.tree.map(
+            lambda a: jax.device_put(a, cpu) if a is not None else None,
+            r_params, is_leaf=lambda x: x is None,
+        )
+        with jax.default_device(cpu):
+            return _maybe_stack(r_params, stack)
+    return _maybe_stack(r_params, stack)
 
 
 def _apply_loras(loras, unet, e_params) -> None:
@@ -159,9 +217,10 @@ def load_pipeline(
             if refiner_path is None:
                 raise FileNotFoundError("no sd_xl_refiner_*.safetensors found")
             r_cfg = SDXL_REFINER_DIFFUSER
-            _, r_params, _ = load_sdxl_safetensors(
-                refiner_path, r_cfg, None, compute_dtype
-            )
+            with _refiner_load_ctx(d_cfg, unet, e_params, vae):
+                _, r_params, _ = load_sdxl_safetensors(
+                    refiner_path, r_cfg, None, compute_dtype
+                )
         alphas = jnp.asarray(scaled_linear_alphas_cumprod())
         _apply_loras(loras, unet, e_params)
         return SDXLPipeline(
@@ -173,7 +232,7 @@ def load_pipeline(
             vae_cfg=AutoencoderConfig(),
             vae_params=vae,
             refiner_cfg=r_cfg,
-            refiner_params=_maybe_stack(r_params, stack_transformers),
+            refiner_params=_prep_refiner(r_params, stack_transformers),
             refiner_alphas=alphas if r_params is not None else None,
             clip_tokenizer=ClipTokenizer(tokenizer_dir),
             open_clip_tokenizer=OpenClipTokenizer(tokenizer_dir),
@@ -185,9 +244,10 @@ def load_pipeline(
         d_cfg, unet, alphas = ckpt.load_diffuser_mpk(model_dir, "diffuser", compute_dtype)
         r_cfg = r_params = r_alphas = None
         if use_refiner:
-            r_cfg, r_params, r_alphas = ckpt.load_diffuser_mpk(
-                model_dir, "refiner", compute_dtype
-            )
+            with _refiner_load_ctx(d_cfg, unet, e_params):
+                r_cfg, r_params, r_alphas = ckpt.load_diffuser_mpk(
+                    model_dir, "refiner", compute_dtype
+                )
         l_cfg, vae = ckpt.load_latent_decoder_mpk(model_dir)
         scale = l_cfg.scale_factor
     elif fmt == "npy":
@@ -198,9 +258,10 @@ def load_pipeline(
         r_cfg = r_params = r_alphas = None
         if use_refiner:
             r_cfg = SDXL_REFINER_DIFFUSER
-            r_params, r_alphas = ckpt.load_diffuser_npy(
-                model_dir, r_cfg, True, compute_dtype
-            )
+            with _refiner_load_ctx(d_cfg, unet, e_params):
+                r_params, r_alphas = ckpt.load_diffuser_npy(
+                    model_dir, r_cfg, True, compute_dtype
+                )
         vae, scale = ckpt.load_latent_decoder_npy(model_dir)
     else:  # native
         e_cfg = load_cfg(os.path.join(model_dir, "embedder.cfg"), EmbedderConfig)
@@ -216,9 +277,10 @@ def load_pipeline(
         r_cfg = r_params = r_alphas = None
         if use_refiner:
             r_cfg = load_cfg(os.path.join(model_dir, "refiner.cfg"), DiffuserConfig)
-            r_params = ckpt.load_native(
-                os.path.join(model_dir, "refiner.safetensors"), compute_dtype
-            )
+            with _refiner_load_ctx(d_cfg, unet, e_params):
+                r_params = ckpt.load_native(
+                    os.path.join(model_dir, "refiner.safetensors"), compute_dtype
+                )
             r_alphas = alphas
         l_cfg = load_cfg(
             os.path.join(model_dir, "latent_decoder.cfg"), LatentDecoderConfig
@@ -237,7 +299,7 @@ def load_pipeline(
         vae_params=vae,
         scale_factor=scale,
         refiner_cfg=r_cfg,
-        refiner_params=_maybe_stack(r_params, stack_transformers),
+        refiner_params=_prep_refiner(r_params, stack_transformers),
         refiner_alphas=r_alphas,
         clip_tokenizer=ClipTokenizer(tokenizer_dir),
         open_clip_tokenizer=OpenClipTokenizer(tokenizer_dir),

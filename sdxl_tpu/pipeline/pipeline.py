@@ -82,6 +82,11 @@ class SDXLPipeline:
     # resolutions whose full decode exceeds HBM (>= 4096^2 px)
     vae_tile: Optional[int] = None
     timer: StageTimer = field(default_factory=StageTimer)
+    # memo for the unconditional conditioning half: for a given negative
+    # prompt it depends only on (resolution, crop, clip_skip), not on the
+    # request's prompts — cached across requests, cleared whenever the
+    # embedder params change (textual inversions, LoRA)
+    _uncond_cache: dict = field(default_factory=dict)
 
     def shard(self, n_data: Optional[int] = None,
               n_model: Optional[int] = None,
@@ -95,16 +100,36 @@ class SDXLPipeline:
 
         mesh = make_mesh(n_data, n_model)
         self.mesh = mesh
-        self.unet_params = shard_params(self.unet_params, mesh, tensor_parallel)
+        # head-aligned TP (parallel/mesh.py): pass each model's head
+        # geometry so attention shards only where heads % tp == 0
+        self.unet_params = shard_params(
+            self.unet_params, mesh, tensor_parallel,
+            head_channels=self.diffuser_cfg.num_head_channels,
+            fixed_heads=getattr(self.diffuser_cfg, "n_heads", 0),
+        )
         if self.refiner_params is not None:
             self.refiner_params = shard_params(
-                self.refiner_params, mesh, tensor_parallel
+                self.refiner_params, mesh, tensor_parallel,
+                head_channels=self.refiner_cfg.num_head_channels,
+                fixed_heads=getattr(self.refiner_cfg, "n_heads", 0),
             )
         if self.embedder_params is not None:
-            self.embedder_params = shard_params(
-                self.embedder_params, mesh, tensor_parallel
-            )
+            tower_cfgs = {
+                "clip": self.embedder_cfg.clip_config,
+                "open_clip": self.embedder_cfg.open_clip_config,
+            }
+            if set(self.embedder_params) <= set(tower_cfgs):
+                self.embedder_params = {
+                    k: shard_params(v, mesh, tensor_parallel,
+                                    fixed_heads=tower_cfgs[k].n_head)
+                    for k, v in self.embedder_params.items()
+                }
+            else:
+                self.embedder_params = shard_params(
+                    self.embedder_params, mesh, tensor_parallel
+                )
         self.vae_params = shard_params(self.vae_params, mesh, False)
+        self._uncond_cache.clear()  # cached tensors carry pre-shard layout
         log(f"pipeline sharded over mesh {dict(mesh.shape)}")
         return mesh
 
@@ -166,6 +191,7 @@ class SDXLPipeline:
                 crop,
                 negative_prompt,
                 clip_skip=self.clip_skip,
+                uncond_cache=self._uncond_cache,
             )
             if profile_stages:
                 fence(cond.context_full)
@@ -187,6 +213,7 @@ class SDXLPipeline:
                 self.embedder_cfg.open_clip_config.n_state,
             ],
         )
+        self._uncond_cache.clear()  # embedding tables changed
 
     # -- generation ----------------------------------------------------------
 
@@ -214,14 +241,20 @@ class SDXLPipeline:
         """Full pipeline; returns [B, H, W, 3] uint8.
 
         seed: one int (reference semantics: the whole batch's noise from
-        one key) or a per-image sequence — each image's noise depends only
-        on its own seed, so batched serving can fuse requests without
-        changing their results.
+        one key) or a per-image sequence — each image's initial AND
+        refiner re-noise depend only on its own seed, so batched serving
+        can fuse requests without changing their results. Exception: DDIM
+        inpainting's per-STEP pin noise is drawn from one key over the
+        batch (as the reference does, mod.rs:434-483), so batched inpaint
+        results depend on batch composition — the server never fuses
+        inpaint requests, so the serving contract is unaffected.
 
-        preview_every=N (ddim only): between every N steps,
+        preview_every=N (all samplers): between every N steps,
         preview_callback(done, total, rgb_u8) receives a cheap linear-map
         preview of the current latent (sampler.latent_to_preview). The
-        final image is bit-identical to the unsegmented run.
+        final image matches the unsegmented run (DDIM: bit-identical;
+        euler/dpmpp: segmented scan with the multistep history carried
+        across boundaries).
 
         schedule="karras" applies the Karras rho=7 sigma spacing to the
         euler/dpmpp samplers (invalid with ddim, whose schedule is fixed
@@ -313,11 +346,38 @@ class SDXLPipeline:
                 "schedule is fixed by reference semantics"
             )
         use_cfg = not (no_cfg or guidance_scale == 1.0)
-        if preview_every is not None and sampler != "ddim":
-            raise ValueError("step previews are supported on the ddim path")
 
         with self.timer.stage("diffuser"):
-            if preview_every is not None:
+            if preview_every is not None and sampler in ("euler", "dpmpp"):
+                from .sampler import (
+                    gen_noise,
+                    k_diffuse_latent_preview,
+                    k_sigma_at,
+                    k_timesteps,
+                )
+
+                # same key split + sigma-space scaling as euler_sample_latent
+                noise_key, inpaint_key = jax.random.split(base_key)
+                sigma_max = k_sigma_at(
+                    self.alphas_cumprod,
+                    k_timesteps(0, n_steps, self.alphas_cumprod.shape[0])[0],
+                )
+                k_lat0 = (initial_noise if initial_noise is not None
+                          else gen_noise(noise_key, cond_half)) * sigma_max
+                latent = k_diffuse_latent_preview(
+                    self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
+                    k_lat0, cond_half, guidance_scale, preview_every,
+                    preview_callback, method=sampler, step_start=0,
+                    n_steps=n_steps, compute_dtype=self.compute_dtype,
+                    inpaint=reference_latent is not None
+                    and inpaint_mask is not None,
+                    reference=reference_latent, mask=inpaint_mask,
+                    key=inpaint_key, schedule=schedule, use_cfg=use_cfg,
+                    guidance_rescale=guidance_rescale,
+                    concat_channels=concat_channels,
+                    preview_factors=self.preview_factors,
+                )
+            elif preview_every is not None:
                 from .sampler import diffuse_latent_preview, gen_noise
 
                 # same key split as sample_latent: bit-identical noise
@@ -375,6 +435,39 @@ class SDXLPipeline:
                 if self.refiner_alphas is not None
                 else self.alphas_cumprod
             )
+            # HBM budget planning (reference scopes each stage's VRAM the
+            # same way, sample/main.rs:217-278): when base + refiner +
+            # scan workspace exceed the budget, park the base UNet on host
+            # for the refiner scan and restore it afterwards
+            from ..utils.memory import (
+                plan_refiner_mode,
+                tree_is_on_host,
+                tree_to_device,
+                tree_to_host,
+            )
+
+            if self.mesh is not None:
+                mode, reason = "resident", "multi-chip mesh (pooled HBM)"
+            else:
+                mode, reason = plan_refiner_mode(
+                    self, resolution, cond.context_full.shape[0]
+                )
+            log(f"refiner mode: {mode} ({reason})")
+            if mode == "scoped":
+                with self.timer.stage("stage_swap_in"):
+                    self.unet_params = tree_to_host(self.unet_params)
+                    self.refiner_params = tree_to_device(self.refiner_params)
+            elif tree_is_on_host(self.refiner_params):
+                # fits resident: promote the host-parked refiner once
+                self.refiner_params = tree_to_device(self.refiner_params)
+            # per-image seeds: refiner re-noise for image i comes from
+            # seeds[i] (fold_in stream 1), keeping the per-image-seed
+            # contract through the two-stage path
+            refiner_noise = None
+            if seeds is not None:
+                from .sampler import refiner_noise_per_seed
+
+                refiner_noise = refiner_noise_per_seed(seeds, latent.shape)
             with self.timer.stage("refiner"):
                 if sampler in ("euler", "dpmpp"):
                     latent = k_refine_latent(
@@ -382,6 +475,7 @@ class SDXLPipeline:
                         latent, cond_half, refiner_key, guidance_scale,
                         refiner_step_start, n_steps, self.compute_dtype,
                         method=sampler, schedule=schedule,
+                        noise=refiner_noise,
                     )
                 else:
                     latent = refine_latent(
@@ -395,9 +489,15 @@ class SDXLPipeline:
                         refiner_step_start,
                         n_steps,
                         self.compute_dtype,
+                        noise=refiner_noise,
                     )
                 if profile_stages:
                     fence(latent)
+            if mode == "scoped":
+                with self.timer.stage("stage_swap_out"):
+                    fence(latent)  # refiner outputs must land first
+                    self.refiner_params = tree_to_host(self.refiner_params)
+                    self.unet_params = tree_to_device(self.unet_params)
 
         with self.timer.stage("vae_decode"):
             images = self._decode(latent)

@@ -483,6 +483,129 @@ def k_sigma_at(alphas_cumprod, t: int) -> jnp.ndarray:
     return jnp.sqrt((1.0 - a) / a)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "method", "compute_dtype", "inpaint", "use_cfg",
+                     "guidance_rescale"),
+)
+def _k_segment(
+    unet_params,
+    cfg: DiffuserConfig,
+    lat: jnp.ndarray,
+    old_denoised: jnp.ndarray,
+    cond: Conditioning,
+    guidance_scale: float,
+    ts, sig, sig_next, sig_prev, first, keys,
+    compute_dtype=jnp.bfloat16,
+    method: str = "euler",
+    inpaint: bool = False,
+    reference: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+    use_cfg: bool = True,
+    guidance_rescale: float = 0.0,
+    concat_channels: Optional[jnp.ndarray] = None,
+):
+    """A slice of the k-sampler scan with explicit (lat, old_denoised)
+    carry — the segmented twin of k_diffuse_latent's loop, step math
+    identical (k_step_update), so chaining segments reproduces the
+    unsegmented trajectory exactly (incl. the DPM++ 2M multistep history
+    across a segment boundary)."""
+    ctx2, ch2 = _cfg_contexts(cfg, cond, compute_dtype, use_cfg)
+    cross_kv = precompute_cross_kv(unet_params, cfg.unet_config(), ctx2)
+    cc = concat_channels
+    if cc is not None and use_cfg and not cfg.is_refiner:
+        cc = jnp.concatenate([cc, cc], axis=0)
+
+    def step(carry, inp):
+        lat, old_denoised = carry
+        t, sigma, sigma_next, sigma_prev, is_first, k = inp
+        if inpaint:
+            noise = jax.random.normal(k, lat.shape, jnp.float32)
+            lat = jnp.where(mask, lat, reference + sigma * noise)
+        scaled = lat / jnp.sqrt(sigma**2 + 1.0)
+        eps = _cfg_eps(unet_params, cfg, scaled, t, ctx2, ch2, guidance_scale,
+                       compute_dtype, cross_kv, 1.0 / (sigma**2 + 1.0),
+                       use_cfg=use_cfg, guidance_rescale=guidance_rescale,
+                       concat=cc)
+        denoised = lat - sigma * eps
+        new_lat = k_step_update(method, lat, denoised, old_denoised,
+                                sigma, sigma_next, sigma_prev, is_first)
+        return (new_lat, denoised), None
+
+    return jax.lax.scan(
+        step, (lat, old_denoised), (ts, sig, sig_next, sig_prev, first, keys)
+    )[0]
+
+
+def k_diffuse_latent_preview(
+    unet_params,
+    cfg: DiffuserConfig,
+    alphas_cumprod,
+    latent: jnp.ndarray,  # sigma-space latent (x0 + sigma_max * eps)
+    cond: Conditioning,
+    guidance_scale: float,
+    preview_every: int,
+    preview_callback,
+    method: str = "euler",
+    step_start: int = 0,
+    n_steps: int = 30,
+    compute_dtype=jnp.bfloat16,
+    inpaint: bool = False,
+    reference: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+    key: Optional[jax.Array] = None,
+    schedule: str = "linear",
+    use_cfg: bool = True,
+    guidance_rescale: float = 0.0,
+    concat_channels: Optional[jnp.ndarray] = None,
+    preview_factors: Optional[np.ndarray] = None,
+) -> jnp.ndarray:
+    """k_diffuse_latent, segmented every `preview_every` steps: between
+    segments, preview_callback(done, total, rgb_u8) receives a linear-map
+    preview of the current latent scaled back to VP space
+    (x / sqrt(sigma^2+1) — the same noisy-latent view the DDIM previews
+    show). Step math identical to k_diffuse_latent; the final latent
+    matches the unsegmented run (the DPM++ multistep history is carried
+    across segment boundaries)."""
+    if preview_every < 1:
+        raise ValueError("preview_every must be >= 1")
+    if method not in ("euler", "dpmpp"):
+        raise ValueError(f"unknown k-sampler {method!r} (euler|dpmpp)")
+    ts, sigmas = k_schedule(alphas_cumprod, step_start, n_steps, schedule)
+    ts = np.asarray(ts)
+    sigmas = np.asarray(sigmas)
+    sig, sig_next = sigmas[:-1], sigmas[1:]
+    sig_prev = np.concatenate([sigmas[:1], sigmas[:-2]])
+    first = np.arange(len(ts)) == 0
+    total = len(ts)
+    if inpaint:
+        keys = jax.random.split(key, total)
+    else:
+        keys = jnp.zeros((total, 2), dtype=jnp.uint32)
+
+    lat = latent.astype(jnp.float32)
+    old = jnp.zeros_like(lat)
+    done = 0
+    while done < total:
+        end = min(done + preview_every, total)
+        lat, old = _k_segment(
+            unet_params, cfg, lat, old, cond, guidance_scale,
+            jnp.asarray(ts[done:end]), jnp.asarray(sig[done:end]),
+            jnp.asarray(sig_next[done:end]), jnp.asarray(sig_prev[done:end]),
+            jnp.asarray(first[done:end]), keys[done:end],
+            compute_dtype=compute_dtype, method=method, inpaint=inpaint,
+            reference=reference, mask=mask, use_cfg=use_cfg,
+            guidance_rescale=guidance_rescale,
+            concat_channels=concat_channels,
+        )
+        done = end
+        if preview_callback is not None and done < total:
+            vp = lat / np.sqrt(float(sig_next[done - 1]) ** 2 + 1.0)
+            preview_callback(done, total,
+                             latent_to_preview(vp, preview_factors))
+    return lat
+
+
 def euler_sample_latent(
     unet_params,
     cfg: DiffuserConfig,
@@ -539,13 +662,18 @@ def k_refine_latent(
     schedule: str = "linear",
     use_cfg: bool = True,
     guidance_rescale: float = 0.0,
+    noise: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Refiner/img2img re-noise in sigma space: x = latent + σ_start·noise,
-    then run the schedule tail (k-space analogue of mod.rs:355-376)."""
+    then run the schedule tail (k-space analogue of mod.rs:355-376).
+
+    noise overrides the key-derived re-noise (per-image seeds,
+    refiner_noise_per_seed)."""
     n_train = alphas_cumprod.shape[0]
     t0 = int(k_timesteps(step_start, n_steps, n_train)[0])
     sigma_start = k_sigma_at(alphas_cumprod, t0)
-    noise = jax.random.normal(key, latent.shape, jnp.float32)
+    if noise is None:
+        noise = jax.random.normal(key, latent.shape, jnp.float32)
     noised = latent.astype(jnp.float32) + sigma_start * noise
     return k_diffuse_latent(
         unet_params, cfg, alphas_cumprod, noised, cond, guidance_scale,
@@ -614,6 +742,19 @@ def sample_latent(
     )
 
 
+def refiner_noise_per_seed(seeds, latent_shape) -> jnp.ndarray:
+    """Per-image refiner re-noise: image i's noise depends only on
+    seeds[i] (fold_in stream 1 of its key; stream 0 is the initial noise
+    via gen_noise_per_seed) — extends the per-image-seed contract to
+    use_refiner=True batches."""
+    keys = jnp.stack(
+        [jax.random.fold_in(jax.random.PRNGKey(int(s)), 1) for s in seeds]
+    )
+    return jax.vmap(
+        lambda k: jax.random.normal(k, tuple(latent_shape[1:]), jnp.float32)
+    )(keys)
+
+
 def refine_latent(
     unet_params,
     cfg: DiffuserConfig,
@@ -627,12 +768,17 @@ def refine_latent(
     compute_dtype=jnp.bfloat16,
     use_cfg: bool = True,
     guidance_rescale: float = 0.0,
+    noise: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Refiner stage: re-noise at t = n_train - step_start, run the schedule
-    tail (refine_latent, mod.rs:355-376)."""
+    tail (refine_latent, mod.rs:355-376).
+
+    noise overrides the key-derived re-noise (per-image seeds,
+    refiner_noise_per_seed)."""
     t = alphas_cumprod.shape[0] - step_start
     start_alpha = alphas_cumprod[t]
-    noise = jax.random.normal(key, latent.shape, jnp.float32)
+    if noise is None:
+        noise = jax.random.normal(key, latent.shape, jnp.float32)
     noised = (
         latent.astype(jnp.float32) * jnp.sqrt(start_alpha)
         + noise * jnp.sqrt(1.0 - start_alpha)

@@ -577,3 +577,37 @@ def test_mpk_writer_vae_roundtrip(tmp_path):
         parse_mpk_file(path).child("autoencoder"), TINY_VAE, jnp.float32
     )
     assert_trees_close(params, loaded, atol=2e-3)
+
+
+def test_mpk_inspect_dumps_record_tree(tmp_path, capsys):
+    """--inspect field-diagnosis tool (VERDICT r2 #5): a full record-tree
+    dump with wrappers, tensor shapes/encodings and enum variants, without
+    building params."""
+    from sdxl_tpu.io.burn_mpk import inspect_mpk
+
+    layout = dict(wrapper="meta_first", param_wrap=True,
+                  param_order_id_first=True, data_nest=True, leaf="f16_bits")
+    params = init_clip(jax.random.PRNGKey(3), TINY_CLIP)
+    path = str(tmp_path / "embedder.mpk")
+    with open(path, "wb") as f:
+        f.write(msgpack.packb(_enc_clip(params, layout)))
+    out = inspect_mpk(path)
+    assert "<BurnRecord" in out                      # wrapper detected
+    assert "$.clip.token_embedding.weight" in out    # full record paths
+    assert "Param(id=p0)" in out                     # ParamSerde detected
+    assert "u16-bit list" in out                     # f16-bits encoding named
+    assert "nil (Option::None / ConstantRecord)" in out  # optional bias
+
+    # enum-tagged UNet block entries resolve to their type.txt name
+    blk = {"blocks": [{"ResT": {"x": {"value": [0.0], "shape": [1]}}}]}
+    p2 = str(tmp_path / "d.mpk")
+    with open(p2, "wb") as f:
+        f.write(msgpack.packb(blk))
+    out2 = inspect_mpk(p2)
+    assert "block enum ResT" in out2 and "resnet_transformer" in out2
+
+    # CLI entry: --inspect needs no --output-dir
+    from sdxl_tpu.cli.convert import main as convert_main
+
+    assert convert_main(["--inspect", path]) == 0
+    assert "$.clip" in capsys.readouterr().out

@@ -43,7 +43,7 @@ def test_dp_tp_unet_matches_single_device():
     ref = unet_forward(params, TINY, x, t, ctx, label)
 
     mesh = make_mesh(n_data=2, n_model=4)
-    p_sh = shard_params(params, mesh, tensor_parallel=True)
+    p_sh = shard_params(params, mesh, tensor_parallel=True, head_channels=8)
     x_sh, t_sh, ctx_sh, label_sh = shard_batch((x, t, ctx, label), mesh)
 
     f = jax.jit(lambda p, a, b, c, d: unet_forward(p, TINY, a, b, c, d))
@@ -54,7 +54,7 @@ def test_dp_tp_unet_matches_single_device():
 def test_tp_actually_shards_linears():
     mesh = make_mesh(n_data=1, n_model=8)
     params = init_unet(jax.random.PRNGKey(0), TINY, jnp.float32)
-    p_sh = shard_params(params, mesh, tensor_parallel=True)
+    p_sh = shard_params(params, mesh, tensor_parallel=True, head_channels=8)
     # a depth-2 transformer lives at input block 7 (level 2)
     qw = p_sh["input_blocks"][7]["transformer"]["blocks"][0]["attn1"]["q"]["w"]
     shard_shapes = {s.data.shape for s in qw.addressable_shards}
@@ -92,7 +92,7 @@ def test_full_sampler_on_mesh():
     )
 
     mesh = make_mesh(n_data=2, n_model=4)
-    p_sh = shard_params(params, mesh)
+    p_sh = shard_params(params, mesh, head_channels=8)
     cond_sh = shard_batch(cond, mesh)
     out = sample_latent(
         p_sh, cfg, alphas, cond_sh, jax.random.PRNGKey(1), 7.5, 2, jnp.float32
@@ -114,7 +114,7 @@ def test_dp_tp_unet_matches_with_fused_qkv_and_cross_kv():
     ref = unet_forward(params, TINY, x, t, ctx, label, cross_kv=kv)
 
     mesh = make_mesh(n_data=2, n_model=4)
-    p_sh = shard_params(params, mesh, tensor_parallel=True)
+    p_sh = shard_params(params, mesh, tensor_parallel=True, head_channels=8)
     x_sh, t_sh, ctx_sh, label_sh = shard_batch((x, t, ctx, label), mesh)
 
     def f(p, a, b, c, d):
@@ -155,3 +155,83 @@ def test_sharded_pipeline_matches_single_device(tokenizer_dir):
     assert out.shape == ref.shape
     # u8 quantization: allow off-by-one pixels from f32 reduction reorders
     assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+# ---------------------------------------------------------------------------
+# Real-SDXL-shape tensor parallelism (VERDICT r2 #3): head-aligned sharding
+# ---------------------------------------------------------------------------
+
+def _count_collectives(hlo: str):
+    import re
+
+    return {
+        kind: len(re.findall(rf"= \S+ {kind}", hlo))
+        for kind in ("all-reduce", "all-gather", "all-to-all",
+                     "collective-permute", "reduce-scatter")
+    }
+
+
+def test_tp_head_alignment_guard_real_dims():
+    """The base UNet's level-1 attention has 10 heads (640ch / 64): tp=4
+    must REPLICATE its projections (a mid-head split makes GSPMD all-
+    gather activations at every head reshape — scripts/exp_tp_hlo.py
+    measured 6/block) while level-2's 20 heads shard; tp=2 shards both.
+    MLP halves shard regardless (no head structure)."""
+    from sdxl_tpu.models.unet import _init_spatial_transformer
+
+    p640 = {"st": _init_spatial_transformer(
+        jax.random.PRNGKey(0), 640, 2048, 1, jnp.float32)}
+    p1280 = {"st": _init_spatial_transformer(
+        jax.random.PRNGKey(0), 1280, 2048, 1, jnp.float32)}
+
+    def qw_sharded(tree, mesh):
+        qw = tree["st"]["blocks"][0]["attn1"]["q"]["w"]
+        return {s.data.shape for s in qw.addressable_shards} != {qw.shape}
+
+    def fc1_sharded(tree, mesh):
+        w = tree["st"]["blocks"][0]["mlp"]["proj"]["w"]
+        return {s.data.shape for s in w.addressable_shards} != {w.shape}
+
+    mesh4 = make_mesh(n_data=2, n_model=4)
+    sh640 = shard_params(p640, mesh4, head_channels=64)
+    sh1280 = shard_params(p1280, mesh4, head_channels=64)
+    assert not qw_sharded(sh640, mesh4)   # 10 % 4 != 0 -> replicated
+    assert qw_sharded(sh1280, mesh4)      # 20 % 4 == 0 -> sharded
+    assert fc1_sharded(sh640, mesh4)      # MLP shards regardless
+
+    mesh2 = make_mesh(n_data=4, n_model=2)
+    assert qw_sharded(shard_params(p640, mesh2, head_channels=64), mesh2)
+    assert qw_sharded(shard_params(p1280, mesh2, head_channels=64), mesh2)
+
+    # fixed-heads configs (SD1-style: 8 heads at every width)
+    sh_fixed = shard_params(p640, mesh4, head_channels=0, fixed_heads=8)
+    assert qw_sharded(sh_fixed, mesh4)    # 8 % 4 == 0
+
+
+def test_tp_real_dims_collective_count():
+    """Compiled HLO of a real-width transformer block: head-aligned TP
+    inserts O(1) all-reduces per block and ZERO activation all-gathers —
+    including at tp=4 on the 10-head level, where the guard replicates
+    attention instead of mid-head sharding it."""
+    from sdxl_tpu.models.unet import _init_spatial_transformer, _spatial_transformer
+
+    for c, heads, tp, want_ar_max in ((640, 10, 2, 4), (640, 10, 4, 4),
+                                      (1280, 20, 4, 4)):
+        mesh = make_mesh(n_data=8 // tp, n_model=tp)
+        p = _init_spatial_transformer(
+            jax.random.PRNGKey(0), c, 2048, 1, jnp.float32)
+        p = shard_params({"st": p}, mesh, head_channels=64)["st"]
+        b = 2 * (8 // tp)
+        x = jnp.zeros((b, 8, 8, c), jnp.float32)
+        ctx = jnp.zeros((b, 7, 2048), jnp.float32)
+        x, ctx = shard_batch((x, ctx), mesh)
+
+        with mesh:
+            hlo = (
+                jax.jit(lambda p, x, ctx: _spatial_transformer(p, x, ctx, heads))
+                .lower(p, x, ctx).compile().as_text()
+            )
+        counts = _count_collectives(hlo)
+        assert counts["all-gather"] == 0, (c, tp, counts)
+        assert counts["all-to-all"] == 0, (c, tp, counts)
+        assert 0 < counts["all-reduce"] <= want_ar_max, (c, tp, counts)

@@ -223,11 +223,28 @@ def test_preview_segmented_matches_unsegmented(pipe):
     assert all(t == 4 for _, t, _, _ in seen)
     assert seen[0][2] == (1, 8, 8, 3)  # latent-resolution preview
 
-    import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="ddim"):
-        pipe.txt2img("x", resolution=(64, 64), n_steps=2, sampler="euler",
-                     preview_every=1)
+@pytest.mark.parametrize("sampler", ["euler", "dpmpp"])
+def test_k_preview_segmented_matches_unsegmented(pipe, sampler):
+    """Previews generalize to the k-samplers: the segmented scan (with the
+    DPM++ multistep history carried across boundaries) must reproduce the
+    unsegmented image."""
+    seen = []
+
+    def cb(done, total, rgb):
+        seen.append((done, total))
+        assert rgb.dtype == np.uint8 and rgb.shape == (1, 8, 8, 3)
+
+    plain = pipe.txt2img("a crab", resolution=(64, 64), n_steps=4, seed=9,
+                         sampler=sampler, schedule="karras")
+    seg = pipe.txt2img("a crab", resolution=(64, 64), n_steps=4, seed=9,
+                       sampler=sampler, schedule="karras",
+                       preview_every=1, preview_callback=cb)
+    # same trajectory; u8 rounding may differ by 1 on isolated pixels from
+    # segment-boundary recompilation reordering f32 ops
+    d = np.abs(plain.astype(int) - seg.astype(int))
+    assert d.max() <= 1 and (d > 0).mean() < 0.01, (d.max(), (d > 0).mean())
+    assert [x for x, _ in seen] == [1, 2, 3]
 
 
 def test_per_image_seeds_are_batch_position_independent(pipe):
@@ -248,3 +265,45 @@ def test_per_image_seeds_are_batch_position_independent(pipe):
 
     with pytest.raises(ValueError, match="seeds"):
         pipe.txt2img(["a cat"], resolution=(64, 64), n_steps=2, seed=[1, 2])
+
+
+def test_uncond_conditioning_cache(pipe):
+    """The unconditional half depends only on (negative prompt, resolution,
+    crop, clip_skip) — cached across requests, bit-identical to a fresh
+    computation (VERDICT r2 #4; uncond is always "" in the reference,
+    stablediffusion/mod.rs:698-726)."""
+    from sdxl_tpu.pipeline.conditioning import text_to_conditioning
+
+    pipe._uncond_cache.clear()
+    c1 = pipe.conditioning(["a cat"], (64, 64), profile_stages=False)
+    assert len(pipe._uncond_cache) == 1
+    # different prompt, same (res, crop, neg) -> hit: same uncond objects
+    c2 = pipe.conditioning(["a dog"], (64, 64), profile_stages=False)
+    assert len(pipe._uncond_cache) == 1
+    assert c2.unconditional_context_full is c1.unconditional_context_full
+    assert (c2.unconditional_channel_context_refiner
+            is c1.unconditional_channel_context_refiner)
+    # cached uncond == cache-less fresh computation, bitwise
+    fresh = text_to_conditioning(
+        pipe.embedder_params, pipe.embedder_cfg, pipe.clip_tokenizer,
+        pipe.open_clip_tokenizer, ["a dog"], (64, 64),
+    )
+    for f in ("unconditional_context_full", "unconditional_context_open_clip",
+              "unconditional_channel_context",
+              "unconditional_channel_context_refiner"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(c2, f)), np.asarray(getattr(fresh, f)), err_msg=f
+        )
+    # the conditional half is NOT affected by the cache
+    np.testing.assert_array_equal(np.asarray(c2.context_full),
+                                  np.asarray(fresh.context_full))
+    # resolution / negative prompt / crop are part of the key
+    pipe.conditioning(["a cat"], (32, 32), profile_stages=False)
+    assert len(pipe._uncond_cache) == 2
+    neg = pipe.conditioning(["a cat"], (64, 64), negative_prompt="blurry",
+                            profile_stages=False)
+    assert len(pipe._uncond_cache) == 3
+    assert not np.array_equal(np.asarray(neg.unconditional_context_full),
+                              np.asarray(c1.unconditional_context_full))
+    pipe.conditioning(["a cat"], (64, 64), crop=(8, 0), profile_stages=False)
+    assert len(pipe._uncond_cache) == 4

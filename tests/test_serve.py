@@ -219,3 +219,136 @@ def test_fused_batch_keeps_per_request_seeds(tiny_pipe):
     # batch-size-dependent f32 reduction order: allow off-by-one pixels
     d = np.abs(img_a - img_solo)
     assert d.max() <= 1 and (d > 0).mean() < 0.01, (d.max(), (d > 0).mean())
+
+
+def test_stop_joins_worker(tiny_pipe):
+    srv = GenerationServer(tiny_pipe, default_cfg=TINY_CFG)
+    srv.start(warmup=False)
+    assert srv.worker.is_alive()
+    srv.stop()
+    assert not srv.worker.is_alive()
+
+
+def test_queue_overflow_returns_503(tiny_pipe):
+    srv = GenerationServer(tiny_pipe, default_cfg=TINY_CFG, max_queue=1)
+    # worker not started: the queue fills
+    srv.queue.put(GenRequest("filler", TINY_CFG, seed=0))
+    req = srv.submit(GenRequest("overflow", TINY_CFG, seed=0), timeout=1)
+    assert req.error == "queue full" and req.status == 503
+    assert req.done.is_set()
+
+
+def test_timed_out_request_is_dropped_not_generated(tiny_pipe):
+    """A client timeout marks the request abandoned; the worker must drop
+    it at dequeue instead of burning a generation on it."""
+    import time
+
+    srv = GenerationServer(tiny_pipe, default_cfg=TINY_CFG)
+    # submit with an immediate timeout BEFORE the worker runs
+    req = srv.submit(GenRequest("left already", TINY_CFG, seed=0),
+                     timeout=0.01)
+    assert req.error == "generation timed out" and req.status == 504
+    assert req.abandoned
+    live = GenRequest("still here", TINY_CFG, seed=0)
+    srv.queue.put(live)
+    srv.start(warmup=False)
+    assert live.done.wait(300) and live.error is None
+    srv.stop()
+    info = srv.info()
+    assert info["dropped"] == 1
+    assert info["requests"] == 1  # only the live request was generated
+
+
+def test_mismatched_request_becomes_next_batch_head(tiny_pipe):
+    """A config-mismatched request is held as the head of the NEXT batch —
+    it must complete before later same-config requests (the old tail
+    re-queue starved it behind them)."""
+    import time
+
+    other = GenConfig(width=64, height=64, steps=2)
+    srv = GenerationServer(tiny_pipe, max_batch=4, batch_window_ms=200,
+                           default_cfg=TINY_CFG)
+    r1 = GenRequest("a", TINY_CFG, seed=0)
+    r2 = GenRequest("b", other, seed=0)       # mismatched
+    r3 = GenRequest("c", TINY_CFG, seed=0)
+    r4 = GenRequest("d", TINY_CFG, seed=0)
+    times = {}
+
+    def waiter(name, r):
+        r.done.wait(600)
+        times[name] = time.monotonic()
+
+    threads = [threading.Thread(target=waiter, args=(n, r), daemon=True)
+               for n, r in (("r1", r1), ("r2", r2), ("r3", r3), ("r4", r4))]
+    for t in threads:
+        t.start()
+    for r in (r1, r2, r3, r4):
+        srv.queue.put(r)
+    srv.start(warmup=False)
+    for t in threads:
+        t.join(600)
+    srv.stop()
+    for r in (r1, r2, r3, r4):
+        assert r.error is None, r.error
+    assert srv.info()["batches"] == 3  # [r1], [r2], [r3+r4]
+    assert times["r2"] < times["r3"]
+
+
+def test_http_inpaint_endpoint(tiny_pipe):
+    import base64
+
+    from http.server import ThreadingHTTPServer
+    from PIL import Image
+
+    strict = tiny_pipe.strict_resolutions
+    tiny_pipe.strict_resolutions = False  # 64x64 is not an SDXL bucket
+    srv = GenerationServer(tiny_pipe, default_cfg=TINY_CFG)
+    srv.start(warmup=False)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        rng = np.random.default_rng(3)
+        ref = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+
+        def b64_png(arr):
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="PNG")
+            return base64.b64encode(buf.getvalue()).decode()
+
+        def post(payload):
+            req = urllib.request.Request(
+                f"{base}/v1/inpaint", data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=300) as resp:
+                return json.load(resp)
+
+        # crop-window variant
+        out = post({"prompt": "a crab", "steps": 2, "seed": 1,
+                    "image": b64_png(ref), "crop_left": 16, "crop_right": 48,
+                    "crop_top": 16, "crop_bottom": 48})
+        img = np.asarray(Image.open(
+            io.BytesIO(base64.b64decode(out["images"][0]))))
+        assert img.shape == (64, 64, 3)
+
+        # mask-image variant (white square = generate)
+        mask = np.zeros((64, 64, 3), np.uint8)
+        mask[16:48, 16:48] = 255
+        out = post({"prompt": "a crab", "steps": 2, "seed": 1,
+                    "image": b64_png(ref), "mask": b64_png(mask)})
+        img = np.asarray(Image.open(
+            io.BytesIO(base64.b64decode(out["images"][0]))))
+        assert img.shape == (64, 64, 3)
+
+        # neither crop nor mask -> 400
+        bad = urllib.request.Request(
+            f"{base}/v1/inpaint",
+            data=json.dumps({"prompt": "x", "image": b64_png(ref)}).encode())
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad, timeout=30)
+        assert e.value.code == 400
+    finally:
+        httpd.shutdown()
+        srv.stop()
+        tiny_pipe.strict_resolutions = strict

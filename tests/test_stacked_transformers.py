@@ -53,7 +53,7 @@ def test_stacked_tp_sharding_matches():
     ref = unet_forward(params, TINY, x, t, ctx, label)
 
     mesh = make_mesh(n_data=2, n_model=4)
-    p_sh = shard_params(stacked, mesh, tensor_parallel=True)
+    p_sh = shard_params(stacked, mesh, tensor_parallel=True, head_channels=8)
     # stacked 3-D leaf must shard on the model axis (trailing dim)
     qw = p_sh["middle_block"]["transformer"]["blocks"]["attn1"]["q"]["w"]
     shapes = {s.data.shape for s in qw.addressable_shards}
