@@ -102,3 +102,49 @@ def test_vae_decode_golden_reproduces():
     )
     assert abs(img.mean() - float(g["image_mean"])) < 1e-4
     assert abs(img.std() - float(g["image_std"])) < 1e-4
+
+
+@pytest.mark.skipif(not FULL, reason="set SDXL_TPU_FULL_SCALE=1 (slow)")
+def test_sd2_clip_golden_reproduces():
+    import jax
+    import jax.numpy as jnp
+
+    from sdxl_tpu.configs import OPEN_CLIP_VITH_CONFIG
+    from sdxl_tpu.models.clip import clip_hidden, init_clip
+
+    g = _golden("sd2_clip.npz")
+    cfg = OPEN_CLIP_VITH_CONFIG
+    params = init_clip(jax.random.PRNGKey(4), cfg)
+    hidden = clip_hidden(params, cfg, jnp.asarray(g["tokens"]), cfg.n_layer - 1)
+    np.testing.assert_allclose(np.asarray(hidden), g["hidden"], atol=1e-5)
+
+
+@pytest.mark.skipif(not FULL, reason="set SDXL_TPU_FULL_SCALE=1 (slow)")
+def test_sd1_unet_golden_reproduces():
+    import jax
+    import jax.numpy as jnp
+
+    from sdxl_tpu.configs import SD15_DIFFUSER
+    from sdxl_tpu.models.unet import init_unet, unet_forward
+
+    g = _golden("sd1_unet.npz")
+    cfg = SD15_DIFFUSER.unet_config()
+    params = init_unet(jax.random.PRNGKey(5), cfg, jnp.float32)
+    ks = jax.random.split(jax.random.PRNGKey(19), 2)
+    ctx = jax.random.normal(ks[1], (1, 77, 768), jnp.float32) * 0.5
+    np.testing.assert_allclose(
+        np.asarray(ctx[:, :, :8]), g["ctx_fingerprint"], atol=0
+    )
+    raw = unet_forward(
+        params, cfg, jnp.asarray(g["x"]), jnp.asarray(g["t"]), ctx, None
+    )
+    np.testing.assert_allclose(np.asarray(raw), g["raw"], atol=1e-4)
+
+
+def test_sd1_v_prediction_golden_identity():
+    """The committed v->eps conversion golden must satisfy the closed form
+    eps = sqrt(a)*v + sqrt(1-a)*x exactly (fast; not env-gated)."""
+    g = _golden("sd1_unet.npz")
+    a = float(g["alpha_t"])
+    want = np.sqrt(a) * g["raw"] + np.sqrt(1.0 - a) * g["x"]
+    np.testing.assert_allclose(g["v_eps"], want, atol=1e-6)
