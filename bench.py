@@ -134,7 +134,11 @@ def main():
         times.append(time.perf_counter() - t0)
         log(f"run {i}: {times[-1]:.3f}s")
 
-    # one fully fenced run for an honest per-stage split
+    # fenced runs for an honest per-stage split: the FIRST dispatch after a
+    # pause costs ~0.4s through the axon tunnel (measured: a trivial
+    # add+fence is 0.43s cold, 0.027s after), so run twice and record the
+    # second — the first absorbs the tunnel stall
+    run(98, profile_stages=True)
     pipe.timer.stages.clear()
     run(99, profile_stages=True)
     stages = dict(pipe.timer.stages)

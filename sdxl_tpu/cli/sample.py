@@ -97,6 +97,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Merge a LoRA safetensors file into the model at load "
                         "time (repeatable; kohya and diffusers/peft key "
                         "formats; default scale 1.0)")
+    p.add_argument("--controlnet", type=str, default=None, metavar="DIR",
+                   help="diffusers-layout ControlNetModel directory for this "
+                        "model family (canny/depth/pose/...); use with "
+                        "--control-image")
+    p.add_argument("--control-image", type=str, default=None, metavar="PNG",
+                   help="Conditioning image for --controlnet (same size as "
+                        "--height/--width)")
+    p.add_argument("--control-scale", type=float, default=1.0,
+                   help="ControlNet residual scale (default 1.0)")
+    p.add_argument("--control-start", type=float, default=0.0,
+                   help="Step fraction where ControlNet guidance starts")
+    p.add_argument("--control-end", type=float, default=1.0,
+                   help="Step fraction where ControlNet guidance ends")
     p.add_argument("--hires-scale", type=float, default=None,
                    help="Two-pass hires-fix: sample at --height/--width, "
                         "bicubic-upscale the latent by this factor, re-noise "
@@ -252,6 +265,24 @@ def main(argv=None) -> int:
     prompts = (args.prompt if len(args.prompt) > 1
                else [args.prompt[0]] * args.batch)
 
+    control_kw = {}
+    if (args.controlnet is None) != (args.control_image is None):
+        print("error: --controlnet and --control-image go together",
+              file=sys.stderr)
+        return 1
+    if args.controlnet is not None:
+        if args.hires_scale is not None:
+            print("error: --controlnet applies to txt2img/img2img/inpaint "
+                  "(no --hires-scale)", file=sys.stderr)
+            return 1
+        pipe.load_controlnet(args.controlnet)
+        control_kw = dict(
+            control_image=load_images([args.control_image])[0],
+            control_scale=args.control_scale,
+            control_start=args.control_start,
+            control_end=args.control_end,
+        )
+
     if args.hires_scale is not None:
         if args.reference_img is not None or args.use_refiner:
             print("error: --hires-scale is a txt2img feature (no "
@@ -289,6 +320,7 @@ def main(argv=None) -> int:
             schedule=args.schedule,
             guidance_rescale=args.guidance_rescale,
             no_cfg=args.no_cfg,
+            **control_kw,
         )
     elif args.reference_img is not None:
         ref = load_images([args.reference_img])
@@ -309,6 +341,7 @@ def main(argv=None) -> int:
             schedule=args.schedule,
             guidance_rescale=args.guidance_rescale,
             no_cfg=args.no_cfg,
+            **control_kw,
         )
     else:
         preview_cb = None
@@ -332,6 +365,7 @@ def main(argv=None) -> int:
             no_cfg=args.no_cfg,
             preview_every=args.preview_every,
             preview_callback=preview_cb,
+            **control_kw,
         )
 
     if args.trace:

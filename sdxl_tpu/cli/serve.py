@@ -90,6 +90,10 @@ class GenRequest:
     # (>127 = generate); also runs alone
     crop: Optional[tuple] = None
     mask_image: Optional[object] = None
+    # ControlNet-guided txt2img (server boot must have loaded one via
+    # --controlnet): per-request conditioning image; also runs alone
+    control_image: Optional[object] = None
+    control_scale: float = 1.0
     # set when the submitter stopped waiting (timeout): the worker drops
     # the request at dequeue instead of burning a generation on a client
     # that left
@@ -103,9 +107,10 @@ class GenRequest:
     @property
     def solo(self) -> bool:
         """True for requests that cannot join a micro-batch (per-request
-        reference image / mask)."""
+        reference image / mask / control image)."""
         return (self.image is not None or self.crop is not None
-                or self.mask_image is not None)
+                or self.mask_image is not None
+                or self.control_image is not None)
 
 
 def _png_bytes(img_u8) -> bytes:
@@ -237,6 +242,12 @@ class GenerationServer:
                     guidance_rescale=cfg.guidance_rescale,
                 )
             else:
+                control_kw = {}
+                if batch[0].control_image is not None:  # solo -> len 1
+                    control_kw = dict(
+                        control_image=np.asarray(batch[0].control_image),
+                        control_scale=batch[0].control_scale,
+                    )
                 images = self.pipe.txt2img(
                     [r.prompt for r in batch],
                     resolution=(cfg.height, cfg.width),
@@ -249,6 +260,7 @@ class GenerationServer:
                     sampler=cfg.sampler,
                     schedule=cfg.schedule,
                     guidance_rescale=cfg.guidance_rescale,
+                    **control_kw,
                 )
             images = np.asarray(images)
             dt = time.perf_counter() - t0
@@ -398,6 +410,11 @@ def make_handler(server: GenerationServer):
                 strength = 0.3
                 crop = None
                 mask_image = None
+                control_image = None
+                control_scale = 1.0
+                if self.path == "/v1/generate" and "control_image" in payload:
+                    control_image = self._decode_image(payload, "control_image")
+                    control_scale = float(payload.get("control_scale", 1.0))
                 if self.path == "/v1/img2img":
                     image = self._decode_image(payload)
                     strength = float(payload.get("strength", 0.3))
@@ -427,7 +444,9 @@ def make_handler(server: GenerationServer):
 
             req = server.submit(
                 GenRequest(prompt, cfg, seed, image=image, strength=strength,
-                           crop=crop, mask_image=mask_image)
+                           crop=crop, mask_image=mask_image,
+                           control_image=control_image,
+                           control_scale=control_scale)
             )
             if req.error:
                 self._json(req.status if req.status != 200 else 500,
@@ -466,6 +485,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(repeatable), merged at boot")
     p.add_argument("--lora", action="append", default=[],
                    metavar="PATH[:SCALE]")
+    p.add_argument("--controlnet", type=str, default=None, metavar="DIR",
+                   help="diffusers-layout ControlNetModel directory; "
+                        "requests may then pass control_image/control_scale")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-batch", type=int, default=4)
@@ -547,6 +569,8 @@ def main(argv=None) -> int:
         pipe.vae_dtype = jnp.bfloat16
     if args.embedding:
         pipe.add_textual_inversions(args.embedding)
+    if args.controlnet:
+        pipe.load_controlnet(args.controlnet)
     if args.dp is not None or args.tp is not None:
         pipe.shard(args.dp, args.tp)
 

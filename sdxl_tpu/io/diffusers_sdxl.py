@@ -173,6 +173,103 @@ def build_unet_from_diffusers(
 
 
 # ---------------------------------------------------------------------------
+# ControlNet (diffusers ControlNetModel layout)
+# ---------------------------------------------------------------------------
+
+def build_controlnet_from_diffusers(
+    tensors: Dict[str, np.ndarray], cfg: UNetConfig, dtype=jnp.bfloat16
+):
+    """Build a models/controlnet.py param tree from a diffusers
+    `ControlNetModel` state dict (e.g. controlnet-canny-sdxl-1.0):
+    the UNet-copy trunk reuses the same key mapping as
+    build_unet_from_diffusers (down_blocks/mid_block), plus
+
+        controlnet_cond_embedding.conv_in / blocks.{2i,2i+1} / conv_out
+        controlnet_down_blocks.{i}   (zero convs, one per input block)
+        controlnet_mid_block
+    """
+    cast = _as(dtype)
+    ks = _KeyStore(tensors)
+    in_plan, _, _ = unet_block_plan(cfg)
+    n_levels = len(cfg.channel_mults)
+
+    input_blocks = [{"conv": ks.conv("conv_in", cast)}]
+    for level in range(n_levels):
+        d = ks.sub(f"down_blocks.{level}")
+        has_attn = d.has("attentions.0.norm.weight")
+        for j in range(2):
+            p = {"res": _dif_res(d, f"resnets.{j}", cast)}
+            if has_attn:
+                p["transformer"] = _dif_spatial(d, f"attentions.{j}", cast)
+            input_blocks.append(p)
+        if d.has("downsamplers.0.conv.weight"):
+            input_blocks.append({"conv": d.conv("downsamplers.0.conv", cast)})
+    if len(input_blocks) != len(in_plan):
+        raise ValueError(
+            f"controlnet trunk block count mismatch: got {len(input_blocks)}, "
+            f"plan expects {len(in_plan)} — wrong config for these weights?"
+        )
+
+    mid = ks.sub("mid_block")
+    middle = {
+        "res1": _dif_res(mid, "resnets.0", cast),
+        "transformer": _dif_spatial(mid, "attentions.0", cast),
+        "res2": _dif_res(mid, "resnets.1", cast),
+    }
+
+    ce = ks.sub("controlnet_cond_embedding")
+    ce_blocks = []
+    i = 0
+    while ce.has(f"blocks.{2 * i}.weight"):
+        ce_blocks.append({
+            "conv1": ce.conv(f"blocks.{2 * i}", cast),
+            "conv2": ce.conv(f"blocks.{2 * i + 1}", cast),
+        })
+        i += 1
+    cond_embed = {
+        "conv_in": ce.conv("conv_in", cast),
+        "blocks": ce_blocks,
+        "conv_out": ce.conv("conv_out", cast),
+    }
+
+    zero_convs = [
+        ks.conv(f"controlnet_down_blocks.{i}", cast)
+        for i in range(len(in_plan))
+    ]
+
+    params = {
+        "time_embed": {
+            "lin1": ks.linear("time_embedding.linear_1", cast),
+            "lin2": ks.linear("time_embedding.linear_2", cast),
+        },
+        "cond_embed": cond_embed,
+        "input_blocks": input_blocks,
+        "zero_convs": zero_convs,
+        "middle_block": middle,
+        "zero_conv_mid": ks.conv("controlnet_mid_block", cast),
+    }
+    if cfg.adm_in_channels and ks.has("add_embedding.linear_1.weight"):
+        params["label_embed"] = {
+            "lin1": ks.linear("add_embedding.linear_1", cast),
+            "lin2": ks.linear("add_embedding.linear_2", cast),
+        }
+    return params
+
+
+def load_controlnet_dir(model_dir: str, diffuser_cfg, dtype=jnp.bfloat16):
+    """Load a diffusers ControlNetModel directory (config.json +
+    diffusion_pytorch_model*.safetensors). Returns (params, UNetConfig) —
+    the trunk config is the hosting diffuser's unet_config()."""
+    tensors = _load_safetensors_dir(model_dir)
+    return (
+        build_controlnet_from_diffusers(
+            tensors, diffuser_cfg.unet_config(), dtype
+        ),
+        diffuser_cfg.unet_config(),
+    )
+
+
+# ---------------------------------------------------------------------------
 # VAE
 # ---------------------------------------------------------------------------
 

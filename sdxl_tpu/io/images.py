@@ -7,6 +7,7 @@ RGB8 buffers, all inputs must share dimensions, outputs are written as
 
 from __future__ import annotations
 
+import os
 from typing import List, Sequence
 
 import numpy as np
@@ -31,6 +32,9 @@ def save_images(images: np.ndarray, basepath: str,
     metadata (capability extension): generation parameters embedded as a
     PNG tEXt chunk under the A1111-convention key "parameters" plus one
     chunk per extra key — reproducibility travels with the file."""
+    parent = os.path.dirname(basepath)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     pnginfo = None
     if metadata:
         from PIL.PngImagePlugin import PngInfo

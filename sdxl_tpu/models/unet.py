@@ -231,13 +231,20 @@ def unet_forward(
     context: jnp.ndarray,
     label: jnp.ndarray,
     cross_kv=None,
+    control_residuals=None,
 ) -> jnp.ndarray:
     """UNet::forward (unet/mod.rs:449-493). x: [B,h,w,4] NHWC latent.
 
     cross_kv: optional precompute_cross_kv() output. The sampler's context
     is constant across the whole denoising scan, so every cross-attention
     K/V projection is loop-invariant; passing them in removes ~120 skinny
-    (77-row) matmuls from each of the 31 scan steps."""
+    (77-row) matmuls from each of the 31 scan steps.
+
+    control_residuals: optional (down_residuals, mid_residual) from
+    models/controlnet.py::controlnet_forward — down residuals are added to
+    the saved skip connections (one per input block), the mid residual to
+    the middle-block output; the trunk input itself is untouched (public
+    ControlNet semantics)."""
     dtype = x.dtype
 
     t_emb = timestep_embedding(timesteps, cfg.model_channels).astype(dtype)
@@ -262,11 +269,17 @@ def unet_forward(
                          ckv.get("input_blocks", {}).get(i))
         saved.append(x)
 
+    if control_residuals is not None:
+        down_res, mid_res = control_residuals
+        saved = [s + r.astype(s.dtype) for s, r in zip(saved, down_res)]
+
     mp = params["middle_block"]
     x = _res_block(mp["res1"], x, emb)
     x = _spatial_transformer(mp["transformer"], x, context, mid_spec.n_head,
                              ckv.get("middle_block"))
     x = _res_block(mp["res2"], x, emb)
+    if control_residuals is not None:
+        x = x + mid_res.astype(x.dtype)
 
     for i, (spec, p) in enumerate(zip(out_plan, params["output_blocks"])):
         x = jnp.concatenate([x, saved.pop()], axis=-1)

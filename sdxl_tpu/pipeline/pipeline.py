@@ -78,6 +78,11 @@ class SDXLPipeline:
     mesh: Optional[object] = None
     # latent->RGB preview factors (None = SDXL's; SD1Pipeline overrides)
     preview_factors: Optional[object] = None
+    # optional ControlNet (models/controlnet.py): trunk params + its
+    # UNetConfig, set by load_controlnet(); used when txt2img is called
+    # with a control_image
+    controlnet_params: Optional[dict] = None
+    controlnet_cfg: Optional[object] = None
     # tiled VAE decode: latent tile size (None = whole-image decode); for
     # resolutions whose full decode exceeds HBM (>= 4096^2 px)
     vae_tile: Optional[int] = None
@@ -129,6 +134,13 @@ class SDXLPipeline:
                     self.embedder_params, mesh, tensor_parallel
                 )
         self.vae_params = shard_params(self.vae_params, mesh, False)
+        if self.controlnet_params is not None:
+            # the control trunk copies the UNet's geometry; same TP rules
+            self.controlnet_params = shard_params(
+                self.controlnet_params, mesh, tensor_parallel,
+                head_channels=self.diffuser_cfg.num_head_channels,
+                fixed_heads=getattr(self.diffuser_cfg, "n_heads", 0),
+            )
         self._uncond_cache.clear()  # cached tensors carry pre-shard layout
         log(f"pipeline sharded over mesh {dict(mesh.shape)}")
         return mesh
@@ -215,6 +227,42 @@ class SDXLPipeline:
         )
         self._uncond_cache.clear()  # embedding tables changed
 
+    def load_controlnet(self, model_dir: str) -> None:
+        """Load a diffusers-layout ControlNetModel directory for this
+        pipeline's UNet family (io/diffusers_sdxl.py). Subsequent txt2img
+        calls with a control_image run the trunk every step and inject its
+        residuals."""
+        from ..io.diffusers_sdxl import load_controlnet_dir
+
+        self.controlnet_params, self.controlnet_cfg = load_controlnet_dir(
+            model_dir, self.diffuser_cfg, self.compute_dtype
+        )
+        log(f"controlnet loaded from {model_dir}")
+
+    def _prep_control(self, control_image, resolution, batch):
+        """Validate + normalize a control image to [B, H, W, 3] float in
+        [0, 1] (the diffusers control-image convention)."""
+        if control_image is None:
+            return None
+        if self.controlnet_params is None:
+            raise ValueError(
+                "control_image given but no ControlNet is loaded "
+                "(pipe.load_controlnet / --controlnet)"
+            )
+        img = np.asarray(control_image)
+        if img.ndim == 3:
+            img = img[None]
+        h, w = resolution
+        if img.shape[1:3] != (h, w):
+            raise ValueError(
+                f"control image is {img.shape[1]}x{img.shape[2]}, generation "
+                f"resolution is {h}x{w} — they must match"
+            )
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+        img = jnp.asarray(img, jnp.float32)
+        return jnp.broadcast_to(img, (batch, h, w, 3))
+
     # -- generation ----------------------------------------------------------
 
     def txt2img(
@@ -237,8 +285,18 @@ class SDXLPipeline:
         no_cfg: bool = False,
         preview_every: Optional[int] = None,
         preview_callback=None,
+        control_image: Optional[np.ndarray] = None,
+        control_scale: float = 1.0,
+        control_start: float = 0.0,
+        control_end: float = 1.0,
     ) -> np.ndarray:
         """Full pipeline; returns [B, H, W, 3] uint8.
+
+        control_image ([H, W, 3] or [B, H, W, 3] uint8/float, same size as
+        `resolution`) runs the loaded ControlNet (load_controlnet) every
+        step and injects its residuals scaled by control_scale;
+        control_start/control_end bound the step-fraction window the
+        residuals apply in (diffusers' control_guidance_start/end).
 
         seed: one int (reference semantics: the whole batch's noise from
         one key) or a per-image sequence — each image's initial AND
@@ -346,6 +404,17 @@ class SDXLPipeline:
                 "schedule is fixed by reference semantics"
             )
         use_cfg = not (no_cfg or guidance_scale == 1.0)
+        ctl = {}
+        cimg = self._prep_control(control_image, resolution,
+                                  cond.context_full.shape[0])
+        if cimg is not None:
+            ctl = dict(
+                control_params=self.controlnet_params,
+                control_image=cimg,
+                control_scale=control_scale,
+                control_cfg=self.controlnet_cfg,
+                control_window=(control_start, control_end),
+            )
 
         with self.timer.stage("diffuser"):
             if preview_every is not None and sampler in ("euler", "dpmpp"):
@@ -375,7 +444,7 @@ class SDXLPipeline:
                     key=inpaint_key, schedule=schedule, use_cfg=use_cfg,
                     guidance_rescale=guidance_rescale,
                     concat_channels=concat_channels,
-                    preview_factors=self.preview_factors,
+                    preview_factors=self.preview_factors, **ctl,
                 )
             elif preview_every is not None:
                 from .sampler import diffuse_latent_preview, gen_noise
@@ -394,7 +463,7 @@ class SDXLPipeline:
                     key=inpaint_key, use_cfg=use_cfg,
                     guidance_rescale=guidance_rescale,
                     concat_channels=concat_channels,
-                    preview_factors=self.preview_factors,
+                    preview_factors=self.preview_factors, **ctl,
                 )
             elif sampler in ("euler", "dpmpp"):
                 latent = euler_sample_latent(
@@ -405,7 +474,7 @@ class SDXLPipeline:
                     schedule=schedule, use_cfg=use_cfg,
                     guidance_rescale=guidance_rescale,
                     concat_channels=concat_channels,
-                    initial_noise=initial_noise,
+                    initial_noise=initial_noise, **ctl,
                 )
             else:
                 latent = sample_latent(
@@ -422,7 +491,7 @@ class SDXLPipeline:
                     use_cfg=use_cfg,
                     guidance_rescale=guidance_rescale,
                     concat_channels=concat_channels,
-                    initial_noise=initial_noise,
+                    initial_noise=initial_noise, **ctl,
                 )
             if profile_stages:
                 fence(latent)
@@ -608,6 +677,10 @@ class SDXLPipeline:
         schedule: str = "linear",
         guidance_rescale: float = 0.0,
         no_cfg: bool = False,
+        control_image: Optional[np.ndarray] = None,
+        control_scale: float = 1.0,
+        control_start: float = 0.0,
+        control_end: float = 1.0,
     ) -> np.ndarray:
         """Strength-based image-to-image (capability extension).
 
@@ -615,6 +688,9 @@ class SDXLPipeline:
         (refine_latent, mod.rs:355-376) to the base model at an arbitrary
         strength in (0, 1]: encode the reference, re-noise at
         t = strength * 1000, run the remaining schedule with CFG.
+
+        control_*: ControlNet guidance over the denoised tail (the window
+        fractions are relative to the steps actually run).
         """
         if not 0.0 < strength <= 1.0:
             raise ValueError("strength must be in (0, 1]")
@@ -637,6 +713,15 @@ class SDXLPipeline:
                 "--schedule applies to the euler/dpmpp samplers; the DDIM "
                 "schedule is fixed by reference semantics"
             )
+        ctl = {}
+        cimg = self._prep_control(control_image, (height, width),
+                                  cond.context_full.shape[0])
+        if cimg is not None:
+            ctl = dict(
+                control_params=self.controlnet_params, control_image=cimg,
+                control_scale=control_scale, control_cfg=self.controlnet_cfg,
+                control_window=(control_start, control_end),
+            )
         # skip the first (1-strength) of the schedule
         step_start = int(round((1.0 - strength) * 1000))
         use_cfg = not (no_cfg or guidance_scale == 1.0)
@@ -647,14 +732,14 @@ class SDXLPipeline:
                     latent, cond, jax.random.PRNGKey(seed), guidance_scale,
                     step_start, n_steps, self.compute_dtype, method=sampler,
                     schedule=schedule, use_cfg=use_cfg,
-                    guidance_rescale=guidance_rescale,
+                    guidance_rescale=guidance_rescale, **ctl,
                 )
             else:
                 latent = refine_latent(
                     self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
                     latent, cond, jax.random.PRNGKey(seed), guidance_scale,
                     step_start, n_steps, self.compute_dtype,
-                    use_cfg=use_cfg, guidance_rescale=guidance_rescale,
+                    use_cfg=use_cfg, guidance_rescale=guidance_rescale, **ctl,
                 )
 
         with self.timer.stage("vae_decode"):

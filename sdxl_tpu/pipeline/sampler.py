@@ -29,13 +29,18 @@ accuracy; the UNet runs in bf16 (reference: f16 UNet, sample/main.rs:122).
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..configs import DiffuserConfig
+from ..models.controlnet import (
+    control_cond_embed,
+    controlnet_forward,
+    precompute_control_cross_kv,
+)
 from ..models.unet import precompute_cross_kv, unet_forward
 from .conditioning import Conditioning
 
@@ -122,7 +127,8 @@ def _cfg_contexts(cfg: DiffuserConfig, cond: Conditioning, compute_dtype,
 def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
              guidance_scale, compute_dtype, cross_kv=None, alpha_t=None,
              use_cfg: bool = True, guidance_rescale: float = 0.0,
-             concat=None):
+             concat=None, control=None, control_cfg=None, control_kv=None,
+             control_scale=None):
     """One guided epsilon prediction (forward_diffuser, mod.rs:494-541).
 
     For prediction_type="v" (SD 2.x-768) the raw output is converted to
@@ -138,7 +144,14 @@ def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
     guidance_rescale > 0 applies the std-matching correction of Lin et al.
     2023 (arXiv:2305.08891 eq. 15-16) to the guided epsilon — fixes the
     over-saturation high CFG scales cause, essential for v-prediction
-    models trained with zero-terminal-SNR."""
+    models trained with zero-terminal-SNR.
+
+    control/control_cfg/control_kv/control_scale: ControlNet trunk run on
+    the SAME (pair-batched) latent/timestep/context; its zero-conv
+    residuals, scaled by control_scale (the per-step window scale), are
+    injected into the UNet's skips + middle. The trunk always sees the
+    4-channel latent — never the inpainting concat channels (diffusers
+    ControlNet-inpaint semantics)."""
     n_batch = latent.shape[0]
     ucfg = cfg.unet_config()
 
@@ -146,6 +159,16 @@ def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
         if cfg.prediction_type == "v":
             return jnp.sqrt(alpha_t) * raw + jnp.sqrt(1.0 - alpha_t) * x_vp
         return raw
+
+    def residuals(x4, t_vec):
+        if control is None:
+            return None
+        down, mid = controlnet_forward(
+            control["params"], control_cfg, x4, t_vec, ctx2, ch2,
+            control["cond_emb"], cross_kv=control_kv,
+        )
+        s = control_scale
+        return [d * s for d in down], mid * s
 
     if cfg.is_refiner:
         t_vec = jnp.broadcast_to(t, (n_batch,))
@@ -157,12 +180,13 @@ def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
 
     if not use_cfg:  # conditional branch only
         t_vec = jnp.broadcast_to(t, (n_batch,))
-        x_in = latent.astype(compute_dtype)
+        x4 = latent.astype(compute_dtype)
+        x_in = x4
         if concat is not None:
             x_in = jnp.concatenate([x_in, concat.astype(compute_dtype)], -1)
         raw = unet_forward(
             unet_params, ucfg, x_in, t_vec, ctx2, ch2,
-            cross_kv=cross_kv,
+            cross_kv=cross_kv, control_residuals=residuals(x4, t_vec),
         ).astype(jnp.float32)
         return to_eps(raw, latent.astype(jnp.float32))
 
@@ -173,7 +197,8 @@ def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
         x_in = jnp.concatenate([x_in, concat.astype(compute_dtype)], -1)
     t2 = jnp.broadcast_to(t, (2 * n_batch,))
     raw2 = unet_forward(unet_params, ucfg, x_in, t2, ctx2, ch2,
-                        cross_kv=cross_kv).astype(jnp.float32)
+                        cross_kv=cross_kv,
+                        control_residuals=residuals(x2, t2)).astype(jnp.float32)
     eps2 = to_eps(raw2, x2.astype(jnp.float32))
     eps_u, eps_c = jnp.split(eps2, 2, axis=0)
     eps = eps_u + (eps_c - eps_u) * guidance_scale
@@ -186,10 +211,41 @@ def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
     return eps
 
 
+def _control_window_scales(n: int, scale, window) -> jnp.ndarray:
+    """Per-step ControlNet scale: `scale` inside the [start, end) fraction
+    window, 0 outside — exactly diffusers' `controlnet_keep` rule
+    (step i active iff i/n >= start and (i+1)/n <= end)."""
+    start, end = window
+    keep = np.array(
+        [0.0 if (i / n < start or (i + 1) / n > end) else 1.0
+         for i in range(n)],
+        np.float32,
+    )
+    return jnp.asarray(keep) * scale
+
+
+def _control_setup(control_params, control_cfg, control_image, ctx2,
+                   compute_dtype, use_cfg, is_refiner):
+    """Loop-invariant ControlNet work, hoisted out of the scan: the
+    conditioning-image embedding (pair-doubled to match the CFG batch) and
+    the trunk's cross-attention K/V projections."""
+    if control_params is None:
+        return None, None
+    ce = control_cond_embed(
+        control_params["cond_embed"], control_image.astype(compute_dtype)
+    )
+    if use_cfg and not is_refiner:
+        ce = jnp.concatenate([ce, ce], axis=0)
+    ctrl = {"params": control_params, "cond_emb": ce}
+    ckv = precompute_control_cross_kv(control_params, control_cfg, ctx2)
+    return ctrl, ckv
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "step_start", "n_steps", "compute_dtype", "inpaint",
-                     "use_cfg", "guidance_rescale"),
+                     "use_cfg", "guidance_rescale", "control_cfg",
+                     "control_window"),
     donate_argnames=("latent",),
 )
 def diffuse_latent(
@@ -209,11 +265,20 @@ def diffuse_latent(
     use_cfg: bool = True,
     guidance_rescale: float = 0.0,
     concat_channels: Optional[jnp.ndarray] = None,
+    control_params=None,
+    control_image: Optional[jnp.ndarray] = None,
+    control_scale: float = 1.0,
+    control_cfg=None,
+    control_window: Tuple[float, float] = (0.0, 1.0),
 ) -> jnp.ndarray:
     """DDIM loop as one lax.scan (diffuse_latent, mod.rs:390-483).
 
     concat_channels [B,h,w,5]: mask + masked-image latent for
-    inpainting-specialized UNets (DiffuserConfig.in_channels == 9)."""
+    inpainting-specialized UNets (DiffuserConfig.in_channels == 9).
+
+    control_*: optional ControlNet guidance (models/controlnet.py) —
+    control_image is [B, 8h, 8w, 3] in [0, 1]; control_window is the
+    (start, end) step-fraction window the residuals apply in."""
     # DDPM table length comes from the table itself; DiffuserConfig.n_steps
     # must agree (a loaded .cfg with a different table length is honored,
     # a mismatched one is an error rather than silently ignored).
@@ -242,9 +307,13 @@ def diffuse_latent(
     cc = concat_channels
     if cc is not None and use_cfg and not cfg.is_refiner:
         cc = jnp.concatenate([cc, cc], axis=0)
+    ctrl, ctrl_kv = _control_setup(control_params, control_cfg, control_image,
+                                   ctx2, compute_dtype, use_cfg, cfg.is_refiner)
+    cscales = _control_window_scales(int(ts.shape[0]), control_scale,
+                                     control_window)
 
     def step(lat, inp):
-        t, alpha, alpha_prev, k = inp
+        t, alpha, alpha_prev, k, cs = inp
         if inpaint:
             noise = jax.random.normal(k, lat.shape, jnp.float32)
             noised_ref = reference * jnp.sqrt(alpha) + noise * jnp.sqrt(1.0 - alpha)
@@ -253,13 +322,14 @@ def diffuse_latent(
         eps = _cfg_eps(unet_params, cfg, lat, t, ctx2, ch2, guidance_scale,
                        compute_dtype, cross_kv, alpha,
                        use_cfg=use_cfg, guidance_rescale=guidance_rescale,
-                       concat=cc)
+                       concat=cc, control=ctrl, control_cfg=control_cfg,
+                       control_kv=ctrl_kv, control_scale=cs)
         sqrt_noise = jnp.sqrt(1.0 - alpha)
         x0 = (lat - eps * sqrt_noise) / jnp.sqrt(alpha)
         lat = x0 * jnp.sqrt(alpha_prev) + eps * jnp.sqrt(1.0 - alpha_prev)
         return lat, None
 
-    latent, _ = jax.lax.scan(step, latent, (ts, a_t, a_prev, keys))
+    latent, _ = jax.lax.scan(step, latent, (ts, a_t, a_prev, keys, cscales))
     return latent
 
 
@@ -381,7 +451,8 @@ def k_step_update(method: str, lat, denoised, old_denoised, sigma, sigma_next,
     jax.jit,
     static_argnames=(
         "cfg", "method", "step_start", "n_steps", "compute_dtype", "inpaint",
-        "schedule", "use_cfg", "guidance_rescale",
+        "schedule", "use_cfg", "guidance_rescale", "control_cfg",
+        "control_window",
     ),
     donate_argnames=("latent",),
 )
@@ -404,6 +475,11 @@ def k_diffuse_latent(
     use_cfg: bool = True,
     guidance_rescale: float = 0.0,
     concat_channels: Optional[jnp.ndarray] = None,
+    control_params=None,
+    control_image: Optional[jnp.ndarray] = None,
+    control_scale: float = 1.0,
+    control_cfg=None,
+    control_window: Tuple[float, float] = (0.0, 1.0),
 ) -> jnp.ndarray:
     """k-diffusion samplers over the same ᾱ table the DDIM path uses.
 
@@ -447,6 +523,10 @@ def k_diffuse_latent(
     cc = concat_channels
     if cc is not None and use_cfg and not cfg.is_refiner:
         cc = jnp.concatenate([cc, cc], axis=0)
+    ctrl, ctrl_kv = _control_setup(control_params, control_cfg, control_image,
+                                   ctx2, compute_dtype, use_cfg, cfg.is_refiner)
+    cscales = _control_window_scales(int(ts.shape[0]), control_scale,
+                                     control_window)
 
     sig, sig_next = sigmas[:-1], sigmas[1:]
     sig_prev = jnp.concatenate([sigmas[:1], sigmas[:-2]])  # sig[i-1]; dummy @0
@@ -454,7 +534,7 @@ def k_diffuse_latent(
 
     def step(carry, inp):
         lat, old_denoised = carry
-        t, sigma, sigma_next, sigma_prev, is_first, k = inp
+        t, sigma, sigma_next, sigma_prev, is_first, k, cs = inp
         if inpaint:
             noise = jax.random.normal(k, lat.shape, jnp.float32)
             lat = jnp.where(mask, lat, reference + sigma * noise)
@@ -464,7 +544,8 @@ def k_diffuse_latent(
         eps = _cfg_eps(unet_params, cfg, scaled, t, ctx2, ch2, guidance_scale,
                        compute_dtype, cross_kv, 1.0 / (sigma**2 + 1.0),
                        use_cfg=use_cfg, guidance_rescale=guidance_rescale,
-                       concat=cc)
+                       concat=cc, control=ctrl, control_cfg=control_cfg,
+                       control_kv=ctrl_kv, control_scale=cs)
         denoised = lat - sigma * eps
         new_lat = k_step_update(method, lat, denoised, old_denoised,
                                 sigma, sigma_next, sigma_prev, is_first)
@@ -473,7 +554,7 @@ def k_diffuse_latent(
     (latent, _), _ = jax.lax.scan(
         step,
         (latent, jnp.zeros_like(latent)),
-        (jnp.asarray(ts), sig, sig_next, sig_prev, first, keys),
+        (jnp.asarray(ts), sig, sig_next, sig_prev, first, keys, cscales),
     )
     return latent  # noqa: RET504 — symmetry with diffuse_latent
 
@@ -486,7 +567,7 @@ def k_sigma_at(alphas_cumprod, t: int) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "method", "compute_dtype", "inpaint", "use_cfg",
-                     "guidance_rescale"),
+                     "guidance_rescale", "control_cfg"),
 )
 def _k_segment(
     unet_params,
@@ -504,21 +585,30 @@ def _k_segment(
     use_cfg: bool = True,
     guidance_rescale: float = 0.0,
     concat_channels: Optional[jnp.ndarray] = None,
+    control_params=None,
+    control_image: Optional[jnp.ndarray] = None,
+    control_scales: Optional[jnp.ndarray] = None,
+    control_cfg=None,
 ):
     """A slice of the k-sampler scan with explicit (lat, old_denoised)
     carry — the segmented twin of k_diffuse_latent's loop, step math
     identical (k_step_update), so chaining segments reproduces the
     unsegmented trajectory exactly (incl. the DPM++ 2M multistep history
-    across a segment boundary)."""
+    across a segment boundary). control_scales: per-step ControlNet scale
+    slice aligned with ts (the preview driver pre-applies the window)."""
     ctx2, ch2 = _cfg_contexts(cfg, cond, compute_dtype, use_cfg)
     cross_kv = precompute_cross_kv(unet_params, cfg.unet_config(), ctx2)
     cc = concat_channels
     if cc is not None and use_cfg and not cfg.is_refiner:
         cc = jnp.concatenate([cc, cc], axis=0)
+    ctrl, ctrl_kv = _control_setup(control_params, control_cfg, control_image,
+                                   ctx2, compute_dtype, use_cfg, cfg.is_refiner)
+    if control_scales is None:
+        control_scales = jnp.zeros(ts.shape, jnp.float32)
 
     def step(carry, inp):
         lat, old_denoised = carry
-        t, sigma, sigma_next, sigma_prev, is_first, k = inp
+        t, sigma, sigma_next, sigma_prev, is_first, k, cs = inp
         if inpaint:
             noise = jax.random.normal(k, lat.shape, jnp.float32)
             lat = jnp.where(mask, lat, reference + sigma * noise)
@@ -526,14 +616,16 @@ def _k_segment(
         eps = _cfg_eps(unet_params, cfg, scaled, t, ctx2, ch2, guidance_scale,
                        compute_dtype, cross_kv, 1.0 / (sigma**2 + 1.0),
                        use_cfg=use_cfg, guidance_rescale=guidance_rescale,
-                       concat=cc)
+                       concat=cc, control=ctrl, control_cfg=control_cfg,
+                       control_kv=ctrl_kv, control_scale=cs)
         denoised = lat - sigma * eps
         new_lat = k_step_update(method, lat, denoised, old_denoised,
                                 sigma, sigma_next, sigma_prev, is_first)
         return (new_lat, denoised), None
 
     return jax.lax.scan(
-        step, (lat, old_denoised), (ts, sig, sig_next, sig_prev, first, keys)
+        step, (lat, old_denoised),
+        (ts, sig, sig_next, sig_prev, first, keys, control_scales),
     )[0]
 
 
@@ -559,6 +651,11 @@ def k_diffuse_latent_preview(
     guidance_rescale: float = 0.0,
     concat_channels: Optional[jnp.ndarray] = None,
     preview_factors: Optional[np.ndarray] = None,
+    control_params=None,
+    control_image: Optional[jnp.ndarray] = None,
+    control_scale: float = 1.0,
+    control_cfg=None,
+    control_window: Tuple[float, float] = (0.0, 1.0),
 ) -> jnp.ndarray:
     """k_diffuse_latent, segmented every `preview_every` steps: between
     segments, preview_callback(done, total, rgb_u8) receives a linear-map
@@ -582,6 +679,7 @@ def k_diffuse_latent_preview(
         keys = jax.random.split(key, total)
     else:
         keys = jnp.zeros((total, 2), dtype=jnp.uint32)
+    cscales = _control_window_scales(total, control_scale, control_window)
 
     lat = latent.astype(jnp.float32)
     old = jnp.zeros_like(lat)
@@ -597,6 +695,8 @@ def k_diffuse_latent_preview(
             reference=reference, mask=mask, use_cfg=use_cfg,
             guidance_rescale=guidance_rescale,
             concat_channels=concat_channels,
+            control_params=control_params, control_image=control_image,
+            control_scales=cscales[done:end], control_cfg=control_cfg,
         )
         done = end
         if preview_callback is not None and done < total:
@@ -623,6 +723,11 @@ def euler_sample_latent(
     guidance_rescale: float = 0.0,
     concat_channels: Optional[jnp.ndarray] = None,
     initial_noise: Optional[jnp.ndarray] = None,
+    control_params=None,
+    control_image: Optional[jnp.ndarray] = None,
+    control_scale: float = 1.0,
+    control_cfg=None,
+    control_window: Tuple[float, float] = (0.0, 1.0),
 ) -> jnp.ndarray:
     """txt2img (+ optional inpainting) with a k-diffusion sampler."""
     noise_key, inpaint_key = jax.random.split(key)
@@ -630,6 +735,9 @@ def euler_sample_latent(
     sigma_max = k_sigma_at(alphas_cumprod, k_timesteps(0, n_steps, n_train)[0])
     latent = (initial_noise if initial_noise is not None
               else gen_noise(noise_key, cond)) * sigma_max
+    ctl = dict(control_params=control_params, control_image=control_image,
+               control_scale=control_scale, control_cfg=control_cfg,
+               control_window=control_window)
     if reference is not None:
         return k_diffuse_latent(
             unet_params, cfg, alphas_cumprod, latent, cond, guidance_scale,
@@ -637,13 +745,13 @@ def euler_sample_latent(
             inpaint=True, reference=reference, mask=mask, key=inpaint_key,
             schedule=schedule, use_cfg=use_cfg,
             guidance_rescale=guidance_rescale,
-            concat_channels=concat_channels,
+            concat_channels=concat_channels, **ctl,
         )
     return k_diffuse_latent(
         unet_params, cfg, alphas_cumprod, latent, cond, guidance_scale,
         method, 0, n_steps, compute_dtype, schedule=schedule,
         use_cfg=use_cfg, guidance_rescale=guidance_rescale,
-        concat_channels=concat_channels,
+        concat_channels=concat_channels, **ctl,
     )
 
 
@@ -663,6 +771,11 @@ def k_refine_latent(
     use_cfg: bool = True,
     guidance_rescale: float = 0.0,
     noise: Optional[jnp.ndarray] = None,
+    control_params=None,
+    control_image: Optional[jnp.ndarray] = None,
+    control_scale: float = 1.0,
+    control_cfg=None,
+    control_window: Tuple[float, float] = (0.0, 1.0),
 ) -> jnp.ndarray:
     """Refiner/img2img re-noise in sigma space: x = latent + σ_start·noise,
     then run the schedule tail (k-space analogue of mod.rs:355-376).
@@ -679,6 +792,9 @@ def k_refine_latent(
         unet_params, cfg, alphas_cumprod, noised, cond, guidance_scale,
         method, step_start, n_steps, compute_dtype, schedule=schedule,
         use_cfg=use_cfg, guidance_rescale=guidance_rescale,
+        control_params=control_params, control_image=control_image,
+        control_scale=control_scale, control_cfg=control_cfg,
+        control_window=control_window,
     )
 
 
@@ -718,6 +834,11 @@ def sample_latent(
     guidance_rescale: float = 0.0,
     concat_channels: Optional[jnp.ndarray] = None,
     initial_noise: Optional[jnp.ndarray] = None,
+    control_params=None,
+    control_image: Optional[jnp.ndarray] = None,
+    control_scale: float = 1.0,
+    control_cfg=None,
+    control_window: Tuple[float, float] = (0.0, 1.0),
 ) -> jnp.ndarray:
     """txt2img (+ optional latent-mask inpainting) (mod.rs:316-353).
 
@@ -726,19 +847,22 @@ def sample_latent(
     noise_key, inpaint_key = jax.random.split(key)
     latent = initial_noise if initial_noise is not None else gen_noise(
         noise_key, cond)
+    ctl = dict(control_params=control_params, control_image=control_image,
+               control_scale=control_scale, control_cfg=control_cfg,
+               control_window=control_window)
     if reference is not None:
         return diffuse_latent(
             unet_params, cfg, alphas_cumprod, latent, cond, guidance_scale,
             0, n_steps, compute_dtype,
             inpaint=True, reference=reference, mask=mask, key=inpaint_key,
             use_cfg=use_cfg, guidance_rescale=guidance_rescale,
-            concat_channels=concat_channels,
+            concat_channels=concat_channels, **ctl,
         )
     return diffuse_latent(
         unet_params, cfg, alphas_cumprod, latent, cond, guidance_scale,
         0, n_steps, compute_dtype,
         use_cfg=use_cfg, guidance_rescale=guidance_rescale,
-        concat_channels=concat_channels,
+        concat_channels=concat_channels, **ctl,
     )
 
 
@@ -769,6 +893,11 @@ def refine_latent(
     use_cfg: bool = True,
     guidance_rescale: float = 0.0,
     noise: Optional[jnp.ndarray] = None,
+    control_params=None,
+    control_image: Optional[jnp.ndarray] = None,
+    control_scale: float = 1.0,
+    control_cfg=None,
+    control_window: Tuple[float, float] = (0.0, 1.0),
 ) -> jnp.ndarray:
     """Refiner stage: re-noise at t = n_train - step_start, run the schedule
     tail (refine_latent, mod.rs:355-376).
@@ -787,6 +916,9 @@ def refine_latent(
         unet_params, cfg, alphas_cumprod, noised, cond, guidance_scale,
         step_start, n_steps, compute_dtype,
         use_cfg=use_cfg, guidance_rescale=guidance_rescale,
+        control_params=control_params, control_image=control_image,
+        control_scale=control_scale, control_cfg=control_cfg,
+        control_window=control_window,
     )
 
 
@@ -821,7 +953,7 @@ def latent_to_preview(latent, factors: Optional[np.ndarray] = None):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "compute_dtype", "inpaint", "use_cfg",
-                     "guidance_rescale"),
+                     "guidance_rescale", "control_cfg"),
     donate_argnames=("latent",),
 )
 def _ddim_segment(
@@ -841,20 +973,30 @@ def _ddim_segment(
     use_cfg: bool = True,
     guidance_rescale: float = 0.0,
     concat_channels: Optional[jnp.ndarray] = None,
+    control_params=None,
+    control_image: Optional[jnp.ndarray] = None,
+    control_scales: Optional[jnp.ndarray] = None,
+    control_cfg=None,
 ) -> jnp.ndarray:
     """One contiguous slice of the DDIM schedule (same step math as
     diffuse_latent; the schedule arrays are traced inputs so equal-length
-    segments share one executable). Used by diffuse_latent_preview."""
+    segments share one executable). Used by diffuse_latent_preview.
+    control_scales: per-step ControlNet scale slice aligned with ts (the
+    preview driver pre-applies the window)."""
     ctx2, ch2 = _cfg_contexts(cfg, cond, compute_dtype, use_cfg)
     cross_kv = precompute_cross_kv(unet_params, cfg.unet_config(), ctx2)
     cc = concat_channels
     if cc is not None and use_cfg and not cfg.is_refiner:
         cc = jnp.concatenate([cc, cc], axis=0)
+    ctrl, ctrl_kv = _control_setup(control_params, control_cfg, control_image,
+                                   ctx2, compute_dtype, use_cfg, cfg.is_refiner)
+    if control_scales is None:
+        control_scales = jnp.zeros(ts.shape, jnp.float32)
     if inpaint:
         reference = reference.astype(jnp.float32)
 
     def step(lat, inp):
-        t, alpha, alpha_prev, k = inp
+        t, alpha, alpha_prev, k, cs = inp
         if inpaint:
             noise = jax.random.normal(k, lat.shape, jnp.float32)
             noised_ref = (reference * jnp.sqrt(alpha)
@@ -863,14 +1005,15 @@ def _ddim_segment(
         eps = _cfg_eps(unet_params, cfg, lat, t, ctx2, ch2, guidance_scale,
                        compute_dtype, cross_kv, alpha,
                        use_cfg=use_cfg, guidance_rescale=guidance_rescale,
-                       concat=cc)
+                       concat=cc, control=ctrl, control_cfg=control_cfg,
+                       control_kv=ctrl_kv, control_scale=cs)
         sqrt_noise = jnp.sqrt(1.0 - alpha)
         x0 = (lat - eps * sqrt_noise) / jnp.sqrt(alpha)
         lat = x0 * jnp.sqrt(alpha_prev) + eps * jnp.sqrt(1.0 - alpha_prev)
         return lat, None
 
     latent, _ = jax.lax.scan(
-        step, latent.astype(jnp.float32), (ts, a_t, a_prev, keys)
+        step, latent.astype(jnp.float32), (ts, a_t, a_prev, keys, control_scales)
     )
     return latent
 
@@ -895,6 +1038,11 @@ def diffuse_latent_preview(
     guidance_rescale: float = 0.0,
     concat_channels: Optional[jnp.ndarray] = None,
     preview_factors: Optional[np.ndarray] = None,
+    control_params=None,
+    control_image: Optional[jnp.ndarray] = None,
+    control_scale: float = 1.0,
+    control_cfg=None,
+    control_window: Tuple[float, float] = (0.0, 1.0),
 ) -> jnp.ndarray:
     """diffuse_latent, segmented every `preview_every` steps: between
     segments, `preview_callback(done, total, rgb_u8 [B,h,w,3])` receives a
@@ -919,6 +1067,7 @@ def diffuse_latent_preview(
         keys = jax.random.split(key, total)
     else:
         keys = jnp.zeros((total, 2), dtype=jnp.uint32)
+    cscales = _control_window_scales(total, control_scale, control_window)
 
     lat = latent.astype(jnp.float32)
     done = 0
@@ -932,6 +1081,8 @@ def diffuse_latent_preview(
             reference=reference, mask=mask, use_cfg=use_cfg,
             guidance_rescale=guidance_rescale,
             concat_channels=concat_channels,
+            control_params=control_params, control_image=control_image,
+            control_scales=cscales[done:end], control_cfg=control_cfg,
         )
         done = end
         if preview_callback is not None and done < total:

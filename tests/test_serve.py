@@ -352,3 +352,41 @@ def test_http_inpaint_endpoint(tiny_pipe):
         httpd.shutdown()
         srv.stop()
         tiny_pipe.strict_resolutions = strict
+
+
+def test_controlnet_request_runs_solo_and_differs(tiny_pipe):
+    """A control_image request is solo (never fused), requires a loaded
+    ControlNet, and with nonzero zero-convs changes the image vs the same
+    seed without control."""
+    import jax
+
+    from sdxl_tpu.models.controlnet import init_controlnet
+    from tests.test_controlnet import _randomize_zero_convs
+
+    base_cn = tiny_pipe.controlnet_params
+    try:
+        tiny_pipe.controlnet_params = _randomize_zero_convs(
+            init_controlnet(jax.random.PRNGKey(21),
+                            tiny_pipe.diffuser_cfg.unet_config(),
+                            jnp.float32),
+            jax.random.PRNGKey(22),
+        )
+        tiny_pipe.controlnet_cfg = tiny_pipe.diffuser_cfg.unet_config()
+        img = (np.random.default_rng(1).random((64, 64, 3)) * 255).astype(
+            np.uint8
+        )
+        r_ctl = GenRequest("a cat", TINY_CFG, seed=3, control_image=img)
+        assert r_ctl.solo
+
+        srv = GenerationServer(tiny_pipe, default_cfg=TINY_CFG)
+        srv.start(warmup=False)
+        plain = srv.submit(GenRequest("a cat", TINY_CFG, seed=3), timeout=300)
+        ctl = srv.submit(r_ctl, timeout=300)
+        srv.stop()
+        assert plain.error is None and ctl.error is None
+        a = np.frombuffer(plain.result[0], np.uint8)
+        b = np.frombuffer(ctl.result[0], np.uint8)
+        assert a.shape != b.shape or not np.array_equal(a, b)
+    finally:
+        tiny_pipe.controlnet_params = base_cn
+        tiny_pipe.controlnet_cfg = None
