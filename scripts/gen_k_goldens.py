@@ -81,6 +81,83 @@ def sample_dpmpp_2m(model, x, sigmas):
     return x, torch.stack(traj)
 
 
+def get_ancestral_step(sigma_from, sigma_to, eta=1.0):
+    """k-diffusion sampling.get_ancestral_step, verbatim."""
+    if not eta:
+        return sigma_to, 0.0
+    sigma_up = min(
+        sigma_to,
+        eta
+        * (sigma_to**2 * (sigma_from**2 - sigma_to**2) / sigma_from**2) ** 0.5,
+    )
+    sigma_down = (sigma_to**2 - sigma_up**2) ** 0.5
+    return sigma_down, sigma_up
+
+
+def sample_euler_ancestral(model, x, sigmas, noises, eta=1.0):
+    """k-diffusion sample_euler_ancestral (s_noise=1), verbatim loop, with
+    the per-step noise draws injected (noises[i] replaces torch.randn_like)
+    so the golden is deterministic."""
+    traj = [x.clone()]
+    for i in range(len(sigmas) - 1):
+        denoised = model(x, sigmas[i])
+        sigma_down, sigma_up = get_ancestral_step(
+            float(sigmas[i]), float(sigmas[i + 1]), eta
+        )
+        d = to_d(x, sigmas[i], denoised)
+        dt = sigma_down - sigmas[i]
+        x = x + d * dt
+        if sigmas[i + 1] > 0:
+            x = x + noises[i] * sigma_up
+        traj.append(x.clone())
+    return x, torch.stack(traj)
+
+
+def sample_dpmpp_2m_sde(model, x, sigmas, noises, eta=1.0, solver_type="midpoint"):
+    """k-diffusion sample_dpmpp_2m_sde (s_noise=1, solver_type='midpoint'),
+    verbatim loop structure, with the noise sampler replaced by injected
+    per-step draws (noises[i]) — the documented deviation: independent
+    per-step normals instead of a Brownian tree (diffusers'
+    DPMSolverMultistepScheduler algorithm_type='sde-dpmsolver++' makes the
+    same substitution)."""
+    old_denoised = None
+    h_last = None
+    traj = [x.clone()]
+    for i in range(len(sigmas) - 1):
+        denoised = model(x, sigmas[i])
+        if sigmas[i + 1] == 0:
+            x = denoised
+        else:
+            t, s = -sigmas[i].log(), -sigmas[i + 1].log()
+            h = s - t
+            eta_h = eta * h
+            x = (
+                sigmas[i + 1] / sigmas[i] * (-eta_h).exp() * x
+                + (-h - eta_h).expm1().neg() * denoised
+            )
+            if old_denoised is not None:
+                r = h_last / h
+                if solver_type == "heun":
+                    x = x + (
+                        (-h - eta_h).expm1().neg() / (-h - eta_h) + 1
+                    ) * (1 / r) * (denoised - old_denoised)
+                elif solver_type == "midpoint":
+                    x = x + 0.5 * (-h - eta_h).expm1().neg() * (1 / r) * (
+                        denoised - old_denoised
+                    )
+            if eta:
+                x = (
+                    x
+                    + noises[i]
+                    * sigmas[i + 1]
+                    * (-2 * eta_h).expm1().neg().sqrt()
+                )
+        old_denoised = denoised
+        h_last = h
+        traj.append(x.clone())
+    return x, torch.stack(traj)
+
+
 def synth_model(x, sigma):
     """Synthetic 'denoised' model: smooth, nonlinear in x AND sigma, so a
     trajectory match is a strong fingerprint of the update rule."""
@@ -110,6 +187,17 @@ def main():
     eul_x, eul_traj = sample_euler(synth_model, x0.clone(), sig8)
     dpm_x, dpm_traj = sample_dpmpp_2m(synth_model, x0.clone(), sig8)
 
+    # 3. stochastic samplers: fixed per-step noise draws (committed with
+    # the goldens; sdxl_tpu's scan is driven with the same arrays)
+    g8 = torch.Generator().manual_seed(1234)
+    noises = torch.randn(len(sig8) - 1, len(x0), generator=g8)
+    eua_x, eua_traj = sample_euler_ancestral(
+        synth_model, x0.clone(), sig8, noises
+    )
+    sde_x, sde_traj = sample_dpmpp_2m_sde(
+        synth_model, x0.clone(), sig8, noises
+    )
+
     np.savez(
         OUT / "k_goldens.npz",
         sigma_min=np.float32(sigma_min),
@@ -122,6 +210,11 @@ def main():
         euler_traj=eul_traj.numpy(),
         dpmpp_final=dpm_x.numpy(),
         dpmpp_traj=dpm_traj.numpy(),
+        step_noises=noises.numpy(),
+        euler_a_final=eua_x.numpy(),
+        euler_a_traj=eua_traj.numpy(),
+        dpmpp_sde_final=sde_x.numpy(),
+        dpmpp_sde_traj=sde_traj.numpy(),
     )
     print(f"wrote {OUT / 'k_goldens.npz'}")
     print("sigma_min/max:", sigma_min, sigma_max)

@@ -499,7 +499,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--guidance-scale", type=float, default=7.5)
     p.add_argument("--sampler", type=str, default="ddim",
-                   choices=["ddim", "euler", "dpmpp"])
+                   choices=["ddim", "euler", "dpmpp", "euler_a", "dpmpp_sde"])
     p.add_argument("--vae-bf16", action="store_true")
     p.add_argument("--dp", type=int, default=None,
                    help="Data-parallel mesh axis size (multi-chip)")

@@ -35,6 +35,8 @@ from .conditioning import Conditioning, text_to_conditioning
 from .latent import decode_latent_to_images, encode_images_to_latent
 from .resolutions import RESOLUTIONS, validate_resolution
 from .sampler import (
+    K_SAMPLERS,
+    K_STOCHASTIC,
     euler_sample_latent,
     k_refine_latent,
     refine_latent,
@@ -42,7 +44,7 @@ from .sampler import (
     scaled_linear_alphas_cumprod,
 )
 
-SAMPLERS = ("ddim", "euler", "dpmpp")
+SAMPLERS = ("ddim",) + K_SAMPLERS
 
 
 @dataclass
@@ -354,10 +356,18 @@ class SDXLPipeline:
         key = jax.random.PRNGKey(seed)
         base_key, refiner_key = jax.random.split(key)
         initial_noise = None
+        step_keys = None
         if seeds is not None:
             from .sampler import gen_noise_per_seed
 
             initial_noise = gen_noise_per_seed(seeds, cond_half)
+            if sampler in K_STOCHASTIC:
+                # stochastic k-samplers draw noise every step: per-image
+                # scan keys keep image i's full noise stream a function of
+                # seeds[i] alone (fused serving contract)
+                from .sampler import k_step_keys_per_seed
+
+                step_keys = k_step_keys_per_seed(seeds, n_steps)
 
         reference_latent = None
         concat_channels = None
@@ -417,7 +427,7 @@ class SDXLPipeline:
             )
 
         with self.timer.stage("diffuser"):
-            if preview_every is not None and sampler in ("euler", "dpmpp"):
+            if preview_every is not None and sampler in K_SAMPLERS:
                 from .sampler import (
                     gen_noise,
                     k_diffuse_latent_preview,
@@ -444,7 +454,8 @@ class SDXLPipeline:
                     key=inpaint_key, schedule=schedule, use_cfg=use_cfg,
                     guidance_rescale=guidance_rescale,
                     concat_channels=concat_channels,
-                    preview_factors=self.preview_factors, **ctl,
+                    preview_factors=self.preview_factors,
+                    step_keys=step_keys, **ctl,
                 )
             elif preview_every is not None:
                 from .sampler import diffuse_latent_preview, gen_noise
@@ -465,7 +476,7 @@ class SDXLPipeline:
                     concat_channels=concat_channels,
                     preview_factors=self.preview_factors, **ctl,
                 )
-            elif sampler in ("euler", "dpmpp"):
+            elif sampler in K_SAMPLERS:
                 latent = euler_sample_latent(
                     self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
                     cond_half, base_key, guidance_scale, n_steps,
@@ -474,7 +485,7 @@ class SDXLPipeline:
                     schedule=schedule, use_cfg=use_cfg,
                     guidance_rescale=guidance_rescale,
                     concat_channels=concat_channels,
-                    initial_noise=initial_noise, **ctl,
+                    initial_noise=initial_noise, step_keys=step_keys, **ctl,
                 )
             else:
                 latent = sample_latent(
@@ -533,18 +544,31 @@ class SDXLPipeline:
             # seeds[i] (fold_in stream 1), keeping the per-image-seed
             # contract through the two-stage path
             refiner_noise = None
+            refiner_step_keys = None
             if seeds is not None:
                 from .sampler import refiner_noise_per_seed
 
                 refiner_noise = refiner_noise_per_seed(seeds, latent.shape)
+                if sampler in K_STOCHASTIC:
+                    # per-image step noise for the refiner scan (stream 3);
+                    # the tail schedule runs fewer steps than n_steps
+                    from .sampler import k_step_keys_per_seed, k_timesteps
+
+                    n_tail = len(k_timesteps(
+                        refiner_step_start, n_steps,
+                        int(refiner_alphas.shape[0]),
+                    ))
+                    refiner_step_keys = k_step_keys_per_seed(
+                        seeds, n_tail, stream=3
+                    )
             with self.timer.stage("refiner"):
-                if sampler in ("euler", "dpmpp"):
+                if sampler in K_SAMPLERS:
                     latent = k_refine_latent(
                         self.refiner_params, self.refiner_cfg, refiner_alphas,
                         latent, cond_half, refiner_key, guidance_scale,
                         refiner_step_start, n_steps, self.compute_dtype,
                         method=sampler, schedule=schedule,
-                        noise=refiner_noise,
+                        noise=refiner_noise, step_keys=refiner_step_keys,
                     )
                 else:
                     latent = refine_latent(
@@ -623,7 +647,7 @@ class SDXLPipeline:
             prompts, resolution, negative_prompt=negative_prompt,
         ).astype(self.compute_dtype))
         with self.timer.stage("diffuser"):
-            if sampler in ("euler", "dpmpp"):
+            if sampler in K_SAMPLERS:
                 latent = euler_sample_latent(
                     self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
                     cond, base_key, n_steps=n_steps, method=sampler,
@@ -644,7 +668,7 @@ class SDXLPipeline:
         ).astype(self.compute_dtype))
         step_start = int(round((1.0 - hires_strength) * 1000))
         with self.timer.stage("hires"):
-            if sampler in ("euler", "dpmpp"):
+            if sampler in K_SAMPLERS:
                 latent = k_refine_latent(
                     self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
                     up, cond_hi, hires_key, step_start=step_start,
@@ -726,7 +750,7 @@ class SDXLPipeline:
         step_start = int(round((1.0 - strength) * 1000))
         use_cfg = not (no_cfg or guidance_scale == 1.0)
         with self.timer.stage("diffuser"):
-            if sampler in ("euler", "dpmpp"):
+            if sampler in K_SAMPLERS:
                 latent = k_refine_latent(
                     self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
                     latent, cond, jax.random.PRNGKey(seed), guidance_scale,

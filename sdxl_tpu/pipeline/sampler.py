@@ -46,6 +46,11 @@ from .conditioning import Conditioning
 
 N_STEPS_TOTAL = 1000  # DDPM table length (stablediffusion/mod.rs:282)
 
+# k-diffusion sampler surface (capability extension; the reference ships
+# only DDIM). Stochastic methods draw per-step noise inside the scan.
+K_SAMPLERS = ("euler", "dpmpp", "euler_a", "dpmpp_sde")
+K_STOCHASTIC = ("euler_a", "dpmpp_sde")
+
 
 def scaled_linear_alphas_cumprod(n_steps: int = N_STEPS_TOTAL) -> np.ndarray:
     """Standard SD scaled-linear beta schedule -> cumulative alphas.
@@ -414,8 +419,41 @@ def k_schedule(alphas_cumprod, step_start: int, n_steps: int,
     return ts, sigmas
 
 
+def _scan_normal(k, shape):
+    """Standard normal draw from a scan key. k [2]: one batch-shaped draw
+    (reference-style single-seed semantics). k [B, 2]: one draw per image
+    from its own key (per-image-seed contract, k_step_keys_per_seed)."""
+    if k.ndim == 1:
+        return jax.random.normal(k, shape, jnp.float32)
+    return jax.vmap(
+        lambda kk: jax.random.normal(kk, shape[1:], jnp.float32)
+    )(k)
+
+
+def _scan_fold(k, i: int):
+    """fold_in for a scan key of either layout ([2] or [B, 2])."""
+    if k.ndim == 1:
+        return jax.random.fold_in(k, i)
+    return jax.vmap(lambda kk: jax.random.fold_in(kk, i))(k)
+
+
+def k_step_keys_per_seed(seeds, n_steps: int, stream: int = 2) -> jnp.ndarray:
+    """Per-image scan keys [n_steps, B, 2] for the stochastic k-samplers:
+    step noise for image i depends only on seeds[i] (fold_in `stream` of
+    its key; stream 0 = initial noise, stream 1 = refiner re-noise,
+    stream 2 = base-scan step noise, stream 3 = refiner-scan step noise),
+    so fused server batches keep each request's full noise stream."""
+    cols = [
+        jax.random.split(
+            jax.random.fold_in(jax.random.PRNGKey(int(s)), stream), n_steps
+        )
+        for s in seeds
+    ]
+    return jnp.stack(cols, axis=1)
+
+
 def k_step_update(method: str, lat, denoised, old_denoised, sigma, sigma_next,
-                  sigma_prev, is_first):
+                  sigma_prev, is_first, noise=None, eta: float = 1.0):
     """One k-sampler latent update (pure math, no UNet).
 
     method="euler": EulerDiscrete's step (diffusers
@@ -428,10 +466,51 @@ def k_step_update(method: str, lat, denoised, old_denoised, sigma, sigma_next,
     step fall back to the exact first-order DPM++ update. Pinned against
     a literal sequential transcription of the public loop in
     tests/test_k_goldens.py.
+
+    method="euler_a": ancestral Euler (k-diffusion
+    sample_euler_ancestral, s_noise=1): Euler step to sigma_down, then
+    add `noise`*sigma_up, with (sigma_down, sigma_up) from
+    get_ancestral_step.
+
+    method="dpmpp_sde": DPM-Solver++(2M) SDE, midpoint solver (k-diffusion
+    sample_dpmpp_2m_sde, s_noise=1), with independent per-step normals in
+    place of the Brownian tree — the same substitution diffusers'
+    DPMSolverMultistepScheduler algorithm_type='sde-dpmsolver++' makes.
+    Final sigma_next=0 step returns `denoised` exactly, per the public
+    loop.
+
+    The stochastic methods require `noise` (a standard normal of lat's
+    shape); `eta` is the ancestral/SDE noise fraction (1 = the public
+    defaults). All four pinned against literal sequential transcriptions
+    in tests/test_k_goldens.py.
     """
     if method == "euler":
         d = (lat - denoised) / sigma
         return lat + d * (sigma_next - sigma)
+    if method == "euler_a":
+        # k-diffusion get_ancestral_step(eta); sigma_next = 0 gives
+        # sigma_up = 0, sigma_down = 0 -> x = denoised, noise term vanishes
+        var = sigma_next**2 * (sigma**2 - sigma_next**2) / sigma**2
+        sigma_up = jnp.minimum(sigma_next,
+                               eta * jnp.sqrt(jnp.maximum(var, 0.0)))
+        sigma_down = jnp.sqrt(jnp.maximum(sigma_next**2 - sigma_up**2, 0.0))
+        d = (lat - denoised) / sigma
+        x = lat + d * (sigma_down - sigma)
+        return jnp.where(sigma_next > 0, x + noise * sigma_up, x)
+    if method == "dpmpp_sde":
+        lam = -jnp.log(sigma)
+        lam_next = -jnp.log(jnp.maximum(sigma_next, 1e-10))
+        h = lam_next - lam
+        eta_h = eta * h
+        em = -jnp.expm1(-h - eta_h)  # (-h - eta_h).expm1().neg()
+        x = (sigma_next / sigma) * jnp.exp(-eta_h) * lat + em * denoised
+        h_last = lam - (-jnp.log(sigma_prev))
+        # first step has no history (old_denoised is zeros): the where
+        # drops the 2nd-order term; r stays finite for debug_nans
+        r = jnp.where(is_first, 1.0, h_last / h)
+        x = x + jnp.where(is_first, 0.0, 0.5 * em / r) * (denoised - old_denoised)
+        x = x + noise * sigma_next * jnp.sqrt(-jnp.expm1(-2.0 * eta_h))
+        return jnp.where(sigma_next > 0, x, denoised)
     lam, lam_next = -jnp.log(sigma), -jnp.log(jnp.maximum(sigma_next, 1e-10))
     h = lam_next - lam
     ratio = jnp.where(sigma_next > 0, sigma_next / sigma, 0.0)
@@ -480,6 +559,7 @@ def k_diffuse_latent(
     control_scale: float = 1.0,
     control_cfg=None,
     control_window: Tuple[float, float] = (0.0, 1.0),
+    step_keys: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """k-diffusion samplers over the same ᾱ table the DDIM path uses.
 
@@ -504,16 +584,31 @@ def k_diffuse_latent(
 
     Inpainting pins the unmasked region to reference + σ·noise before each
     UNet call (sigma-space analogue of mod.rs:462-465).
+
+    method="euler_a"/"dpmpp_sde" (stochastic): per-step noise is drawn
+    inside the scan from fold_in(keys[i], 1) (stream 0 is the inpaint
+    pin). step_keys [n_steps, B, 2] overrides the key-split scan keys
+    with PER-IMAGE keys (k_step_keys_per_seed): image i's step noise then
+    depends only on its own seed, extending the per-image-seed contract
+    to the stochastic samplers (fused serving).
     """
-    if method not in ("euler", "dpmpp"):
-        raise ValueError(f"unknown k-sampler {method!r} (euler|dpmpp)")
+    if method not in K_SAMPLERS:
+        raise ValueError(
+            f"unknown k-sampler {method!r} ({'|'.join(K_SAMPLERS)})"
+        )
     if schedule not in ("linear", "karras"):
         raise ValueError(f"unknown schedule {schedule!r} (linear|karras)")
     ts, sigmas = k_schedule(alphas_cumprod, step_start, n_steps, schedule)
 
+    stochastic = method in K_STOCHASTIC
     latent = latent.astype(jnp.float32)
     if inpaint:
         reference = reference.astype(jnp.float32)
+    if step_keys is not None:
+        keys = step_keys  # [T, B, 2]: per-image scan keys
+    elif inpaint or stochastic:
+        if key is None:
+            raise ValueError(f"method {method!r} needs a PRNG key")
         keys = jax.random.split(key, ts.shape[0])
     else:
         keys = jnp.zeros((ts.shape[0], 2), dtype=jnp.uint32)
@@ -536,7 +631,7 @@ def k_diffuse_latent(
         lat, old_denoised = carry
         t, sigma, sigma_next, sigma_prev, is_first, k, cs = inp
         if inpaint:
-            noise = jax.random.normal(k, lat.shape, jnp.float32)
+            noise = _scan_normal(k, lat.shape)
             lat = jnp.where(mask, lat, reference + sigma * noise)
 
         scaled = lat / jnp.sqrt(sigma**2 + 1.0)
@@ -547,8 +642,11 @@ def k_diffuse_latent(
                        concat=cc, control=ctrl, control_cfg=control_cfg,
                        control_kv=ctrl_kv, control_scale=cs)
         denoised = lat - sigma * eps
+        snoise = (_scan_normal(_scan_fold(k, 1), lat.shape)
+                  if stochastic else None)
         new_lat = k_step_update(method, lat, denoised, old_denoised,
-                                sigma, sigma_next, sigma_prev, is_first)
+                                sigma, sigma_next, sigma_prev, is_first,
+                                noise=snoise)
         return (new_lat, denoised), None
 
     (latent, _), _ = jax.lax.scan(
@@ -610,7 +708,7 @@ def _k_segment(
         lat, old_denoised = carry
         t, sigma, sigma_next, sigma_prev, is_first, k, cs = inp
         if inpaint:
-            noise = jax.random.normal(k, lat.shape, jnp.float32)
+            noise = _scan_normal(k, lat.shape)
             lat = jnp.where(mask, lat, reference + sigma * noise)
         scaled = lat / jnp.sqrt(sigma**2 + 1.0)
         eps = _cfg_eps(unet_params, cfg, scaled, t, ctx2, ch2, guidance_scale,
@@ -619,8 +717,11 @@ def _k_segment(
                        concat=cc, control=ctrl, control_cfg=control_cfg,
                        control_kv=ctrl_kv, control_scale=cs)
         denoised = lat - sigma * eps
+        snoise = (_scan_normal(_scan_fold(k, 1), lat.shape)
+                  if method in K_STOCHASTIC else None)
         new_lat = k_step_update(method, lat, denoised, old_denoised,
-                                sigma, sigma_next, sigma_prev, is_first)
+                                sigma, sigma_next, sigma_prev, is_first,
+                                noise=snoise)
         return (new_lat, denoised), None
 
     return jax.lax.scan(
@@ -656,6 +757,7 @@ def k_diffuse_latent_preview(
     control_scale: float = 1.0,
     control_cfg=None,
     control_window: Tuple[float, float] = (0.0, 1.0),
+    step_keys: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """k_diffuse_latent, segmented every `preview_every` steps: between
     segments, preview_callback(done, total, rgb_u8) receives a linear-map
@@ -666,8 +768,10 @@ def k_diffuse_latent_preview(
     across segment boundaries)."""
     if preview_every < 1:
         raise ValueError("preview_every must be >= 1")
-    if method not in ("euler", "dpmpp"):
-        raise ValueError(f"unknown k-sampler {method!r} (euler|dpmpp)")
+    if method not in K_SAMPLERS:
+        raise ValueError(
+            f"unknown k-sampler {method!r} ({'|'.join(K_SAMPLERS)})"
+        )
     ts, sigmas = k_schedule(alphas_cumprod, step_start, n_steps, schedule)
     ts = np.asarray(ts)
     sigmas = np.asarray(sigmas)
@@ -675,7 +779,11 @@ def k_diffuse_latent_preview(
     sig_prev = np.concatenate([sigmas[:1], sigmas[:-2]])
     first = np.arange(len(ts)) == 0
     total = len(ts)
-    if inpaint:
+    # identical key layout to k_diffuse_latent, so segmented previews are
+    # bit-identical to the unsegmented run (incl. stochastic step noise)
+    if step_keys is not None:
+        keys = step_keys
+    elif inpaint or method in K_STOCHASTIC:
         keys = jax.random.split(key, total)
     else:
         keys = jnp.zeros((total, 2), dtype=jnp.uint32)
@@ -728,8 +836,12 @@ def euler_sample_latent(
     control_scale: float = 1.0,
     control_cfg=None,
     control_window: Tuple[float, float] = (0.0, 1.0),
+    step_keys: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """txt2img (+ optional inpainting) with a k-diffusion sampler."""
+    """txt2img (+ optional inpainting) with a k-diffusion sampler.
+
+    The scan key (inpaint pin + stochastic-method step noise) is the
+    second split of `key`; step_keys overrides it with per-image keys."""
     noise_key, inpaint_key = jax.random.split(key)
     n_train = alphas_cumprod.shape[0]
     sigma_max = k_sigma_at(alphas_cumprod, k_timesteps(0, n_steps, n_train)[0])
@@ -745,13 +857,13 @@ def euler_sample_latent(
             inpaint=True, reference=reference, mask=mask, key=inpaint_key,
             schedule=schedule, use_cfg=use_cfg,
             guidance_rescale=guidance_rescale,
-            concat_channels=concat_channels, **ctl,
+            concat_channels=concat_channels, step_keys=step_keys, **ctl,
         )
     return k_diffuse_latent(
         unet_params, cfg, alphas_cumprod, latent, cond, guidance_scale,
         method, 0, n_steps, compute_dtype, schedule=schedule,
-        use_cfg=use_cfg, guidance_rescale=guidance_rescale,
-        concat_channels=concat_channels, **ctl,
+        key=inpaint_key, use_cfg=use_cfg, guidance_rescale=guidance_rescale,
+        concat_channels=concat_channels, step_keys=step_keys, **ctl,
     )
 
 
@@ -776,6 +888,7 @@ def k_refine_latent(
     control_scale: float = 1.0,
     control_cfg=None,
     control_window: Tuple[float, float] = (0.0, 1.0),
+    step_keys: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Refiner/img2img re-noise in sigma space: x = latent + σ_start·noise,
     then run the schedule tail (k-space analogue of mod.rs:355-376).
@@ -791,10 +904,13 @@ def k_refine_latent(
     return k_diffuse_latent(
         unet_params, cfg, alphas_cumprod, noised, cond, guidance_scale,
         method, step_start, n_steps, compute_dtype, schedule=schedule,
+        # fold_in(1): the scan key for stochastic step noise, distinct
+        # from the re-noise draw above (which uses `key` directly)
+        key=jax.random.fold_in(key, 1),
         use_cfg=use_cfg, guidance_rescale=guidance_rescale,
         control_params=control_params, control_image=control_image,
         control_scale=control_scale, control_cfg=control_cfg,
-        control_window=control_window,
+        control_window=control_window, step_keys=step_keys,
     )
 
 

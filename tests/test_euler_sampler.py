@@ -158,6 +158,145 @@ def test_karras_refine_tail_and_ddim_rejection():
                          schedule="quadratic")
 
 
+def test_stochastic_samplers_scan_matches_sequential_transcription():
+    """The stochastic scan's noise-key wiring, end to end: step i's noise
+    must be normal(fold_in(split(key, n)[i], 1)) — written here with
+    literal jax.random calls (not the sampler's helpers), so a wiring
+    change (different stream index, split count, or draw order) fails."""
+    from sdxl_tpu.pipeline.sampler import (
+        _cfg_contexts,
+        _cfg_eps,
+        k_diffuse_latent,
+        k_schedule,
+        k_step_update,
+    )
+
+    params, alphas, cond = _setup()
+    gs = 7.5
+    n_steps = 5
+    key = jax.random.PRNGKey(11)
+    sigma_max = float(jnp.sqrt((1 - alphas[-1]) / alphas[-1]))
+    x0 = sigma_max * jax.random.normal(
+        jax.random.PRNGKey(4), (1, 8, 8, 4), jnp.float32
+    )
+
+    for method in ("euler_a", "dpmpp_sde"):
+        got = k_diffuse_latent(
+            params, TINY_BASE, alphas, jnp.array(x0, copy=True), cond, gs,
+            method, 0, n_steps, jnp.float32, key=key,
+        )
+        ts, sigmas = k_schedule(alphas, 0, n_steps, "linear")
+        ts = np.asarray(ts, np.float32)
+        sigmas = np.asarray(sigmas, np.float32)
+        keys = jax.random.split(key, len(ts))
+        ctx2, ch2 = _cfg_contexts(TINY_BASE, cond, jnp.float32)
+        x = x0
+        old = jnp.zeros_like(x)
+        for i in range(len(ts)):
+            sigma = float(sigmas[i])
+            scaled = x / np.sqrt(sigma**2 + 1.0)
+            eps = _cfg_eps(params, TINY_BASE, scaled, jnp.float32(ts[i]),
+                           ctx2, ch2, gs, jnp.float32, None,
+                           1.0 / (sigma**2 + 1.0))
+            denoised = x - sigma * eps
+            noise = jax.random.normal(
+                jax.random.fold_in(keys[i], 1), x.shape, jnp.float32
+            )
+            x = k_step_update(
+                method, x, denoised, old,
+                jnp.float32(sigma), jnp.float32(sigmas[i + 1]),
+                jnp.float32(sigmas[0] if i == 0 else sigmas[i - 1]),
+                jnp.bool_(i == 0), noise=noise,
+            )
+            old = denoised
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(x), rtol=2e-4, atol=2e-4,
+            err_msg=f"{method} scan vs sequential key wiring",
+        )
+
+
+def test_stochastic_samplers_determinism_and_key_sensitivity():
+    params, alphas, cond = _setup()
+    k = jax.random.PRNGKey(7)
+    for method in ("euler_a", "dpmpp_sde"):
+        a = euler_sample_latent(params, TINY_BASE, alphas, cond, k, 7.5, 5,
+                                jnp.float32, method=method)
+        b = euler_sample_latent(params, TINY_BASE, alphas, cond, k, 7.5, 5,
+                                jnp.float32, method=method)
+        c = euler_sample_latent(params, TINY_BASE, alphas, cond,
+                                jax.random.PRNGKey(8), 7.5, 5,
+                                jnp.float32, method=method)
+        d = euler_sample_latent(params, TINY_BASE, alphas, cond, k, 7.5, 5,
+                                jnp.float32, method="euler")
+        assert a.shape == (1, 8, 8, 4)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert np.isfinite(np.asarray(a)).all()
+        # a different key changes the step noise -> different image; and
+        # the ancestral/SDE noise must actually alter the ODE trajectory
+        assert not np.allclose(np.asarray(a), np.asarray(c))
+        assert not np.allclose(np.asarray(a), np.asarray(d))
+
+
+def test_stochastic_refiner_tail_runs():
+    from sdxl_tpu.pipeline.sampler import k_refine_latent
+
+    params, alphas, cond = _setup()
+    lat = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 4), jnp.float32)
+    for method in ("euler_a", "dpmpp_sde"):
+        out = k_refine_latent(
+            params, TINY_BASE, alphas, lat, cond, jax.random.PRNGKey(5),
+            7.5, 800, 30, jnp.float32, method=method, schedule="karras",
+        )
+        a = np.asarray(out)
+        assert a.shape == (1, 8, 8, 4) and np.isfinite(a).all()
+
+
+def test_per_image_step_keys_make_noise_batch_independent():
+    """step_keys (k_step_keys_per_seed): image i's stochastic step noise
+    depends only on seeds[i] — row 0 of a fused batch must equal the
+    same seed run alone (the serving fusion contract, extended to the
+    stochastic samplers)."""
+    from sdxl_tpu.pipeline.sampler import (
+        k_diffuse_latent,
+        k_step_keys_per_seed,
+    )
+
+    import dataclasses
+
+    params, alphas, _ = _setup()
+    cond2 = _cond(batch=2)
+    # solo cond = row 0 of the batched cond (same prompt tensors)
+    cond1 = dataclasses.replace(
+        cond2,
+        context_full=cond2.context_full[:1],
+        context_open_clip=cond2.context_open_clip[:1],
+        channel_context=cond2.channel_context[:1],
+        channel_context_refiner=cond2.channel_context_refiner[:1],
+    )
+    n_steps = 4
+    x0 = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 4), jnp.float32)
+
+    keys2 = k_step_keys_per_seed([111, 222], n_steps)
+    assert keys2.shape == (n_steps, 2, 2)
+    batched = k_diffuse_latent(
+        params, TINY_BASE, alphas, jnp.array(x0, copy=True), cond2, 7.5,
+        "euler_a", 0, n_steps, jnp.float32, step_keys=keys2,
+    )
+    keys1 = k_step_keys_per_seed([111], n_steps)
+    solo = k_diffuse_latent(
+        params, TINY_BASE, alphas, jnp.array(x0[:1], copy=True), cond1, 7.5,
+        "euler_a", 0, n_steps, jnp.float32, step_keys=keys1,
+    )
+    # batch-2 vs batch-1 compile to different XLA fusions, so bit equality
+    # is not expected — but any keying bug injects O(1)-different noise,
+    # orders of magnitude above this float tolerance
+    np.testing.assert_allclose(
+        np.asarray(batched)[:1], np.asarray(solo), rtol=5e-3, atol=5e-4
+    )
+    # and the two rows genuinely got different noise streams
+    assert not np.allclose(np.asarray(batched)[0], np.asarray(batched)[1])
+
+
 def test_k_timesteps_tail_keeps_global_density():
     """step_start slices the GLOBAL n_steps spacing (diffusers img2img /
     reference DDIM handoff semantics) instead of squeezing all n_steps
