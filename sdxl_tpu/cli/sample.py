@@ -79,6 +79,14 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["linear", "karras"],
                    help="Sigma spacing for the euler/dpmpp samplers; karras "
                         "(rho=7) improves low-step-count quality")
+    p.add_argument("--freeu", type=str, nargs="?", const="auto",
+                   default=None, metavar="B1,B2,S1,S2",
+                   help="FreeU decoder rebalancing (arXiv:2309.11497): "
+                        "boosts backbone features, attenuates low-frequency "
+                        "skips at the two deepest decoder levels. Bare "
+                        "--freeu uses the official per-family settings "
+                        "(sdxl 1.3,1.4,0.9,0.2); pass B1,B2,S1,S2 to "
+                        "override")
     p.add_argument("--guidance-rescale", type=float, default=0.0,
                    help="CFG std-rescale factor (Lin et al. 2023); 0.7 is "
                         "typical for zero-terminal-SNR v-prediction models")
@@ -242,6 +250,18 @@ def main(argv=None) -> int:
         pipe.vae_dtype = jnp.bfloat16
     if args.vae_tile:
         pipe.vae_tile = args.vae_tile
+    if args.freeu is not None:
+        import dataclasses
+
+        from ..configs import parse_freeu_spec
+
+        try:
+            fu = parse_freeu_spec(args.freeu, args.family)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        pipe.diffuser_cfg = dataclasses.replace(pipe.diffuser_cfg, freeu=fu)
+        log(f"freeu: (b1,b2,s1,s2) = {fu} (base UNet decoder)")
 
     if args.embedding:
         try:

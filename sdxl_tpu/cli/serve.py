@@ -501,6 +501,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sampler", type=str, default="ddim",
                    choices=["ddim", "euler", "dpmpp", "euler_a", "dpmpp_sde"])
     p.add_argument("--vae-bf16", action="store_true")
+    p.add_argument("--freeu", type=str, nargs="?", const="auto",
+                   default=None, metavar="B1,B2,S1,S2",
+                   help="FreeU decoder rebalancing (see sample --freeu)")
     p.add_argument("--dp", type=int, default=None,
                    help="Data-parallel mesh axis size (multi-chip)")
     p.add_argument("--tp", type=int, default=None,
@@ -567,6 +570,14 @@ def main(argv=None) -> int:
         import jax.numpy as jnp
 
         pipe.vae_dtype = jnp.bfloat16
+    if args.freeu is not None:
+        import dataclasses
+
+        from ..configs import parse_freeu_spec
+
+        fu = parse_freeu_spec(args.freeu, args.family)
+        pipe.diffuser_cfg = dataclasses.replace(pipe.diffuser_cfg, freeu=fu)
+        log(f"freeu: (b1,b2,s1,s2) = {fu}")
     if args.embedding:
         pipe.add_textual_inversions(args.embedding)
     if args.controlnet:

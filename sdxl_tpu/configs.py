@@ -18,7 +18,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclass(frozen=True)
@@ -52,11 +52,18 @@ class UNetConfig:
     # fixed head count (SD 1.x uses 8 heads at every width); 0 = derive
     # from n_head_channels (SDXL / SD 2.x)
     n_heads: int = 0
+    # FreeU (Si et al. 2023, arXiv:2309.11497): (b1, b2, s1, s2) applied
+    # at the two deepest decoder levels — backbone half-channel boost b,
+    # skip low-frequency attenuation s. None = off (bit-exact reference
+    # path). Runtime knob, not checkpoint state.
+    freeu: Optional[Tuple[float, float, float, float]] = None
 
     def __post_init__(self):
         object.__setattr__(self, "channel_mults", tuple(self.channel_mults))
         object.__setattr__(self, "transformer_depths", tuple(self.transformer_depths))
         object.__setattr__(self, "transformer_levels", tuple(self.transformer_levels))
+        if self.freeu is not None:
+            object.__setattr__(self, "freeu", tuple(self.freeu))
         if self.n_heads == 0:
             assert self.model_channels % self.n_head_channels == 0, (
                 "The number of head channels must evenly divide the model channels."
@@ -85,11 +92,15 @@ class DiffuserConfig:
     # 4 = standard latent UNet (reference, mod.rs:285-295); 9 = inpainting-
     # specialized models (latent + mask + masked-image latent concat)
     in_channels: int = 4
+    # FreeU (b1, b2, s1, s2); None = off. See UNetConfig.freeu.
+    freeu: Optional[Tuple[float, float, float, float]] = None
 
     def __post_init__(self):
         object.__setattr__(self, "channel_mults", tuple(self.channel_mults))
         object.__setattr__(self, "transformer_depths", tuple(self.transformer_depths))
         object.__setattr__(self, "transformer_levels", tuple(self.transformer_levels))
+        if self.freeu is not None:
+            object.__setattr__(self, "freeu", tuple(self.freeu))
 
     def unet_config(self) -> UNetConfig:
         # The reference hardwires in/out = 4 latent channels
@@ -106,6 +117,7 @@ class DiffuserConfig:
             context_dim=self.context_dim,
             transformer_levels=self.transformer_levels,
             n_heads=self.n_heads,
+            freeu=self.freeu,
         )
 
 
@@ -146,6 +158,25 @@ class AutoencoderConfig:
 # ---------------------------------------------------------------------------
 # SDXL 1.0 presets (SURVEY.md §2 hyperparameter table)
 # ---------------------------------------------------------------------------
+
+# FreeU per-family defaults (b1, b2, s1, s2) from the official repo's
+# recommended settings (github.com/ChenyangSi/FreeU README)
+FREEU_DEFAULTS = {
+    "sdxl": (1.3, 1.4, 0.9, 0.2),
+    "sd1": (1.5, 1.6, 0.9, 0.2),
+    "sd2": (1.4, 1.6, 0.9, 0.2),
+}
+
+def parse_freeu_spec(spec: str, family: str) -> Tuple[float, float, float, float]:
+    """CLI --freeu value -> (b1, b2, s1, s2). "auto" (bare --freeu) picks
+    the family default; otherwise a comma list of four floats."""
+    if spec == "auto":
+        return FREEU_DEFAULTS[family]
+    parts = spec.split(",")
+    if len(parts) != 4:
+        raise ValueError(f"--freeu expects B1,B2,S1,S2 (got {spec!r})")
+    return tuple(float(v) for v in parts)
+
 
 CLIP_VIT_L_CONFIG = CLIPConfig(
     n_vocab=49408, n_state=768, embed_dim=768, n_head=12, n_ctx=77, n_layer=12,

@@ -282,12 +282,44 @@ def unet_forward(
         x = x + mid_res.astype(x.dtype)
 
     for i, (spec, p) in enumerate(zip(out_plan, params["output_blocks"])):
-        x = jnp.concatenate([x, saved.pop()], axis=-1)
+        skip = saved.pop()
+        if cfg.freeu is not None and i // 3 <= 1:
+            # FreeU (arXiv:2309.11497; diffusers apply_freeu): at the two
+            # deepest decoder levels boost the backbone's first half
+            # channels by b and attenuate the skip's low spatial
+            # frequencies by s. Three skip-cats per level -> level = i//3.
+            b1, b2, s1, s2 = cfg.freeu
+            b, s = (b1, s1) if i // 3 == 0 else (b2, s2)
+            half = x.shape[-1] // 2
+            x = jnp.concatenate([x[..., :half] * b, x[..., half:]], axis=-1)
+            skip = freeu_fourier_filter(skip, 1, s)
+        x = jnp.concatenate([x, skip], axis=-1)
         x = _apply_block(spec, p, x, emb, context,
                          ckv.get("output_blocks", {}).get(i))
 
     x = silu(groupnorm_nhwc(x, **params["norm_out"]))
     return conv2d(params["conv_out"], x)
+
+
+def freeu_fourier_filter(x: jnp.ndarray, threshold: int,
+                         scale: float) -> jnp.ndarray:
+    """FreeU's fourier_filter (official impl / diffusers
+    fourier_filter): FFT over the spatial dims, scale the centered
+    2*threshold-wide low-frequency box by `scale`, inverse FFT. x is
+    NHWC; computed in f32 (complex FFT), cast back to x.dtype."""
+    _, h, w, _ = x.shape
+    xf = jnp.fft.fftshift(
+        jnp.fft.fft2(x.astype(jnp.float32), axes=(1, 2)), axes=(1, 2)
+    )
+    row = jnp.arange(h)
+    col = jnp.arange(w)
+    in_row = (row >= h // 2 - threshold) & (row < h // 2 + threshold)
+    in_col = (col >= w // 2 - threshold) & (col < w // 2 + threshold)
+    mask = jnp.where(in_row[:, None] & in_col[None, :],
+                     jnp.float32(scale), jnp.float32(1.0))
+    xf = xf * mask[None, :, :, None]
+    out = jnp.fft.ifft2(jnp.fft.ifftshift(xf, axes=(1, 2)), axes=(1, 2)).real
+    return out.astype(x.dtype)
 
 
 def precompute_cross_kv(params, cfg: UNetConfig, context: jnp.ndarray):
