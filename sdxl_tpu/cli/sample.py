@@ -106,19 +106,28 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Merge a LoRA safetensors file into the model at load "
                         "time (repeatable; kohya and diffusers/peft key "
                         "formats; default scale 1.0)")
-    p.add_argument("--controlnet", type=str, default=None, metavar="DIR",
+    p.add_argument("--controlnet", action="append", default=None,
+                   metavar="DIR",
                    help="diffusers-layout ControlNetModel directory for this "
                         "model family (canny/depth/pose/...); use with "
-                        "--control-image")
-    p.add_argument("--control-image", type=str, default=None, metavar="PNG",
+                        "--control-image. Repeat for multi-ControlNet "
+                        "(residuals summed, one --control-image each)")
+    p.add_argument("--control-image", action="append", default=None,
+                   metavar="PNG",
                    help="Conditioning image for --controlnet (same size as "
-                        "--height/--width)")
-    p.add_argument("--control-scale", type=float, default=1.0,
-                   help="ControlNet residual scale (default 1.0)")
-    p.add_argument("--control-start", type=float, default=0.0,
-                   help="Step fraction where ControlNet guidance starts")
-    p.add_argument("--control-end", type=float, default=1.0,
-                   help="Step fraction where ControlNet guidance ends")
+                        "--height/--width); repeat once per --controlnet")
+    p.add_argument("--control-scale", action="append", type=float,
+                   default=None,
+                   help="ControlNet residual scale (default 1.0; repeatable "
+                        "per net)")
+    p.add_argument("--control-start", action="append", type=float,
+                   default=None,
+                   help="Step fraction where ControlNet guidance starts "
+                        "(repeatable per net)")
+    p.add_argument("--control-end", action="append", type=float,
+                   default=None,
+                   help="Step fraction where ControlNet guidance ends "
+                        "(repeatable per net)")
     p.add_argument("--hires-scale", type=float, default=None,
                    help="Two-pass hires-fix: sample at --height/--width, "
                         "bicubic-upscale the latent by this factor, re-noise "
@@ -296,12 +305,40 @@ def main(argv=None) -> int:
             print("error: --controlnet applies to txt2img/img2img/inpaint "
                   "(no --hires-scale)", file=sys.stderr)
             return 1
-        pipe.load_controlnet(args.controlnet)
+        n = len(args.controlnet)
+        if len(args.control_image) != n:
+            print(f"error: {n} --controlnet but {len(args.control_image)} "
+                  "--control-image (need one image per net)",
+                  file=sys.stderr)
+            return 1
+
+        def per_net(vals, default, name):
+            if vals is None:
+                return default if n == 1 else [default] * n
+            if len(vals) == 1:
+                return vals[0] if n == 1 else vals * n
+            if len(vals) != n:
+                raise ValueError(
+                    f"{name}: {len(vals)} values for {n} ControlNets"
+                )
+            return vals
+
+        try:
+            scales = per_net(args.control_scale, 1.0, "--control-scale")
+            starts = per_net(args.control_start, 0.0, "--control-start")
+            ends = per_net(args.control_end, 1.0, "--control-end")
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        pipe.load_controlnet(
+            args.controlnet[0] if n == 1 else args.controlnet
+        )
+        imgs = [load_images([p])[0] for p in args.control_image]
         control_kw = dict(
-            control_image=load_images([args.control_image])[0],
-            control_scale=args.control_scale,
-            control_start=args.control_start,
-            control_end=args.control_end,
+            control_image=imgs[0] if n == 1 else imgs,
+            control_scale=scales,
+            control_start=starts,
+            control_end=ends,
         )
 
     if args.hires_scale is not None:

@@ -485,9 +485,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(repeatable), merged at boot")
     p.add_argument("--lora", action="append", default=[],
                    metavar="PATH[:SCALE]")
-    p.add_argument("--controlnet", type=str, default=None, metavar="DIR",
-                   help="diffusers-layout ControlNetModel directory; "
-                        "requests may then pass control_image/control_scale")
+    p.add_argument("--controlnet", action="append", default=None,
+                   metavar="DIR",
+                   help="diffusers-layout ControlNetModel directory "
+                        "(repeatable for multi-ControlNet; a request's "
+                        "control_image then conditions every net); requests "
+                        "may then pass control_image/control_scale")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-batch", type=int, default=4)
@@ -581,7 +584,10 @@ def main(argv=None) -> int:
     if args.embedding:
         pipe.add_textual_inversions(args.embedding)
     if args.controlnet:
-        pipe.load_controlnet(args.controlnet)
+        pipe.load_controlnet(
+            args.controlnet[0] if len(args.controlnet) == 1
+            else args.controlnet
+        )
     if args.dp is not None or args.tp is not None:
         pipe.shard(args.dp, args.tp)
 

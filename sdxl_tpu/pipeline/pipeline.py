@@ -15,6 +15,7 @@ stage is one jitted program; precision staging is a device-side cast.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
@@ -138,11 +139,21 @@ class SDXLPipeline:
         self.vae_params = shard_params(self.vae_params, mesh, False)
         if self.controlnet_params is not None:
             # the control trunk copies the UNet's geometry; same TP rules
-            self.controlnet_params = shard_params(
-                self.controlnet_params, mesh, tensor_parallel,
-                head_channels=self.diffuser_cfg.num_head_channels,
-                fixed_heads=getattr(self.diffuser_cfg, "n_heads", 0),
-            )
+            # (multi-ControlNet: shard each net's trunk independently so
+            # the name-based sharding rules see the same key paths)
+            def _shard_cn(p):
+                return shard_params(
+                    p, mesh, tensor_parallel,
+                    head_channels=self.diffuser_cfg.num_head_channels,
+                    fixed_heads=getattr(self.diffuser_cfg, "n_heads", 0),
+                )
+
+            if isinstance(self.controlnet_params, tuple):
+                self.controlnet_params = tuple(
+                    _shard_cn(p) for p in self.controlnet_params
+                )
+            else:
+                self.controlnet_params = _shard_cn(self.controlnet_params)
         self._uncond_cache.clear()  # cached tensors carry pre-shard layout
         log(f"pipeline sharded over mesh {dict(mesh.shape)}")
         return mesh
@@ -229,28 +240,48 @@ class SDXLPipeline:
         )
         self._uncond_cache.clear()  # embedding tables changed
 
-    def load_controlnet(self, model_dir: str) -> None:
-        """Load a diffusers-layout ControlNetModel directory for this
+    def load_controlnet(self, model_dir) -> None:
+        """Load diffusers-layout ControlNetModel directories for this
         pipeline's UNet family (io/diffusers_sdxl.py). Subsequent txt2img
-        calls with a control_image run the trunk every step and inject its
-        residuals."""
+        calls with a control_image run the trunk(s) every step and inject
+        the (summed) residuals.
+
+        model_dir: one path, or a sequence of paths for multi-ControlNet
+        (diffusers MultiControlNetModel semantics — all nets must share
+        the UNet family, residuals are summed with per-net scales)."""
         from ..io.diffusers_sdxl import load_controlnet_dir
 
-        self.controlnet_params, self.controlnet_cfg = load_controlnet_dir(
-            model_dir, self.diffuser_cfg, self.compute_dtype
-        )
-        log(f"controlnet loaded from {model_dir}")
+        dirs = ([model_dir] if isinstance(model_dir, (str, os.PathLike))
+                else list(model_dir))
+        loaded = [
+            load_controlnet_dir(d, self.diffuser_cfg, self.compute_dtype)
+            for d in dirs
+        ]
+        cfgs = {cfg for _, cfg in loaded}
+        if len(cfgs) > 1:
+            raise ValueError(
+                "multi-ControlNet requires all nets to share one trunk "
+                f"config; got {len(cfgs)} distinct configs from {dirs}"
+            )
+        self.controlnet_cfg = loaded[0][1]
+        if len(loaded) == 1:
+            self.controlnet_params = loaded[0][0]
+        else:
+            self.controlnet_params = tuple(p for p, _ in loaded)
+        log(f"controlnet loaded from {', '.join(map(str, dirs))}"
+            + (f" ({len(loaded)} nets)" if len(loaded) > 1 else ""))
 
-    def _prep_control(self, control_image, resolution, batch):
+    @property
+    def n_controlnets(self) -> int:
+        if self.controlnet_params is None:
+            return 0
+        if isinstance(self.controlnet_params, tuple):
+            return len(self.controlnet_params)
+        return 1
+
+    def _prep_one_control(self, control_image, resolution, batch):
         """Validate + normalize a control image to [B, H, W, 3] float in
         [0, 1] (the diffusers control-image convention)."""
-        if control_image is None:
-            return None
-        if self.controlnet_params is None:
-            raise ValueError(
-                "control_image given but no ControlNet is loaded "
-                "(pipe.load_controlnet / --controlnet)"
-            )
         img = np.asarray(control_image)
         if img.ndim == 3:
             img = img[None]
@@ -264,6 +295,70 @@ class SDXLPipeline:
             img = img.astype(np.float32) / 255.0
         img = jnp.asarray(img, jnp.float32)
         return jnp.broadcast_to(img, (batch, h, w, 3))
+
+    def _control_kwargs(self, control_image, control_scale, control_start,
+                        control_end, resolution, batch) -> dict:
+        """Sampler control_* kwargs for single or multi ControlNet.
+
+        control_image: one [H,W,3]/[B,H,W,3] array, or a sequence of N
+        arrays (one per loaded net). control_scale/start/end: one float
+        each, broadcast to all nets, or sequences of N floats."""
+        if control_image is None:
+            return {}
+        n = self.n_controlnets
+        if n == 0:
+            raise ValueError(
+                "control_image given but no ControlNet is loaded "
+                "(pipe.load_controlnet / --controlnet)"
+            )
+        multi_img = (isinstance(control_image, (list, tuple))
+                     or (isinstance(control_image, np.ndarray)
+                         and control_image.ndim == 5))
+
+        def per_net(v, name):
+            if isinstance(v, (list, tuple)):
+                if len(v) != n:
+                    raise ValueError(
+                        f"{name}: {len(v)} values for {n} ControlNets"
+                    )
+                return tuple(float(x) for x in v)
+            return tuple(float(v) for _ in range(n))
+
+        if n == 1 and not multi_img:
+            return dict(
+                control_params=self.controlnet_params,
+                control_image=self._prep_one_control(
+                    control_image, resolution, batch),
+                control_scale=float(control_scale)
+                if not isinstance(control_scale, (list, tuple))
+                else float(control_scale[0]),
+                control_cfg=self.controlnet_cfg,
+                control_window=(
+                    float(control_start) if not isinstance(
+                        control_start, (list, tuple))
+                    else float(control_start[0]),
+                    float(control_end) if not isinstance(
+                        control_end, (list, tuple))
+                    else float(control_end[0]),
+                ),
+            )
+        imgs = (list(control_image) if multi_img else [control_image] * n)
+        if len(imgs) != n:
+            raise ValueError(f"{len(imgs)} control images for {n} ControlNets")
+        params = (self.controlnet_params if isinstance(
+            self.controlnet_params, tuple) else (self.controlnet_params,))
+        scales = per_net(control_scale, "control_scale")
+        starts = per_net(control_start, "control_start")
+        ends = per_net(control_end, "control_end")
+        return dict(
+            control_params=params,
+            control_image=tuple(
+                self._prep_one_control(im, resolution, batch) for im in imgs
+            ),
+            control_scale=scales,
+            control_cfg=self.controlnet_cfg,
+            control_window=tuple(zip(starts, ends)),
+        )
 
     # -- generation ----------------------------------------------------------
 
@@ -414,17 +509,9 @@ class SDXLPipeline:
                 "schedule is fixed by reference semantics"
             )
         use_cfg = not (no_cfg or guidance_scale == 1.0)
-        ctl = {}
-        cimg = self._prep_control(control_image, resolution,
-                                  cond.context_full.shape[0])
-        if cimg is not None:
-            ctl = dict(
-                control_params=self.controlnet_params,
-                control_image=cimg,
-                control_scale=control_scale,
-                control_cfg=self.controlnet_cfg,
-                control_window=(control_start, control_end),
-            )
+        ctl = self._control_kwargs(control_image, control_scale,
+                                   control_start, control_end, resolution,
+                                   cond.context_full.shape[0])
 
         with self.timer.stage("diffuser"):
             if preview_every is not None and sampler in K_SAMPLERS:
@@ -737,15 +824,10 @@ class SDXLPipeline:
                 "--schedule applies to the euler/dpmpp samplers; the DDIM "
                 "schedule is fixed by reference semantics"
             )
-        ctl = {}
-        cimg = self._prep_control(control_image, (height, width),
-                                  cond.context_full.shape[0])
-        if cimg is not None:
-            ctl = dict(
-                control_params=self.controlnet_params, control_image=cimg,
-                control_scale=control_scale, control_cfg=self.controlnet_cfg,
-                control_window=(control_start, control_end),
-            )
+        ctl = self._control_kwargs(control_image, control_scale,
+                                   control_start, control_end,
+                                   (height, width),
+                                   cond.context_full.shape[0])
         # skip the first (1-strength) of the schedule
         step_start = int(round((1.0 - strength) * 1000))
         use_cfg = not (no_cfg or guidance_scale == 1.0)

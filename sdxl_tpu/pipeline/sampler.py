@@ -168,6 +168,26 @@ def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
     def residuals(x4, t_vec):
         if control is None:
             return None
+        if isinstance(control, (tuple, list)):
+            # multi-ControlNet (diffusers MultiControlNetModel semantics):
+            # each trunk runs on the same latent, residuals are summed,
+            # each scaled by its own per-step window scale
+            # (control_scale[i]). All nets share control_cfg.
+            total_down, total_mid = None, None
+            for i, (ctl_i, kv_i) in enumerate(zip(control, control_kv)):
+                down, mid = controlnet_forward(
+                    ctl_i["params"], control_cfg, x4, t_vec, ctx2, ch2,
+                    ctl_i["cond_emb"], cross_kv=kv_i,
+                )
+                s = control_scale[i]
+                if total_down is None:
+                    total_down = [d * s for d in down]
+                    total_mid = mid * s
+                else:
+                    total_down = [a + d * s
+                                  for a, d in zip(total_down, down)]
+                    total_mid = total_mid + mid * s
+            return total_down, total_mid
         down, mid = controlnet_forward(
             control["params"], control_cfg, x4, t_vec, ctx2, ch2,
             control["cond_emb"], cross_kv=control_kv,
@@ -219,7 +239,15 @@ def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
 def _control_window_scales(n: int, scale, window) -> jnp.ndarray:
     """Per-step ControlNet scale: `scale` inside the [start, end) fraction
     window, 0 outside — exactly diffusers' `controlnet_keep` rule
-    (step i active iff i/n >= start and (i+1)/n <= end)."""
+    (step i active iff i/n >= start and (i+1)/n <= end).
+
+    Multi-ControlNet: `scale` a sequence of N scales and `window` a
+    sequence of N (start, end) windows -> [n, N] (one scale column per
+    net, sliced per scan step)."""
+    if isinstance(scale, (tuple, list)):
+        cols = [_control_window_scales(n, s, w)
+                for s, w in zip(scale, window)]
+        return jnp.stack(cols, axis=1)
     start, end = window
     keep = np.array(
         [0.0 if (i / n < start or (i + 1) / n > end) else 1.0
@@ -233,9 +261,19 @@ def _control_setup(control_params, control_cfg, control_image, ctx2,
                    compute_dtype, use_cfg, is_refiner):
     """Loop-invariant ControlNet work, hoisted out of the scan: the
     conditioning-image embedding (pair-doubled to match the CFG batch) and
-    the trunk's cross-attention K/V projections."""
+    the trunk's cross-attention K/V projections.
+
+    Multi-ControlNet: control_params/control_image are sequences of the
+    same length N -> returns (tuple of N ctrl dicts, tuple of N kv trees)."""
     if control_params is None:
         return None, None
+    if isinstance(control_params, (tuple, list)):
+        pairs = [
+            _control_setup(p, control_cfg, im, ctx2, compute_dtype,
+                           use_cfg, is_refiner)
+            for p, im in zip(control_params, control_image)
+        ]
+        return tuple(c for c, _ in pairs), tuple(k for _, k in pairs)
     ce = control_cond_embed(
         control_params["cond_embed"], control_image.astype(compute_dtype)
     )

@@ -368,6 +368,75 @@ def test_pipeline_control_image_validation():
         assert "must match" in str(e)
 
 
+def test_control_window_scales_multi_stacks_columns():
+    """Multi-ControlNet: one per-step scale column per net, each obeying
+    its own window."""
+    out = np.asarray(_control_window_scales(
+        10, (2.0, 3.0), ((0.0, 1.0), (0.0, 0.5))
+    ))
+    assert out.shape == (10, 2)
+    np.testing.assert_allclose(out[:, 0], 2.0)
+    np.testing.assert_allclose(
+        out[:, 1],
+        np.asarray(_control_window_scales(10, 3.0, (0.0, 0.5))),
+    )
+
+
+def test_multi_controlnet_sums_residuals():
+    """Multi-ControlNet correctness at pipeline level:
+    - two copies of one net at scale 0.5 each == that net at scale 1.0
+      (residual-sum linearity),
+    - zeroing net B via its window reproduces net A alone,
+    - two different nets differ from either alone."""
+    pipe = _tiny_pipe()
+    ucfg = pipe.diffuser_cfg.unet_config()
+    cn_a = _randomize_zero_convs(
+        init_controlnet(jax.random.PRNGKey(11), ucfg, jnp.float32),
+        jax.random.PRNGKey(12),
+    )
+    cn_b = _randomize_zero_convs(
+        init_controlnet(jax.random.PRNGKey(21), ucfg, jnp.float32),
+        jax.random.PRNGKey(22),
+    )
+    rng = np.random.default_rng(0)
+    img_a = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    img_b = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    kw = dict(resolution=(64, 64), n_steps=2, seed=5, profile_stages=False)
+
+    pipe.controlnet_params = cn_a
+    pipe.controlnet_cfg = ucfg
+    solo = pipe.txt2img("a cat", control_image=img_a, control_scale=1.0,
+                        **kw)
+
+    pipe.controlnet_params = (cn_a, cn_a)
+    halves = pipe.txt2img("a cat", control_image=[img_a, img_a],
+                          control_scale=[0.5, 0.5], **kw)
+    assert np.abs(halves.astype(int) - solo.astype(int)).max() <= 1
+
+    pipe.controlnet_params = (cn_a, cn_b)
+    b_off = pipe.txt2img("a cat", control_image=[img_a, img_b],
+                         control_scale=[1.0, 1.0],
+                         control_start=[0.0, 0.99],
+                         control_end=[1.0, 1.0], **kw)
+    assert np.abs(b_off.astype(int) - solo.astype(int)).max() <= 1
+
+    both = pipe.txt2img("a cat", control_image=[img_a, img_b],
+                        control_scale=[1.0, 1.0], **kw)
+    assert np.abs(both.astype(int) - solo.astype(int)).max() > 1
+
+    # one shared image broadcast to all nets (the serving path)
+    shared = pipe.txt2img("a cat", control_image=img_a, control_scale=1.0,
+                          **kw)
+    assert shared.shape == solo.shape
+
+    # image-count mismatch is a clear error
+    try:
+        pipe.txt2img("a cat", control_image=[img_a], **kw)
+        raise AssertionError("expected ValueError (1 image, 2 nets)")
+    except ValueError as e:
+        assert "ControlNet" in str(e)
+
+
 def test_img2img_controlnet_scale_and_identity():
     pipe = _tiny_pipe()
     pipe.controlnet_params = _randomize_zero_convs(
