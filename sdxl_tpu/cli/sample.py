@@ -128,6 +128,21 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None,
                    help="Step fraction where ControlNet guidance ends "
                         "(repeatable per net)")
+    p.add_argument("--ip-adapter", type=str, default=None, metavar="FILE",
+                   help="Official IP-Adapter safetensors file (image-prompt "
+                        "conditioning via decoupled cross-attention); use "
+                        "with --ip-image and --ip-image-encoder")
+    p.add_argument("--ip-image-encoder", type=str, default=None,
+                   metavar="DIR",
+                   help="transformers CLIPVisionModelWithProjection "
+                        "directory matching the adapter (ViT-H for "
+                        "*_vit-h adapters, ViT-bigG for ip-adapter_sdxl)")
+    p.add_argument("--ip-image", type=str, default=None, metavar="PNG",
+                   help="Image prompt for --ip-adapter (any size; "
+                        "CLIP-resized internally)")
+    p.add_argument("--ip-scale", type=float, default=0.6,
+                   help="IP-Adapter attention scale (default 0.6; 1.0 = "
+                        "image dominates, ~0.3 = subtle)")
     p.add_argument("--hires-scale", type=float, default=None,
                    help="Two-pass hires-fix: sample at --height/--width, "
                         "bicubic-upscale the latent by this factor, re-noise "
@@ -339,6 +354,25 @@ def main(argv=None) -> int:
             control_scale=scales,
             control_start=starts,
             control_end=ends,
+        )
+
+    if args.ip_adapter is not None or args.ip_image is not None:
+        if not (args.ip_adapter and args.ip_image and args.ip_image_encoder):
+            print("error: --ip-adapter, --ip-image-encoder and --ip-image "
+                  "go together", file=sys.stderr)
+            return 1
+        if args.hires_scale is not None:
+            print("error: --ip-adapter applies to txt2img/img2img/inpaint "
+                  "(no --hires-scale)", file=sys.stderr)
+            return 1
+        try:
+            pipe.load_ip_adapter(args.ip_adapter, args.ip_image_encoder)
+        except (KeyError, FileNotFoundError, ValueError) as e:
+            print(f"error: failed to load IP-Adapter: {e}", file=sys.stderr)
+            return 1
+        control_kw.update(
+            ip_adapter_image=load_images([args.ip_image])[0],
+            ip_adapter_scale=args.ip_scale,
         )
 
     if args.hires_scale is not None:

@@ -22,7 +22,10 @@ Endpoints:
   POST /v1/generate -> {"prompt": ..., "width": ..., "height": ...,
                         "steps": ..., "guidance_scale": ..., "seed": ...,
                         "negative_prompt": ..., "sampler": ...,
-                        "schedule": ..., "guidance_rescale": ...}
+                        "schedule": ..., "guidance_rescale": ...};
+                       optional (boot-loaded nets): {"control_image":
+                       "<base64 png>", "control_scale": x} and/or
+                       {"ip_image": "<base64 png>", "ip_scale": x}
   POST /v1/img2img  -> same + {"image": "<base64 png>", "strength": 0.3}
                        (runs unbatched; resolution follows the image)
   POST /v1/inpaint  -> same + {"image": "<base64 png>"} and EITHER a
@@ -94,6 +97,10 @@ class GenRequest:
     # --controlnet): per-request conditioning image; also runs alone
     control_image: Optional[object] = None
     control_scale: float = 1.0
+    # IP-Adapter image prompt (server boot must have loaded one via
+    # --ip-adapter); also runs alone
+    ip_image: Optional[object] = None
+    ip_scale: float = 0.6
     # set when the submitter stopped waiting (timeout): the worker drops
     # the request at dequeue instead of burning a generation on a client
     # that left
@@ -110,7 +117,8 @@ class GenRequest:
         reference image / mask / control image)."""
         return (self.image is not None or self.crop is not None
                 or self.mask_image is not None
-                or self.control_image is not None)
+                or self.control_image is not None
+                or self.ip_image is not None)
 
 
 def _png_bytes(img_u8) -> bytes:
@@ -247,6 +255,11 @@ class GenerationServer:
                     control_kw = dict(
                         control_image=np.asarray(batch[0].control_image),
                         control_scale=batch[0].control_scale,
+                    )
+                if batch[0].ip_image is not None:  # solo -> len 1
+                    control_kw.update(
+                        ip_adapter_image=np.asarray(batch[0].ip_image),
+                        ip_adapter_scale=batch[0].ip_scale,
                     )
                 images = self.pipe.txt2img(
                     [r.prompt for r in batch],
@@ -412,9 +425,14 @@ def make_handler(server: GenerationServer):
                 mask_image = None
                 control_image = None
                 control_scale = 1.0
+                ip_image = None
+                ip_scale = 0.6
                 if self.path == "/v1/generate" and "control_image" in payload:
                     control_image = self._decode_image(payload, "control_image")
                     control_scale = float(payload.get("control_scale", 1.0))
+                if self.path == "/v1/generate" and "ip_image" in payload:
+                    ip_image = self._decode_image(payload, "ip_image")
+                    ip_scale = float(payload.get("ip_scale", 0.6))
                 if self.path == "/v1/img2img":
                     image = self._decode_image(payload)
                     strength = float(payload.get("strength", 0.3))
@@ -446,7 +464,8 @@ def make_handler(server: GenerationServer):
                 GenRequest(prompt, cfg, seed, image=image, strength=strength,
                            crop=crop, mask_image=mask_image,
                            control_image=control_image,
-                           control_scale=control_scale)
+                           control_scale=control_scale,
+                           ip_image=ip_image, ip_scale=ip_scale)
             )
             if req.error:
                 self._json(req.status if req.status != 200 else 500,
@@ -507,6 +526,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--freeu", type=str, nargs="?", const="auto",
                    default=None, metavar="B1,B2,S1,S2",
                    help="FreeU decoder rebalancing (see sample --freeu)")
+    p.add_argument("--ip-adapter", type=str, default=None, metavar="FILE",
+                   help="Official IP-Adapter safetensors; requests may then "
+                        "pass ip_image/ip_scale (needs --ip-image-encoder)")
+    p.add_argument("--ip-image-encoder", type=str, default=None,
+                   metavar="DIR",
+                   help="transformers CLIPVisionModelWithProjection dir "
+                        "matching --ip-adapter")
     p.add_argument("--dp", type=int, default=None,
                    help="Data-parallel mesh axis size (multi-chip)")
     p.add_argument("--tp", type=int, default=None,
@@ -588,6 +614,12 @@ def main(argv=None) -> int:
             args.controlnet[0] if len(args.controlnet) == 1
             else args.controlnet
         )
+    if args.ip_adapter:
+        if not args.ip_image_encoder:
+            print("error: --ip-adapter needs --ip-image-encoder",
+                  file=sys.stderr)
+            return 1
+        pipe.load_ip_adapter(args.ip_adapter, args.ip_image_encoder)
     if args.dp is not None or args.tp is not None:
         pipe.shard(args.dp, args.tp)
 

@@ -158,7 +158,13 @@ def _mha(p, x, context, n_head, kv=None):
             ctx = x if context is None else context
             k = linear_nobias(p["k"], ctx)
             v = linear_nobias(p["v"], ctx)
-    return linear(p["out"], qkv_attention(q, k, v, None, n_head))
+    att = qkv_attention(q, k, v, None, n_head)
+    if kv is not None and "ip_k" in kv:
+        # IP-Adapter decoupled cross-attention (models/ip_adapter.py):
+        # extra attention over the image tokens, summed before the output
+        # projection; the ip scale is pre-folded into ip_v
+        att = att + qkv_attention(q, kv["ip_k"], kv["ip_v"], None, n_head)
+    return linear(p["out"], att)
 
 
 def _transformer_block(p, x, context, n_head, kv=None):

@@ -86,6 +86,13 @@ class SDXLPipeline:
     # with a control_image
     controlnet_params: Optional[dict] = None
     controlnet_cfg: Optional[object] = None
+    # optional IP-Adapter (models/ip_adapter.py): projection + per-layer
+    # to_k_ip/to_v_ip weights, plus its CLIP vision encoder, set by
+    # load_ip_adapter(); used when txt2img is called with ip_adapter_image
+    ip_adapter_params: Optional[dict] = None
+    ip_adapter_cfg: Optional[object] = None
+    ip_vision_params: Optional[dict] = None
+    ip_vision_cfg: Optional[object] = None
     # tiled VAE decode: latent tile size (None = whole-image decode); for
     # resolutions whose full decode exceeds HBM (>= 4096^2 px)
     vae_tile: Optional[int] = None
@@ -271,6 +278,63 @@ class SDXLPipeline:
         log(f"controlnet loaded from {', '.join(map(str, dirs))}"
             + (f" ({len(loaded)} nets)" if len(loaded) > 1 else ""))
 
+    def load_ip_adapter(self, adapter_path: str,
+                        image_encoder_dir: str) -> None:
+        """Load an official IP-Adapter safetensors file plus its
+        transformers CLIPVisionModelWithProjection directory
+        (io/ip_adapter.py). Subsequent txt2img/img2img calls with an
+        ip_adapter_image add decoupled image-token cross-attention to the
+        base UNet (the refiner stage, if any, runs unguided)."""
+        from ..io.ip_adapter import load_clip_vision_dir, load_ip_adapter_file
+
+        self.ip_vision_params, self.ip_vision_cfg = load_clip_vision_dir(
+            image_encoder_dir, jnp.float32
+        )
+        self.ip_adapter_params, self.ip_adapter_cfg = load_ip_adapter_file(
+            adapter_path, self.diffuser_cfg.unet_config(), jnp.float32
+        )
+        if (self.ip_adapter_cfg.clip_embed_dim
+                != self.ip_vision_cfg.embed_dim):
+            raise ValueError(
+                f"IP-Adapter expects {self.ip_adapter_cfg.clip_embed_dim}-d "
+                f"image embeddings but the encoder projects to "
+                f"{self.ip_vision_cfg.embed_dim} — wrong image encoder? "
+                "(ip-adapter_sdxl pairs with ViT-bigG, "
+                "ip-adapter_sdxl_vit-h with ViT-H)"
+            )
+        log(f"ip-adapter loaded from {adapter_path} "
+            f"(encoder {image_encoder_dir}, "
+            f"{self.ip_adapter_cfg.n_tokens} image tokens)")
+
+    def _prep_ip(self, image, scale: float) -> Optional[dict]:
+        """ip_adapter_image -> the sampler `ip` dict: CLIP-embed the
+        image once (loop-invariant), project to image tokens, pair with
+        the zero-image unconditional tokens (official get_image_embeds
+        semantics)."""
+        if image is None:
+            return None
+        if self.ip_adapter_params is None:
+            raise ValueError(
+                "ip_adapter_image given but no IP-Adapter is loaded "
+                "(pipe.load_ip_adapter / --ip-adapter)"
+            )
+        from ..models.clip_vision import clip_vision_embed_jit, preprocess_image
+        from ..models.ip_adapter import ip_image_tokens
+
+        pixels = preprocess_image(np.asarray(image), self.ip_vision_cfg)
+        embed = clip_vision_embed_jit(self.ip_vision_params,
+                                      self.ip_vision_cfg, pixels)
+        proj = self.ip_adapter_params["image_proj"]
+        tokens = ip_image_tokens(proj, self.ip_adapter_cfg, embed)
+        utokens = ip_image_tokens(proj, self.ip_adapter_cfg,
+                                  jnp.zeros_like(embed))
+        return {
+            "layers": self.ip_adapter_params["layers"],
+            "tokens": tokens,
+            "tokens_uncond": utokens,
+            "scale": jnp.float32(scale),
+        }
+
     @property
     def n_controlnets(self) -> int:
         if self.controlnet_params is None:
@@ -386,8 +450,16 @@ class SDXLPipeline:
         control_scale: float = 1.0,
         control_start: float = 0.0,
         control_end: float = 1.0,
+        ip_adapter_image: Optional[np.ndarray] = None,
+        ip_adapter_scale: float = 0.6,
     ) -> np.ndarray:
         """Full pipeline; returns [B, H, W, 3] uint8.
+
+        ip_adapter_image ([H, W, 3] or [B, H, W, 3] uint8/float, any
+        size — CLIP-resized internally): image-prompt conditioning via
+        the loaded IP-Adapter (load_ip_adapter) at ip_adapter_scale;
+        applies to the base UNet on every sampler path (the refiner
+        stage runs unguided).
 
         control_image ([H, W, 3] or [B, H, W, 3] uint8/float, same size as
         `resolution`) runs the loaded ControlNet (load_controlnet) every
@@ -512,6 +584,7 @@ class SDXLPipeline:
         ctl = self._control_kwargs(control_image, control_scale,
                                    control_start, control_end, resolution,
                                    cond.context_full.shape[0])
+        ipd = self._prep_ip(ip_adapter_image, ip_adapter_scale)
 
         with self.timer.stage("diffuser"):
             if preview_every is not None and sampler in K_SAMPLERS:
@@ -542,7 +615,7 @@ class SDXLPipeline:
                     guidance_rescale=guidance_rescale,
                     concat_channels=concat_channels,
                     preview_factors=self.preview_factors,
-                    step_keys=step_keys, **ctl,
+                    step_keys=step_keys, ip=ipd, **ctl,
                 )
             elif preview_every is not None:
                 from .sampler import diffuse_latent_preview, gen_noise
@@ -561,7 +634,7 @@ class SDXLPipeline:
                     key=inpaint_key, use_cfg=use_cfg,
                     guidance_rescale=guidance_rescale,
                     concat_channels=concat_channels,
-                    preview_factors=self.preview_factors, **ctl,
+                    preview_factors=self.preview_factors, ip=ipd, **ctl,
                 )
             elif sampler in K_SAMPLERS:
                 latent = euler_sample_latent(
@@ -572,7 +645,8 @@ class SDXLPipeline:
                     schedule=schedule, use_cfg=use_cfg,
                     guidance_rescale=guidance_rescale,
                     concat_channels=concat_channels,
-                    initial_noise=initial_noise, step_keys=step_keys, **ctl,
+                    initial_noise=initial_noise, step_keys=step_keys,
+                    ip=ipd, **ctl,
                 )
             else:
                 latent = sample_latent(
@@ -589,7 +663,7 @@ class SDXLPipeline:
                     use_cfg=use_cfg,
                     guidance_rescale=guidance_rescale,
                     concat_channels=concat_channels,
-                    initial_noise=initial_noise, **ctl,
+                    initial_noise=initial_noise, ip=ipd, **ctl,
                 )
             if profile_stages:
                 fence(latent)
@@ -792,6 +866,8 @@ class SDXLPipeline:
         control_scale: float = 1.0,
         control_start: float = 0.0,
         control_end: float = 1.0,
+        ip_adapter_image: Optional[np.ndarray] = None,
+        ip_adapter_scale: float = 0.6,
     ) -> np.ndarray:
         """Strength-based image-to-image (capability extension).
 
@@ -828,6 +904,7 @@ class SDXLPipeline:
                                    control_start, control_end,
                                    (height, width),
                                    cond.context_full.shape[0])
+        ipd = self._prep_ip(ip_adapter_image, ip_adapter_scale)
         # skip the first (1-strength) of the schedule
         step_start = int(round((1.0 - strength) * 1000))
         use_cfg = not (no_cfg or guidance_scale == 1.0)
@@ -838,14 +915,15 @@ class SDXLPipeline:
                     latent, cond, jax.random.PRNGKey(seed), guidance_scale,
                     step_start, n_steps, self.compute_dtype, method=sampler,
                     schedule=schedule, use_cfg=use_cfg,
-                    guidance_rescale=guidance_rescale, **ctl,
+                    guidance_rescale=guidance_rescale, ip=ipd, **ctl,
                 )
             else:
                 latent = refine_latent(
                     self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
                     latent, cond, jax.random.PRNGKey(seed), guidance_scale,
                     step_start, n_steps, self.compute_dtype,
-                    use_cfg=use_cfg, guidance_rescale=guidance_rescale, **ctl,
+                    use_cfg=use_cfg, guidance_rescale=guidance_rescale,
+                    ip=ipd, **ctl,
                 )
 
         with self.timer.stage("vae_decode"):

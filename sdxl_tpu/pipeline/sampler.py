@@ -284,6 +284,29 @@ def _control_setup(control_params, control_cfg, control_image, ctx2,
     return ctrl, ckv
 
 
+def _merge_ip(cross_kv, ip, cfg: DiffuserConfig, cond: Conditioning,
+              compute_dtype, use_cfg: bool):
+    """Extend the hoisted cross-attention K/V with IP-Adapter image-token
+    K/V (models/ip_adapter.py — loop-invariant, so the scan body pays
+    only the extra tiny-KV attention).
+
+    ip: {"layers": organized to_k_ip/to_v_ip tree, "tokens": [B|1, n, d]
+    image tokens, "tokens_uncond": zero-image tokens, "scale": float}.
+    The token batch is paired [uncond | cond] exactly like _cfg_contexts
+    pairs the text context."""
+    if ip is None:
+        return cross_kv
+    from ..models.ip_adapter import merge_ip_kv
+
+    batch = cond.context_full.shape[0]
+    tok = jnp.broadcast_to(ip["tokens"], (batch,) + ip["tokens"].shape[1:])
+    if use_cfg and not cfg.is_refiner:
+        utok = jnp.broadcast_to(ip["tokens_uncond"], tok.shape)
+        tok = jnp.concatenate([utok, tok], axis=0)
+    return merge_ip_kv(cross_kv, ip["layers"], tok.astype(compute_dtype),
+                       ip["scale"])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "step_start", "n_steps", "compute_dtype", "inpaint",
@@ -313,6 +336,7 @@ def diffuse_latent(
     control_scale: float = 1.0,
     control_cfg=None,
     control_window: Tuple[float, float] = (0.0, 1.0),
+    ip=None,
 ) -> jnp.ndarray:
     """DDIM loop as one lax.scan (diffuse_latent, mod.rs:390-483).
 
@@ -347,6 +371,7 @@ def diffuse_latent(
     # cross-attention K/V projection of the fixed context
     ctx2, ch2 = _cfg_contexts(cfg, cond, compute_dtype, use_cfg)
     cross_kv = precompute_cross_kv(unet_params, cfg.unet_config(), ctx2)
+    cross_kv = _merge_ip(cross_kv, ip, cfg, cond, compute_dtype, use_cfg)
     cc = concat_channels
     if cc is not None and use_cfg and not cfg.is_refiner:
         cc = jnp.concatenate([cc, cc], axis=0)
@@ -598,6 +623,7 @@ def k_diffuse_latent(
     control_cfg=None,
     control_window: Tuple[float, float] = (0.0, 1.0),
     step_keys: Optional[jnp.ndarray] = None,
+    ip=None,
 ) -> jnp.ndarray:
     """k-diffusion samplers over the same ᾱ table the DDIM path uses.
 
@@ -653,6 +679,7 @@ def k_diffuse_latent(
 
     ctx2, ch2 = _cfg_contexts(cfg, cond, compute_dtype, use_cfg)
     cross_kv = precompute_cross_kv(unet_params, cfg.unet_config(), ctx2)
+    cross_kv = _merge_ip(cross_kv, ip, cfg, cond, compute_dtype, use_cfg)
     cc = concat_channels
     if cc is not None and use_cfg and not cfg.is_refiner:
         cc = jnp.concatenate([cc, cc], axis=0)
@@ -725,6 +752,7 @@ def _k_segment(
     control_image: Optional[jnp.ndarray] = None,
     control_scales: Optional[jnp.ndarray] = None,
     control_cfg=None,
+    ip=None,
 ):
     """A slice of the k-sampler scan with explicit (lat, old_denoised)
     carry — the segmented twin of k_diffuse_latent's loop, step math
@@ -734,6 +762,7 @@ def _k_segment(
     slice aligned with ts (the preview driver pre-applies the window)."""
     ctx2, ch2 = _cfg_contexts(cfg, cond, compute_dtype, use_cfg)
     cross_kv = precompute_cross_kv(unet_params, cfg.unet_config(), ctx2)
+    cross_kv = _merge_ip(cross_kv, ip, cfg, cond, compute_dtype, use_cfg)
     cc = concat_channels
     if cc is not None and use_cfg and not cfg.is_refiner:
         cc = jnp.concatenate([cc, cc], axis=0)
@@ -796,6 +825,7 @@ def k_diffuse_latent_preview(
     control_cfg=None,
     control_window: Tuple[float, float] = (0.0, 1.0),
     step_keys: Optional[jnp.ndarray] = None,
+    ip=None,
 ) -> jnp.ndarray:
     """k_diffuse_latent, segmented every `preview_every` steps: between
     segments, preview_callback(done, total, rgb_u8) receives a linear-map
@@ -875,6 +905,7 @@ def euler_sample_latent(
     control_cfg=None,
     control_window: Tuple[float, float] = (0.0, 1.0),
     step_keys: Optional[jnp.ndarray] = None,
+    ip=None,
 ) -> jnp.ndarray:
     """txt2img (+ optional inpainting) with a k-diffusion sampler.
 
@@ -887,7 +918,7 @@ def euler_sample_latent(
               else gen_noise(noise_key, cond)) * sigma_max
     ctl = dict(control_params=control_params, control_image=control_image,
                control_scale=control_scale, control_cfg=control_cfg,
-               control_window=control_window)
+               control_window=control_window, ip=ip)
     if reference is not None:
         return k_diffuse_latent(
             unet_params, cfg, alphas_cumprod, latent, cond, guidance_scale,
@@ -927,6 +958,7 @@ def k_refine_latent(
     control_cfg=None,
     control_window: Tuple[float, float] = (0.0, 1.0),
     step_keys: Optional[jnp.ndarray] = None,
+    ip=None,
 ) -> jnp.ndarray:
     """Refiner/img2img re-noise in sigma space: x = latent + σ_start·noise,
     then run the schedule tail (k-space analogue of mod.rs:355-376).
@@ -948,7 +980,7 @@ def k_refine_latent(
         use_cfg=use_cfg, guidance_rescale=guidance_rescale,
         control_params=control_params, control_image=control_image,
         control_scale=control_scale, control_cfg=control_cfg,
-        control_window=control_window, step_keys=step_keys,
+        control_window=control_window, step_keys=step_keys, ip=ip,
     )
 
 
@@ -993,6 +1025,7 @@ def sample_latent(
     control_scale: float = 1.0,
     control_cfg=None,
     control_window: Tuple[float, float] = (0.0, 1.0),
+    ip=None,
 ) -> jnp.ndarray:
     """txt2img (+ optional latent-mask inpainting) (mod.rs:316-353).
 
@@ -1003,7 +1036,7 @@ def sample_latent(
         noise_key, cond)
     ctl = dict(control_params=control_params, control_image=control_image,
                control_scale=control_scale, control_cfg=control_cfg,
-               control_window=control_window)
+               control_window=control_window, ip=ip)
     if reference is not None:
         return diffuse_latent(
             unet_params, cfg, alphas_cumprod, latent, cond, guidance_scale,
@@ -1052,6 +1085,7 @@ def refine_latent(
     control_scale: float = 1.0,
     control_cfg=None,
     control_window: Tuple[float, float] = (0.0, 1.0),
+    ip=None,
 ) -> jnp.ndarray:
     """Refiner stage: re-noise at t = n_train - step_start, run the schedule
     tail (refine_latent, mod.rs:355-376).
@@ -1072,7 +1106,7 @@ def refine_latent(
         use_cfg=use_cfg, guidance_rescale=guidance_rescale,
         control_params=control_params, control_image=control_image,
         control_scale=control_scale, control_cfg=control_cfg,
-        control_window=control_window,
+        control_window=control_window, ip=ip,
     )
 
 
@@ -1131,6 +1165,7 @@ def _ddim_segment(
     control_image: Optional[jnp.ndarray] = None,
     control_scales: Optional[jnp.ndarray] = None,
     control_cfg=None,
+    ip=None,
 ) -> jnp.ndarray:
     """One contiguous slice of the DDIM schedule (same step math as
     diffuse_latent; the schedule arrays are traced inputs so equal-length
@@ -1139,6 +1174,7 @@ def _ddim_segment(
     preview driver pre-applies the window)."""
     ctx2, ch2 = _cfg_contexts(cfg, cond, compute_dtype, use_cfg)
     cross_kv = precompute_cross_kv(unet_params, cfg.unet_config(), ctx2)
+    cross_kv = _merge_ip(cross_kv, ip, cfg, cond, compute_dtype, use_cfg)
     cc = concat_channels
     if cc is not None and use_cfg and not cfg.is_refiner:
         cc = jnp.concatenate([cc, cc], axis=0)
@@ -1197,6 +1233,7 @@ def diffuse_latent_preview(
     control_scale: float = 1.0,
     control_cfg=None,
     control_window: Tuple[float, float] = (0.0, 1.0),
+    ip=None,
 ) -> jnp.ndarray:
     """diffuse_latent, segmented every `preview_every` steps: between
     segments, `preview_callback(done, total, rgb_u8 [B,h,w,3])` receives a
@@ -1237,6 +1274,7 @@ def diffuse_latent_preview(
             concat_channels=concat_channels,
             control_params=control_params, control_image=control_image,
             control_scales=cscales[done:end], control_cfg=control_cfg,
+            ip=ip,
         )
         done = end
         if preview_callback is not None and done < total:
