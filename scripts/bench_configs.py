@@ -126,6 +126,27 @@ def main():
         "an astronaut riding a horse", n_steps=20, sampler="dpmpp", seed=s,
         **common))
 
+    # stochastic k-samplers (r3): per-step in-scan noise draws add two
+    # jax.random.normal calls per step — confirm the cost is noise-level
+    timed("base_1024_euler_a30_s", lambda s: pipe.txt2img(
+        "an astronaut riding a horse", n_steps=30, sampler="euler_a", seed=s,
+        **common))
+
+    timed("base_1024_dpmpp_sde_karras20_s", lambda s: pipe.txt2img(
+        "an astronaut riding a horse", n_steps=20, sampler="dpmpp_sde",
+        schedule="karras", seed=s, **common))
+
+    # FreeU adds two FFT filters + two channel scalings per step
+    import dataclasses as _dc
+
+    from sdxl_tpu.configs import FREEU_DEFAULTS
+
+    _plain_cfg = pipe.diffuser_cfg
+    pipe.diffuser_cfg = _dc.replace(_plain_cfg, freeu=FREEU_DEFAULTS["sdxl"])
+    timed("base_30steps_freeu_s", lambda s: pipe.txt2img(
+        "an astronaut riding a horse", n_steps=30, seed=s, **common))
+    pipe.diffuser_cfg = _plain_cfg
+
     # Turbo-style serving config: guidance-distilled checkpoints run 4
     # steps with no CFG (the no_cfg fast path halves the UNet batch)
     timed("base_1024_turbo4_nocfg_s", lambda s: pipe.txt2img(

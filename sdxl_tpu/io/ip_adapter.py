@@ -123,23 +123,33 @@ def load_ip_adapter_file(path: str, unet_cfg: UNetConfig,
     def cast(a):
         return jnp.asarray(np.asarray(a), dtype)
 
-    if "image_proj.proj.weight" not in t:
+    if "image_proj.latents" in t:
+        image_proj, cfg = _load_resampler(t, cast)
+    elif "image_proj.proj.weight" in t:
+        proj_w = t["image_proj.proj.weight"]  # [n_tokens*ctx, clip_dim]
+        norm_g = t["image_proj.norm.weight"]
+        context_dim = int(norm_g.shape[0])
+        clip_dim = int(proj_w.shape[1])
+        n_tokens = int(proj_w.shape[0]) // context_dim
+        cfg = IPAdapterConfig(clip_embed_dim=clip_dim,
+                              context_dim=context_dim, n_tokens=n_tokens)
+        image_proj = {
+            "proj": {"w": cast(proj_w.T),
+                     "b": cast(t["image_proj.proj.bias"])},
+            "norm": {"gamma": cast(norm_g),
+                     "beta": cast(t["image_proj.norm.bias"])},
+        }
+    else:
         present = sorted({k.split(".")[0] for k in t})
         raise ValueError(
-            f"{path}: not a (non-plus) IP-Adapter checkpoint — "
-            f"image_proj.proj.weight missing (top-level keys: {present}). "
-            "Resampler ('plus') variants are not supported yet."
+            f"{path}: not an IP-Adapter checkpoint — neither "
+            f"image_proj.proj.weight (ImageProjModel) nor "
+            f"image_proj.latents (Resampler/'plus') found "
+            f"(top-level keys: {present})"
         )
-    proj_w = t["image_proj.proj.weight"]  # [n_tokens*ctx, clip_dim]
-    norm_g = t["image_proj.norm.weight"]
-    context_dim = int(norm_g.shape[0])
-    clip_dim = int(proj_w.shape[1])
-    n_tokens = int(proj_w.shape[0]) // context_dim
-    cfg = IPAdapterConfig(clip_embed_dim=clip_dim, context_dim=context_dim,
-                          n_tokens=n_tokens)
-    if context_dim != unet_cfg.context_dim:
+    if cfg.context_dim != unet_cfg.context_dim:
         raise ValueError(
-            f"{path}: adapter context dim {context_dim} != UNet context "
+            f"{path}: adapter context dim {cfg.context_dim} != UNet context "
             f"dim {unet_cfg.context_dim} — wrong model family?"
         )
 
@@ -156,11 +166,68 @@ def load_ip_adapter_file(path: str, unet_cfg: UNetConfig,
             raise ValueError(f"{path}: ip_adapter.{i} missing to_k_ip or "
                              "to_v_ip")
     params = {
-        "image_proj": {
-            "proj": {"w": cast(proj_w.T), "b": cast(t["image_proj.proj.bias"])},
-            "norm": {"gamma": cast(norm_g),
-                     "beta": cast(t["image_proj.norm.bias"])},
-        },
+        "image_proj": image_proj,
         "layers": organize_ip_layers(flat, unet_cfg),
     }
+    return params, cfg
+
+
+def _load_resampler(t: Dict[str, np.ndarray], cast):
+    """Official "plus" Resampler weights -> (params, IPAdapterConfig).
+
+    Key layout (official resampler.py module tree): image_proj.latents,
+    proj_in, proj_out, norm_out, layers.{i}.0.{norm1,norm2,to_q,to_kv,
+    to_out} (PerceiverAttention) and layers.{i}.1.{0,1,3} (FeedForward =
+    Sequential[LayerNorm, Linear, GELU, Linear], no biases on the
+    Linears). dim_head is 64 in every shipped adapter, so heads =
+    inner_dim / 64."""
+    latents = t["image_proj.latents"]  # [1, n_queries, dim]
+    _, n_queries, dim = latents.shape
+    embedding_dim = int(t["image_proj.proj_in.weight"].shape[1])
+    output_dim = int(t["image_proj.proj_out.weight"].shape[0])
+    inner = int(t["image_proj.layers.0.0.to_q.weight"].shape[0])
+    depth = 0
+    while f"image_proj.layers.{depth}.0.to_q.weight" in t:
+        depth += 1
+
+    def lin(prefix, bias=True):
+        p = {"w": cast(t[f"{prefix}.weight"].T)}
+        if bias and f"{prefix}.bias" in t:
+            p["b"] = cast(t[f"{prefix}.bias"])
+        return p
+
+    def ln(prefix):
+        return {"gamma": cast(t[f"{prefix}.weight"]),
+                "beta": cast(t[f"{prefix}.bias"])}
+
+    layers = []
+    for i in range(depth):
+        a = f"image_proj.layers.{i}.0"
+        f = f"image_proj.layers.{i}.1"
+        layers.append({
+            "attn": {
+                "norm1": ln(f"{a}.norm1"),
+                "norm2": ln(f"{a}.norm2"),
+                "q": lin(f"{a}.to_q", bias=False),
+                "kv": lin(f"{a}.to_kv", bias=False),
+                "out": lin(f"{a}.to_out", bias=False),
+            },
+            "ff": {
+                "norm": ln(f"{f}.0"),
+                "fc1": lin(f"{f}.1", bias=False),
+                "fc2": lin(f"{f}.3", bias=False),
+            },
+        })
+    params = {
+        "latents": cast(latents),
+        "proj_in": lin("image_proj.proj_in"),
+        "proj_out": lin("image_proj.proj_out"),
+        "norm_out": ln("image_proj.norm_out"),
+        "layers": layers,
+    }
+    cfg = IPAdapterConfig(
+        clip_embed_dim=embedding_dim, context_dim=output_dim,
+        n_tokens=int(n_queries), variant="resampler", dim=int(dim),
+        depth=depth, heads=inner // 64,
+    )
     return params, cfg

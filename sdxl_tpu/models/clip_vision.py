@@ -19,6 +19,7 @@ Param pytree:
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -118,6 +119,12 @@ def clip_vision_embed(params, cfg: CLIPVisionConfig,
 
 
 clip_vision_embed_jit = jax.jit(clip_vision_embed, static_argnums=(1,))
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def clip_vision_penultimate_jit(params, cfg: CLIPVisionConfig, pixels):
+    """Penultimate hidden states (IP-Adapter plus Resampler input)."""
+    return clip_vision_hidden(params, cfg, pixels, n_blocks=cfg.n_layer - 1)
 
 
 # ---------------------------------------------------------------------------

@@ -50,7 +50,15 @@ from .unet import unet_block_plan
 class IPAdapterConfig:
     clip_embed_dim: int = 1024   # vision tower projection_dim (ViT-H)
     context_dim: int = 2048      # UNet cross-attention dim
-    n_tokens: int = 4            # extra context tokens (non-plus adapter)
+    n_tokens: int = 4            # extra context tokens
+    # "proj" = ImageProjModel over the projected image embedding (the
+    # non-plus adapters); "resampler" = perceiver Resampler over the
+    # vision tower's PENULTIMATE hidden states (the "plus" adapters)
+    variant: str = "proj"
+    # resampler geometry (variant="resampler"): official Resampler args
+    dim: int = 0                 # latent width
+    depth: int = 0               # attn+ff layer pairs
+    heads: int = 0               # dim_head is 64 in every shipped adapter
 
 
 def ip_image_tokens(params, cfg: IPAdapterConfig,
@@ -60,6 +68,45 @@ def ip_image_tokens(params, cfg: IPAdapterConfig,
     x = linear(params["proj"], image_embeds)
     x = x.reshape(x.shape[0], cfg.n_tokens, cfg.context_dim)
     return layernorm_affine(x, **params["norm"])
+
+
+def _perceiver_attention(p, x, lat, heads: int):
+    """Official PerceiverAttention: latents query a concat of (input
+    tokens, latents); no-bias projections, f32 softmax (the official
+    (q*s)@(k*s) double-sqrt scaling equals the standard d^-0.5)."""
+    from ..ops.attention import qkv_attention
+
+    xn = layernorm_affine(x, **p["norm1"])
+    ln = layernorm_affine(lat, **p["norm2"])
+    q = linear_nobias(p["q"], ln)
+    kv = linear_nobias(p["kv"], jnp.concatenate([xn, ln], axis=1))
+    k, v = jnp.split(kv, 2, axis=-1)
+    return linear_nobias(p["out"], qkv_attention(q, k, v, None, heads))
+
+
+def resampler_tokens(params, cfg: IPAdapterConfig,
+                     hidden: jnp.ndarray) -> jnp.ndarray:
+    """Official Resampler.forward: [B, T, embedding_dim] penultimate
+    vision hidden states -> [B, n_tokens, context_dim].
+
+    latents (learned, [1, n_tokens, dim]) attend to proj_in(hidden) ++
+    latents through `depth` (PerceiverAttention, FeedForward) residual
+    pairs; proj_out + LayerNorm close it out. FeedForward is
+    LayerNorm -> Linear(no bias) -> GELU -> Linear(no bias)."""
+    x = linear(params["proj_in"], hidden)
+    lat = jnp.broadcast_to(
+        params["latents"], (x.shape[0],) + params["latents"].shape[1:]
+    )
+    for layer in params["layers"]:
+        lat = _perceiver_attention(layer["attn"], x, lat, cfg.heads) + lat
+        ff = layer["ff"]
+        h = layernorm_affine(lat, **ff["norm"])
+        h = linear_nobias(ff["fc2"],
+                          jax.nn.gelu(linear_nobias(ff["fc1"], h),
+                                      approximate=False))
+        lat = h + lat
+    out = linear(params["proj_out"], lat)
+    return layernorm_affine(out, **params["norm_out"])
 
 
 def organize_ip_layers(flat_layers, cfg: UNetConfig):

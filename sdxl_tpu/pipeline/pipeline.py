@@ -293,17 +293,21 @@ class SDXLPipeline:
         self.ip_adapter_params, self.ip_adapter_cfg = load_ip_adapter_file(
             adapter_path, self.diffuser_cfg.unet_config(), jnp.float32
         )
-        if (self.ip_adapter_cfg.clip_embed_dim
-                != self.ip_vision_cfg.embed_dim):
+        # "proj" consumes the projected image embedding; "resampler"
+        # (plus) consumes the penultimate hidden states
+        enc_dim = (self.ip_vision_cfg.n_state
+                   if self.ip_adapter_cfg.variant == "resampler"
+                   else self.ip_vision_cfg.embed_dim)
+        if self.ip_adapter_cfg.clip_embed_dim != enc_dim:
             raise ValueError(
                 f"IP-Adapter expects {self.ip_adapter_cfg.clip_embed_dim}-d "
-                f"image embeddings but the encoder projects to "
-                f"{self.ip_vision_cfg.embed_dim} — wrong image encoder? "
-                "(ip-adapter_sdxl pairs with ViT-bigG, "
-                "ip-adapter_sdxl_vit-h with ViT-H)"
+                f"image features but the encoder provides {enc_dim} — "
+                "wrong image encoder? (ip-adapter_sdxl pairs with "
+                "ViT-bigG, *_vit-h adapters with ViT-H)"
             )
         log(f"ip-adapter loaded from {adapter_path} "
             f"(encoder {image_encoder_dir}, "
+            f"{self.ip_adapter_cfg.variant} variant, "
             f"{self.ip_adapter_cfg.n_tokens} image tokens)")
 
     def _prep_ip(self, image, scale: float) -> Optional[dict]:
@@ -318,16 +322,32 @@ class SDXLPipeline:
                 "ip_adapter_image given but no IP-Adapter is loaded "
                 "(pipe.load_ip_adapter / --ip-adapter)"
             )
-        from ..models.clip_vision import clip_vision_embed_jit, preprocess_image
-        from ..models.ip_adapter import ip_image_tokens
+        from ..models.clip_vision import (
+            clip_vision_embed_jit,
+            clip_vision_penultimate_jit,
+            preprocess_image,
+        )
+        from ..models.ip_adapter import ip_image_tokens, resampler_tokens
 
         pixels = preprocess_image(np.asarray(image), self.ip_vision_cfg)
-        embed = clip_vision_embed_jit(self.ip_vision_params,
-                                      self.ip_vision_cfg, pixels)
         proj = self.ip_adapter_params["image_proj"]
-        tokens = ip_image_tokens(proj, self.ip_adapter_cfg, embed)
-        utokens = ip_image_tokens(proj, self.ip_adapter_cfg,
-                                  jnp.zeros_like(embed))
+        if self.ip_adapter_cfg.variant == "resampler":
+            # plus adapters: penultimate hidden states; the uncond branch
+            # runs the tower on ZERO pixels (official IPAdapterPlus
+            # get_image_embeds)
+            hidden = clip_vision_penultimate_jit(
+                self.ip_vision_params, self.ip_vision_cfg, pixels)
+            uhidden = clip_vision_penultimate_jit(
+                self.ip_vision_params, self.ip_vision_cfg,
+                jnp.zeros_like(pixels))
+            tokens = resampler_tokens(proj, self.ip_adapter_cfg, hidden)
+            utokens = resampler_tokens(proj, self.ip_adapter_cfg, uhidden)
+        else:
+            embed = clip_vision_embed_jit(self.ip_vision_params,
+                                          self.ip_vision_cfg, pixels)
+            tokens = ip_image_tokens(proj, self.ip_adapter_cfg, embed)
+            utokens = ip_image_tokens(proj, self.ip_adapter_cfg,
+                                      jnp.zeros_like(embed))
         return {
             "layers": self.ip_adapter_params["layers"],
             "tokens": tokens,

@@ -315,6 +315,175 @@ def test_pipeline_ip_adapter_scale_and_identity():
         pipe2.txt2img("x", ip_adapter_image=img, **kw)
 
 
+def _plus_tensors(rng, embedding_dim, out_ctx, dim=32, n_q=4, depth=2,
+                  inner=128):
+    """Random official-layout 'plus' (Resampler) image_proj tensors.
+    inner=128 -> heads=2 at the fixed dim_head=64."""
+    def w(*shape):
+        return (rng.standard_normal(shape) * 0.08).astype(np.float32)
+
+    t = {
+        "image_proj.latents": w(1, n_q, dim),
+        "image_proj.proj_in.weight": w(dim, embedding_dim),
+        "image_proj.proj_in.bias": w(dim),
+        "image_proj.proj_out.weight": w(out_ctx, dim),
+        "image_proj.proj_out.bias": w(out_ctx),
+        "image_proj.norm_out.weight": 1.0 + w(out_ctx),
+        "image_proj.norm_out.bias": w(out_ctx),
+    }
+    for i in range(depth):
+        a = f"image_proj.layers.{i}.0"
+        f = f"image_proj.layers.{i}.1"
+        t[f"{a}.norm1.weight"] = 1.0 + w(dim)
+        t[f"{a}.norm1.bias"] = w(dim)
+        t[f"{a}.norm2.weight"] = 1.0 + w(dim)
+        t[f"{a}.norm2.bias"] = w(dim)
+        t[f"{a}.to_q.weight"] = w(inner, dim)
+        t[f"{a}.to_kv.weight"] = w(2 * inner, dim)
+        t[f"{a}.to_out.weight"] = w(dim, inner)
+        t[f"{f}.0.weight"] = 1.0 + w(dim)
+        t[f"{f}.0.bias"] = w(dim)
+        t[f"{f}.1.weight"] = w(4 * dim, dim)
+        t[f"{f}.3.weight"] = w(dim, 4 * dim)
+    return t
+
+
+def _torch_resampler(t, x_np, heads):
+    """Literal transcription of the official Resampler/PerceiverAttention/
+    FeedForward forward passes (tencent-ailab/IP-Adapter resampler.py)."""
+    import math
+
+    import torch.nn.functional as F
+
+    def T(k):
+        return torch.from_numpy(t[k])
+
+    x = torch.from_numpy(x_np)
+    latents = T("image_proj.latents").repeat(x.size(0), 1, 1)
+    x = x @ T("image_proj.proj_in.weight").t() + T("image_proj.proj_in.bias")
+
+    def lnorm(v, prefix):
+        return F.layer_norm(v, v.shape[-1:], T(f"{prefix}.weight"),
+                            T(f"{prefix}.bias"))
+
+    i = 0
+    while f"image_proj.layers.{i}.0.to_q.weight" in t:
+        a = f"image_proj.layers.{i}.0"
+        f = f"image_proj.layers.{i}.1"
+        xn = lnorm(x, f"{a}.norm1")
+        ln_ = lnorm(latents, f"{a}.norm2")
+        b, l, _ = ln_.shape
+        q = ln_ @ T(f"{a}.to_q.weight").t()
+        kv = torch.cat((xn, ln_), dim=-2) @ T(f"{a}.to_kv.weight").t()
+        k, v = kv.chunk(2, dim=-1)
+
+        def heads_(z):
+            return z.reshape(z.shape[0], z.shape[1], heads, -1
+                             ).transpose(1, 2)
+
+        q, k, v = heads_(q), heads_(k), heads_(v)
+        dim_head = q.shape[-1]
+        scale = 1 / math.sqrt(math.sqrt(dim_head))
+        weight = (q * scale) @ (k * scale).transpose(-2, -1)
+        weight = torch.softmax(weight.float(), dim=-1).type(weight.dtype)
+        out = (weight @ v).permute(0, 2, 1, 3).reshape(b, l, -1)
+        latents = out @ T(f"{a}.to_out.weight").t() + latents
+        h = lnorm(latents, f"{f}.0")
+        h = F.gelu(h @ T(f"{f}.1.weight").t())
+        latents = h @ T(f"{f}.3.weight").t() + latents
+        i += 1
+    out = (latents @ T("image_proj.proj_out.weight").t()
+           + T("image_proj.proj_out.bias"))
+    return lnorm(out, "image_proj.norm_out").numpy()
+
+
+def test_resampler_matches_official_transcription(tmp_path):
+    """'plus' variant: the loaded Resampler must reproduce a literal torch
+    transcription of the official forward (perceiver attention over
+    concat(x, latents), double-sqrt scaling, residual FF) — and the
+    loader must infer (dim, depth, heads, n_tokens) from the weights."""
+    from safetensors.numpy import save_file
+
+    from sdxl_tpu.io.ip_adapter import load_ip_adapter_file
+    from sdxl_tpu.models.ip_adapter import resampler_tokens
+    from sdxl_tpu.models.unet import unet_block_plan
+    from tests.test_sampler import TINY_BASE
+
+    ucfg = TINY_BASE.unet_config()
+    rng = np.random.default_rng(8)
+    t = _plus_tensors(rng, embedding_dim=32, out_ctx=ucfg.context_dim)
+    in_plan, mid, out_plan = unet_block_plan(ucfg)
+    j = 0
+    for spec in ([s for s in in_plan if s.kind.startswith("res_t")]
+                 + [s for s in out_plan if s.kind.startswith("res_t")]
+                 + [mid]):
+        for _ in range(spec.depth):
+            t[f"ip_adapter.{2 * j + 1}.to_k_ip.weight"] = (
+                rng.standard_normal((spec.ch_out, ucfg.context_dim))
+                .astype(np.float32))
+            t[f"ip_adapter.{2 * j + 1}.to_v_ip.weight"] = (
+                rng.standard_normal((spec.ch_out, ucfg.context_dim))
+                .astype(np.float32))
+            j += 1
+    path = str(tmp_path / "ip_plus.safetensors")
+    save_file(t, path)
+
+    params, cfg = load_ip_adapter_file(path, ucfg)
+    assert cfg.variant == "resampler"
+    assert (cfg.n_tokens, cfg.dim, cfg.depth, cfg.heads) == (4, 32, 2, 2)
+    assert cfg.clip_embed_dim == 32 and cfg.context_dim == ucfg.context_dim
+
+    hidden = rng.standard_normal((2, 5, 32)).astype(np.float32)
+    ours = resampler_tokens(params["image_proj"], cfg, jnp.asarray(hidden))
+    ref = _torch_resampler(t, hidden, heads=2)
+    assert ours.shape == (2, 4, ucfg.context_dim)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=3e-4, atol=3e-5)
+
+
+def test_pipeline_plus_variant_end_to_end(tmp_path):
+    """Plus adapter through the real pipeline: penultimate-hidden path,
+    zero-pixel uncond, scale effect."""
+    from safetensors.numpy import save_file
+
+    from sdxl_tpu.io.ip_adapter import load_ip_adapter_file
+    from sdxl_tpu.models.unet import unet_block_plan
+
+    pipe = _tiny_pipe()
+    ucfg = pipe.diffuser_cfg.unet_config()
+    rng = np.random.default_rng(9)
+    t = _plus_tensors(rng, embedding_dim=TINY_VISION.n_state,
+                      out_ctx=ucfg.context_dim)
+    in_plan, mid, out_plan = unet_block_plan(ucfg)
+    j = 0
+    for spec in ([s for s in in_plan if s.kind.startswith("res_t")]
+                 + [s for s in out_plan if s.kind.startswith("res_t")]
+                 + [mid]):
+        for _ in range(spec.depth):
+            for kk in ("to_k_ip", "to_v_ip"):
+                t[f"ip_adapter.{2 * j + 1}.{kk}.weight"] = (
+                    rng.standard_normal((spec.ch_out, ucfg.context_dim))
+                    .astype(np.float32) * 0.05)
+            j += 1
+    path = str(tmp_path / "ip_plus.safetensors")
+    save_file(t, path)
+    params, cfg = load_ip_adapter_file(path, ucfg)
+    pipe.ip_adapter_params, pipe.ip_adapter_cfg = params, cfg
+    pipe.ip_vision_params = init_clip_vision(jax.random.PRNGKey(1),
+                                             TINY_VISION, jnp.float32)
+    pipe.ip_vision_cfg = TINY_VISION
+
+    img = (np.random.default_rng(0).random((40, 40, 3)) * 255).astype(
+        np.uint8)
+    kw = dict(resolution=(64, 64), n_steps=2, seed=5, profile_stages=False)
+    base = pipe.txt2img("a cat", **kw)
+    off = pipe.txt2img("a cat", ip_adapter_image=img, ip_adapter_scale=0.0,
+                       **kw)
+    np.testing.assert_allclose(base.astype(int), off.astype(int), atol=1)
+    on = pipe.txt2img("a cat", ip_adapter_image=img, ip_adapter_scale=1.0,
+                      **kw)
+    assert np.abs(on.astype(int) - base.astype(int)).max() > 1
+
+
 def test_ip_with_stacked_transformer_scan_matches_unrolled():
     """merge_ip_kv must produce the stacked (leading-depth-axis) layout
     when the UNet runs its transformer stacks as a lax.scan."""
