@@ -136,6 +136,15 @@ def main():
         "an astronaut riding a horse", n_steps=20, sampler="dpmpp_sde",
         schedule="karras", seed=s, **common))
 
+    # DeepCache (opt-in, quality-trading): interval-2 and -3 at the
+    # default branch (shallow steps skip every transformer)
+    timed("base_1024_dc2_30steps_s", lambda s: pipe.txt2img(
+        "an astronaut riding a horse", n_steps=30, deepcache=(2, 3), seed=s,
+        **common))
+    timed("base_1024_dc3_30steps_s", lambda s: pipe.txt2img(
+        "an astronaut riding a horse", n_steps=30, deepcache=(3, 3), seed=s,
+        **common))
+
     # FreeU adds two FFT filters + two channel scalings per step
     import dataclasses as _dc
 

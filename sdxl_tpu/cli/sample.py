@@ -143,6 +143,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ip-scale", type=float, default=0.6,
                    help="IP-Adapter attention scale (default 0.6; 1.0 = "
                         "image dominates, ~0.3 = subtle)")
+    p.add_argument("--deepcache", type=int, default=None, metavar="N",
+                   help="DeepCache (arXiv:2312.00858): run the full UNet "
+                        "every N steps and reuse the cached deep decoder "
+                        "feature in between (~Nx less deep-transformer "
+                        "work, small quality cost; try 2-3). Incompatible "
+                        "with --controlnet and --preview-every")
+    p.add_argument("--deepcache-branch", type=int, default=3, metavar="B",
+                   help="How many shallow UNet blocks cached steps "
+                        "recompute (default 3 = the full top level)")
     p.add_argument("--hires-scale", type=float, default=None,
                    help="Two-pass hires-fix: sample at --height/--width, "
                         "bicubic-upscale the latent by this factor, re-noise "
@@ -374,6 +383,18 @@ def main(argv=None) -> int:
             ip_adapter_image=load_images([args.ip_image])[0],
             ip_adapter_scale=args.ip_scale,
         )
+
+    if args.deepcache is not None:
+        if args.controlnet is not None or args.hires_scale is not None \
+                or args.preview_every:
+            print("error: --deepcache is incompatible with --controlnet, "
+                  "--hires-scale and --preview-every", file=sys.stderr)
+            return 1
+        if args.deepcache < 1 or args.deepcache_branch < 1:
+            print("error: --deepcache and --deepcache-branch must be >= 1",
+                  file=sys.stderr)
+            return 1
+        control_kw["deepcache"] = (args.deepcache, args.deepcache_branch)
 
     if args.hires_scale is not None:
         if args.reference_img is not None or args.use_refiner:

@@ -252,20 +252,8 @@ def unet_forward(
     the middle-block output; the trunk input itself is untouched (public
     ControlNet semantics)."""
     dtype = x.dtype
-
-    t_emb = timestep_embedding(timesteps, cfg.model_channels).astype(dtype)
-    t_emb = linear(params["time_embed"]["lin2"], silu(linear(params["time_embed"]["lin1"], t_emb)))
-
-    if cfg.adm_in_channels:
-        label_emb = linear(
-            params["label_embed"]["lin2"],
-            silu(linear(params["label_embed"]["lin1"], label.astype(dtype))),
-        )
-        emb = t_emb + label_emb
-    else:
-        # SD 1.x/2.x: timestep conditioning only, no label/micro-conditioning
-        emb = t_emb
-
+    # SD 1.x/2.x (adm_in_channels == 0): timestep conditioning only
+    emb = _unet_embed(params, cfg, timesteps, label, dtype)
     in_plan, mid_spec, out_plan = unet_block_plan(cfg)
     ckv = cross_kv or {}
 
@@ -326,6 +314,112 @@ def freeu_fourier_filter(x: jnp.ndarray, threshold: int,
     xf = xf * mask[None, :, :, None]
     out = jnp.fft.ifft2(jnp.fft.ifftshift(xf, axes=(1, 2)), axes=(1, 2)).real
     return out.astype(x.dtype)
+
+
+def _unet_embed(params, cfg: UNetConfig, timesteps, label, dtype):
+    """Shared timestep (+ label) embedding for the full and DeepCache
+    forward variants."""
+    t_emb = timestep_embedding(timesteps, cfg.model_channels).astype(dtype)
+    t_emb = linear(params["time_embed"]["lin2"],
+                   silu(linear(params["time_embed"]["lin1"], t_emb)))
+    if cfg.adm_in_channels:
+        label_emb = linear(
+            params["label_embed"]["lin2"],
+            silu(linear(params["label_embed"]["lin1"], label.astype(dtype))),
+        )
+        return t_emb + label_emb
+    return t_emb
+
+
+def unet_forward_cached(params, cfg: UNetConfig, x, timesteps, context,
+                        label, cross_kv=None, branch: int = 3):
+    """Full UNet forward that ALSO returns the DeepCache feature
+    (arXiv:2312.00858): the hidden state entering output block
+    O - branch — i.e. the deep U that a shallow step can reuse.
+
+    `branch` counts the INPUT blocks a shallow step recomputes (the
+    shallow prefix); output block O - branch is the first one a shallow
+    step runs, and it consumes skip `branch - 1`, so the cache must be
+    its pre-concat input (the output of output block O - branch - 1).
+    Identical math to unet_forward otherwise (same cross_kv layout; no
+    FreeU interaction below the split — FreeU lives in the deep levels a
+    shallow step skips)."""
+    dtype = x.dtype
+    emb = _unet_embed(params, cfg, timesteps, label, dtype)
+    in_plan, mid_spec, out_plan = unet_block_plan(cfg)
+    ckv = cross_kv or {}
+    n_out = len(out_plan)
+    if not 1 <= branch <= n_out - 1:
+        raise ValueError(f"deepcache branch must be in [1, {n_out - 1}]")
+
+    saved = []
+    for i, (spec, p) in enumerate(zip(in_plan, params["input_blocks"])):
+        x = _apply_block(spec, p, x, emb, context,
+                         ckv.get("input_blocks", {}).get(i))
+        saved.append(x)
+
+    mp = params["middle_block"]
+    x = _res_block(mp["res1"], x, emb)
+    x = _spatial_transformer(mp["transformer"], x, context, mid_spec.n_head,
+                             ckv.get("middle_block"))
+    x = _res_block(mp["res2"], x, emb)
+
+    cache = None
+    for i, (spec, p) in enumerate(zip(out_plan, params["output_blocks"])):
+        if i == n_out - branch:
+            cache = x
+        skip = saved.pop()
+        if cfg.freeu is not None and i // 3 <= 1:
+            b1, b2, s1, s2 = cfg.freeu
+            b, s = (b1, s1) if i // 3 == 0 else (b2, s2)
+            half = x.shape[-1] // 2
+            x = jnp.concatenate([x[..., :half] * b, x[..., half:]], axis=-1)
+            skip = freeu_fourier_filter(skip, 1, s)
+        x = jnp.concatenate([x, skip], axis=-1)
+        x = _apply_block(spec, p, x, emb, context,
+                         ckv.get("output_blocks", {}).get(i))
+
+    x = silu(groupnorm_nhwc(x, **params["norm_out"]))
+    return conv2d(params["conv_out"], x), cache
+
+
+def unet_forward_shallow(params, cfg: UNetConfig, x, timesteps, context,
+                         label, cache, cross_kv=None, branch: int = 3):
+    """DeepCache shallow step: recompute only the first `branch` input
+    blocks (fresh skips for the shallow decoder tail) and the last
+    `branch` output blocks, splicing in the `cache` feature from the
+    last full step in place of the deep U. The deep transformers — the
+    bulk of the step — are skipped entirely."""
+    dtype = x.dtype
+    emb = _unet_embed(params, cfg, timesteps, label, dtype)
+    in_plan, mid_spec, out_plan = unet_block_plan(cfg)
+    ckv = cross_kv or {}
+    n_out = len(out_plan)
+
+    saved = []
+    for i, (spec, p) in enumerate(
+        zip(in_plan[:branch], params["input_blocks"][:branch])
+    ):
+        x = _apply_block(spec, p, x, emb, context,
+                         ckv.get("input_blocks", {}).get(i))
+        saved.append(x)
+
+    x = cache
+    for i in range(n_out - branch, n_out):
+        spec, p = out_plan[i], params["output_blocks"][i]
+        skip = saved.pop()
+        if cfg.freeu is not None and i // 3 <= 1:
+            b1, b2, s1, s2 = cfg.freeu
+            b, s = (b1, s1) if i // 3 == 0 else (b2, s2)
+            half = x.shape[-1] // 2
+            x = jnp.concatenate([x[..., :half] * b, x[..., half:]], axis=-1)
+            skip = freeu_fourier_filter(skip, 1, s)
+        x = jnp.concatenate([x, skip], axis=-1)
+        x = _apply_block(spec, p, x, emb, context,
+                         ckv.get("output_blocks", {}).get(i))
+
+    x = silu(groupnorm_nhwc(x, **params["norm_out"]))
+    return conv2d(params["conv_out"], x)
 
 
 def precompute_cross_kv(params, cfg: UNetConfig, context: jnp.ndarray):

@@ -472,8 +472,16 @@ class SDXLPipeline:
         control_end: float = 1.0,
         ip_adapter_image: Optional[np.ndarray] = None,
         ip_adapter_scale: float = 0.6,
+        deepcache: Optional[Tuple[int, int]] = None,
     ) -> np.ndarray:
         """Full pipeline; returns [B, H, W, 3] uint8.
+
+        deepcache ((interval, branch), e.g. (2, 3)): DeepCache
+        (arXiv:2312.00858) — every interval-th step runs the full UNet
+        and caches the deep decoder feature; other steps recompute only
+        the `branch` shallowest blocks. ~interval× less deep-transformer
+        work for a small quality cost; incompatible with ControlNet,
+        9-channel inpainting UNets, and step previews.
 
         ip_adapter_image ([H, W, 3] or [B, H, W, 3] uint8/float, any
         size — CLIP-resized internally): image-prompt conditioning via
@@ -605,6 +613,11 @@ class SDXLPipeline:
                                    control_start, control_end, resolution,
                                    cond.context_full.shape[0])
         ipd = self._prep_ip(ip_adapter_image, ip_adapter_scale)
+        if deepcache is not None and preview_every is not None:
+            raise ValueError(
+                "deepcache is incompatible with step previews (the "
+                "segmented scans do not carry the feature cache)"
+            )
 
         with self.timer.stage("diffuser"):
             if preview_every is not None and sampler in K_SAMPLERS:
@@ -666,7 +679,7 @@ class SDXLPipeline:
                     guidance_rescale=guidance_rescale,
                     concat_channels=concat_channels,
                     initial_noise=initial_noise, step_keys=step_keys,
-                    ip=ipd, **ctl,
+                    ip=ipd, deepcache=deepcache, **ctl,
                 )
             else:
                 latent = sample_latent(
@@ -683,7 +696,8 @@ class SDXLPipeline:
                     use_cfg=use_cfg,
                     guidance_rescale=guidance_rescale,
                     concat_channels=concat_channels,
-                    initial_noise=initial_noise, ip=ipd, **ctl,
+                    initial_noise=initial_noise, ip=ipd,
+                    deepcache=deepcache, **ctl,
                 )
             if profile_stages:
                 fence(latent)
@@ -750,6 +764,7 @@ class SDXLPipeline:
                         refiner_step_start, n_steps, self.compute_dtype,
                         method=sampler, schedule=schedule,
                         noise=refiner_noise, step_keys=refiner_step_keys,
+                        deepcache=deepcache,
                     )
                 else:
                     latent = refine_latent(
@@ -764,6 +779,7 @@ class SDXLPipeline:
                         n_steps,
                         self.compute_dtype,
                         noise=refiner_noise,
+                        deepcache=deepcache,
                     )
                 if profile_stages:
                     fence(latent)
@@ -888,6 +904,7 @@ class SDXLPipeline:
         control_end: float = 1.0,
         ip_adapter_image: Optional[np.ndarray] = None,
         ip_adapter_scale: float = 0.6,
+        deepcache: Optional[Tuple[int, int]] = None,
     ) -> np.ndarray:
         """Strength-based image-to-image (capability extension).
 
@@ -935,7 +952,8 @@ class SDXLPipeline:
                     latent, cond, jax.random.PRNGKey(seed), guidance_scale,
                     step_start, n_steps, self.compute_dtype, method=sampler,
                     schedule=schedule, use_cfg=use_cfg,
-                    guidance_rescale=guidance_rescale, ip=ipd, **ctl,
+                    guidance_rescale=guidance_rescale, ip=ipd,
+                    deepcache=deepcache, **ctl,
                 )
             else:
                 latent = refine_latent(
@@ -943,7 +961,7 @@ class SDXLPipeline:
                     latent, cond, jax.random.PRNGKey(seed), guidance_scale,
                     step_start, n_steps, self.compute_dtype,
                     use_cfg=use_cfg, guidance_rescale=guidance_rescale,
-                    ip=ipd, **ctl,
+                    ip=ipd, deepcache=deepcache, **ctl,
                 )
 
         with self.timer.stage("vae_decode"):

@@ -236,6 +236,107 @@ def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
     return eps
 
 
+def _deepcache_validate(deepcache, control_params, concat_channels):
+    """DeepCache (arXiv:2312.00858) supports the plain txt2img/inpaint
+    paths: ControlNet injects residuals into the deep skips a shallow
+    step never computes, and the 9-channel inpainting concat changes
+    conv_in — both are rejected rather than silently wrong."""
+    interval, branch = deepcache
+    if interval < 1:
+        raise ValueError("deepcache interval must be >= 1")
+    if control_params is not None:
+        raise ValueError("deepcache is incompatible with ControlNet "
+                         "(residuals target the skipped deep blocks)")
+    if concat_channels is not None:
+        raise ValueError("deepcache is incompatible with "
+                         "inpainting-specialized (9-channel) UNets")
+    return interval, branch
+
+
+def _cfg_eps_deepcache(unet_params, cfg: DiffuserConfig, latent, t, ctx2,
+                       ch2, guidance_scale, compute_dtype, cross_kv,
+                       alpha_t, use_cfg, guidance_rescale, cache, is_full,
+                       branch: int):
+    """_cfg_eps with the DeepCache full/shallow switch: full steps run
+    the whole UNet and refresh the deep-feature cache; shallow steps
+    splice the cached deep U and run only the shallow prefix/suffix
+    (unet_forward_cached / unet_forward_shallow). lax.cond keeps both
+    bodies in one compiled scan. Returns (eps, cache)."""
+    from ..models.unet import unet_forward_cached, unet_forward_shallow
+
+    n_batch = latent.shape[0]
+    ucfg = cfg.unet_config()
+
+    def to_eps(raw, x_vp):
+        if cfg.prediction_type == "v":
+            return jnp.sqrt(alpha_t) * raw + jnp.sqrt(1.0 - alpha_t) * x_vp
+        return raw
+
+    if use_cfg and not cfg.is_refiner:
+        x_in = jnp.concatenate([latent, latent], axis=0).astype(compute_dtype)
+        t_vec = jnp.broadcast_to(t, (2 * n_batch,))
+    else:
+        x_in = latent.astype(compute_dtype)
+        t_vec = jnp.broadcast_to(t, (n_batch,))
+
+    def full(c):
+        raw, new_cache = unet_forward_cached(
+            unet_params, ucfg, x_in, t_vec, ctx2, ch2, cross_kv=cross_kv,
+            branch=branch,
+        )
+        return raw, new_cache
+
+    def shallow(c):
+        raw = unet_forward_shallow(
+            unet_params, ucfg, x_in, t_vec, ctx2, ch2, c,
+            cross_kv=cross_kv, branch=branch,
+        )
+        return raw, c
+
+    raw, cache = jax.lax.cond(is_full, full, shallow, cache)
+    raw = raw.astype(jnp.float32)
+    if not (use_cfg and not cfg.is_refiner):
+        return to_eps(raw, latent.astype(jnp.float32)), cache
+    eps2 = to_eps(raw, x_in.astype(jnp.float32))
+    eps_u, eps_c = jnp.split(eps2, 2, axis=0)
+    eps = eps_u + (eps_c - eps_u) * guidance_scale
+    if guidance_rescale > 0.0:
+        axes = tuple(range(1, eps.ndim))
+        std_c = jnp.std(eps_c, axis=axes, keepdims=True)
+        std_g = jnp.std(eps, axis=axes, keepdims=True)
+        rescaled = eps * (std_c / jnp.maximum(std_g, 1e-12))
+        eps = guidance_rescale * rescaled + (1.0 - guidance_rescale) * eps
+    return eps, cache
+
+
+def _deepcache_init(unet_params, cfg: DiffuserConfig, latent, ctx2, ch2,
+                    compute_dtype, cross_kv, use_cfg, branch: int):
+    """Zero-filled cache with the exact shape/dtype the full step will
+    produce (jax.eval_shape — no FLOPs); step 0 is always full, so the
+    zeros are never read."""
+    from ..models.unet import unet_forward_cached
+
+    n_batch = latent.shape[0]
+    pair = use_cfg and not cfg.is_refiner
+    x_in = jax.ShapeDtypeStruct(
+        (2 * n_batch if pair else n_batch,) + latent.shape[1:], compute_dtype
+    )
+    t_vec = jax.ShapeDtypeStruct((x_in.shape[0],), jnp.float32)
+    _, cache_aval = jax.eval_shape(
+        lambda p, x, tv, c2, h2, kv: unet_forward_cached(
+            p, cfg.unet_config(), x, tv, c2, h2, cross_kv=kv, branch=branch
+        ),
+        unet_params, x_in, t_vec, ctx2, ch2, cross_kv,
+    )
+    return jnp.zeros(cache_aval.shape, cache_aval.dtype)
+
+
+def _deepcache_schedule(n: int, interval: int) -> jnp.ndarray:
+    """is_full flags: step 0 and every `interval`-th step run the whole
+    UNet (the official uniform cache schedule)."""
+    return jnp.asarray([(i % interval) == 0 for i in range(n)])
+
+
 def _control_window_scales(n: int, scale, window) -> jnp.ndarray:
     """Per-step ControlNet scale: `scale` inside the [start, end) fraction
     window, 0 outside — exactly diffusers' `controlnet_keep` rule
@@ -311,7 +412,7 @@ def _merge_ip(cross_kv, ip, cfg: DiffuserConfig, cond: Conditioning,
     jax.jit,
     static_argnames=("cfg", "step_start", "n_steps", "compute_dtype", "inpaint",
                      "use_cfg", "guidance_rescale", "control_cfg",
-                     "control_window"),
+                     "control_window", "deepcache"),
     donate_argnames=("latent",),
 )
 def diffuse_latent(
@@ -337,6 +438,7 @@ def diffuse_latent(
     control_cfg=None,
     control_window: Tuple[float, float] = (0.0, 1.0),
     ip=None,
+    deepcache: Optional[Tuple[int, int]] = None,
 ) -> jnp.ndarray:
     """DDIM loop as one lax.scan (diffuse_latent, mod.rs:390-483).
 
@@ -345,7 +447,13 @@ def diffuse_latent(
 
     control_*: optional ControlNet guidance (models/controlnet.py) —
     control_image is [B, 8h, 8w, 3] in [0, 1]; control_window is the
-    (start, end) step-fraction window the residuals apply in."""
+    (start, end) step-fraction window the residuals apply in.
+
+    deepcache: optional (interval, branch) — DeepCache (arXiv:2312.00858):
+    every `interval`-th step runs the full UNet and caches the deep
+    decoder feature; in-between steps recompute only the `branch`
+    shallowest input/output blocks and splice the cache in (lax.cond
+    inside the same scan). interval=1 == off (identical math)."""
     # DDPM table length comes from the table itself; DiffuserConfig.n_steps
     # must agree (a loaded .cfg with a different table length is honored,
     # a mismatched one is an error rather than silently ignored).
@@ -379,6 +487,36 @@ def diffuse_latent(
                                    ctx2, compute_dtype, use_cfg, cfg.is_refiner)
     cscales = _control_window_scales(int(ts.shape[0]), control_scale,
                                      control_window)
+
+    if deepcache is not None:
+        interval, branch = _deepcache_validate(deepcache, control_params,
+                                               concat_channels)
+        full_flags = _deepcache_schedule(int(ts.shape[0]), interval)
+        cache0 = _deepcache_init(unet_params, cfg, latent, ctx2, ch2,
+                                 compute_dtype, cross_kv, use_cfg, branch)
+
+        def dc_step(carry, inp):
+            lat, cache = carry
+            t, alpha, alpha_prev, k, is_full = inp
+            if inpaint:
+                noise = jax.random.normal(k, lat.shape, jnp.float32)
+                noised_ref = (reference * jnp.sqrt(alpha)
+                              + noise * jnp.sqrt(1.0 - alpha))
+                lat = jnp.where(mask, lat, noised_ref)
+            eps, cache = _cfg_eps_deepcache(
+                unet_params, cfg, lat, t, ctx2, ch2, guidance_scale,
+                compute_dtype, cross_kv, alpha, use_cfg, guidance_rescale,
+                cache, is_full, branch,
+            )
+            sqrt_noise = jnp.sqrt(1.0 - alpha)
+            x0 = (lat - eps * sqrt_noise) / jnp.sqrt(alpha)
+            lat = x0 * jnp.sqrt(alpha_prev) + eps * jnp.sqrt(1.0 - alpha_prev)
+            return (lat, cache), None
+
+        (latent, _), _ = jax.lax.scan(
+            dc_step, (latent, cache0), (ts, a_t, a_prev, keys, full_flags)
+        )
+        return latent
 
     def step(lat, inp):
         t, alpha, alpha_prev, k, cs = inp
@@ -594,7 +732,7 @@ def k_step_update(method: str, lat, denoised, old_denoised, sigma, sigma_next,
     static_argnames=(
         "cfg", "method", "step_start", "n_steps", "compute_dtype", "inpaint",
         "schedule", "use_cfg", "guidance_rescale", "control_cfg",
-        "control_window",
+        "control_window", "deepcache",
     ),
     donate_argnames=("latent",),
 )
@@ -624,6 +762,7 @@ def k_diffuse_latent(
     control_window: Tuple[float, float] = (0.0, 1.0),
     step_keys: Optional[jnp.ndarray] = None,
     ip=None,
+    deepcache: Optional[Tuple[int, int]] = None,
 ) -> jnp.ndarray:
     """k-diffusion samplers over the same ᾱ table the DDIM path uses.
 
@@ -691,6 +830,41 @@ def k_diffuse_latent(
     sig, sig_next = sigmas[:-1], sigmas[1:]
     sig_prev = jnp.concatenate([sigmas[:1], sigmas[:-2]])  # sig[i-1]; dummy @0
     first = jnp.arange(ts.shape[0]) == 0
+
+    if deepcache is not None:
+        interval, branch = _deepcache_validate(deepcache, control_params,
+                                               concat_channels)
+        full_flags = _deepcache_schedule(int(ts.shape[0]), interval)
+        cache0 = _deepcache_init(unet_params, cfg, latent, ctx2, ch2,
+                                 compute_dtype, cross_kv, use_cfg, branch)
+
+        def dc_step(carry, inp):
+            lat, old_denoised, cache = carry
+            t, sigma, sigma_next, sigma_prev, is_first, k, is_full = inp
+            if inpaint:
+                noise = _scan_normal(k, lat.shape)
+                lat = jnp.where(mask, lat, reference + sigma * noise)
+            scaled = lat / jnp.sqrt(sigma**2 + 1.0)
+            eps, cache = _cfg_eps_deepcache(
+                unet_params, cfg, scaled, t, ctx2, ch2, guidance_scale,
+                compute_dtype, cross_kv, 1.0 / (sigma**2 + 1.0), use_cfg,
+                guidance_rescale, cache, is_full, branch,
+            )
+            denoised = lat - sigma * eps
+            snoise = (_scan_normal(_scan_fold(k, 1), lat.shape)
+                      if stochastic else None)
+            new_lat = k_step_update(method, lat, denoised, old_denoised,
+                                    sigma, sigma_next, sigma_prev, is_first,
+                                    noise=snoise)
+            return (new_lat, denoised, cache), None
+
+        (latent, _, _), _ = jax.lax.scan(
+            dc_step,
+            (latent, jnp.zeros_like(latent), cache0),
+            (jnp.asarray(ts), sig, sig_next, sig_prev, first, keys,
+             full_flags),
+        )
+        return latent
 
     def step(carry, inp):
         lat, old_denoised = carry
@@ -906,6 +1080,7 @@ def euler_sample_latent(
     control_window: Tuple[float, float] = (0.0, 1.0),
     step_keys: Optional[jnp.ndarray] = None,
     ip=None,
+    deepcache: Optional[Tuple[int, int]] = None,
 ) -> jnp.ndarray:
     """txt2img (+ optional inpainting) with a k-diffusion sampler.
 
@@ -918,7 +1093,7 @@ def euler_sample_latent(
               else gen_noise(noise_key, cond)) * sigma_max
     ctl = dict(control_params=control_params, control_image=control_image,
                control_scale=control_scale, control_cfg=control_cfg,
-               control_window=control_window, ip=ip)
+               control_window=control_window, ip=ip, deepcache=deepcache)
     if reference is not None:
         return k_diffuse_latent(
             unet_params, cfg, alphas_cumprod, latent, cond, guidance_scale,
@@ -959,6 +1134,7 @@ def k_refine_latent(
     control_window: Tuple[float, float] = (0.0, 1.0),
     step_keys: Optional[jnp.ndarray] = None,
     ip=None,
+    deepcache: Optional[Tuple[int, int]] = None,
 ) -> jnp.ndarray:
     """Refiner/img2img re-noise in sigma space: x = latent + σ_start·noise,
     then run the schedule tail (k-space analogue of mod.rs:355-376).
@@ -981,6 +1157,7 @@ def k_refine_latent(
         control_params=control_params, control_image=control_image,
         control_scale=control_scale, control_cfg=control_cfg,
         control_window=control_window, step_keys=step_keys, ip=ip,
+        deepcache=deepcache,
     )
 
 
@@ -1026,6 +1203,7 @@ def sample_latent(
     control_cfg=None,
     control_window: Tuple[float, float] = (0.0, 1.0),
     ip=None,
+    deepcache: Optional[Tuple[int, int]] = None,
 ) -> jnp.ndarray:
     """txt2img (+ optional latent-mask inpainting) (mod.rs:316-353).
 
@@ -1036,7 +1214,7 @@ def sample_latent(
         noise_key, cond)
     ctl = dict(control_params=control_params, control_image=control_image,
                control_scale=control_scale, control_cfg=control_cfg,
-               control_window=control_window, ip=ip)
+               control_window=control_window, ip=ip, deepcache=deepcache)
     if reference is not None:
         return diffuse_latent(
             unet_params, cfg, alphas_cumprod, latent, cond, guidance_scale,
@@ -1086,6 +1264,7 @@ def refine_latent(
     control_cfg=None,
     control_window: Tuple[float, float] = (0.0, 1.0),
     ip=None,
+    deepcache: Optional[Tuple[int, int]] = None,
 ) -> jnp.ndarray:
     """Refiner stage: re-noise at t = n_train - step_start, run the schedule
     tail (refine_latent, mod.rs:355-376).
@@ -1106,7 +1285,7 @@ def refine_latent(
         use_cfg=use_cfg, guidance_rescale=guidance_rescale,
         control_params=control_params, control_image=control_image,
         control_scale=control_scale, control_cfg=control_cfg,
-        control_window=control_window, ip=ip,
+        control_window=control_window, ip=ip, deepcache=deepcache,
     )
 
 
