@@ -197,10 +197,10 @@ def test_v_prediction_equivalence(monkeypatch):
 
     real_unet = S.unet_forward
 
-    def stub_eps(params, ucfg, x, t, ctx, label, cross_kv=None):
+    def stub_eps(params, ucfg, x, t, ctx, label, cross_kv=None, **kw):
         return fake_eps(x.astype(jnp.float32), t)
 
-    def stub_v(params, ucfg, x, t, ctx, label, cross_kv=None):
+    def stub_v(params, ucfg, x, t, ctx, label, cross_kv=None, **kw):
         xf = x.astype(jnp.float32)
         a = alphas[t].astype(jnp.float32)[:, None, None, None]
         eps = fake_eps(xf, t)
