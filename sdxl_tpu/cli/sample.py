@@ -70,11 +70,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Decode in bfloat16: 1.16x faster VAE at ~1 u8 level "
                         "mean pixel cost (reference decodes f32)")
     p.add_argument("--sampler", type=str, default="ddim",
-                   choices=["ddim", "euler", "dpmpp", "euler_a", "dpmpp_sde"],
+                   choices=["ddim", "euler", "dpmpp", "euler_a", "dpmpp_sde", "lcm"],
                    help="Sampler: deterministic DDIM (reference), Euler, "
                         "DPM-Solver++ 2M (best quality at low step counts), "
                         "or the stochastic ancestral Euler / DPM++ 2M SDE; "
-                        "valid on every path (txt2img/inpaint/img2img/refiner)")
+                        "valid on every path (txt2img/inpaint/img2img/refiner). "
+                        "lcm (4-8 steps) is for LCM-distilled checkpoints / "
+                        "LCM-LoRA (use gs 1-2, or the baked-in guidance "
+                        "embedding for distilled models)")
     p.add_argument("--schedule", type=str, default="linear",
                    choices=["linear", "karras"],
                    help="Sigma spacing for the euler/dpmpp samplers; karras "

@@ -57,6 +57,11 @@ class UNetConfig:
     # skip low-frequency attenuation s. None = off (bit-exact reference
     # path). Runtime knob, not checkpoint state.
     freeu: Optional[Tuple[float, float, float, float]] = None
+    # LCM-distilled UNets (arXiv:2310.04378): width of the guidance-scale
+    # embedding consumed by time_embedding.cond_proj (diffusers
+    # time_cond_proj_dim, typically 256). 0 = no cond_proj (everything
+    # else, incl. LCM-LoRA over a standard UNet).
+    time_cond_proj_dim: int = 0
 
     def __post_init__(self):
         object.__setattr__(self, "channel_mults", tuple(self.channel_mults))
@@ -94,6 +99,8 @@ class DiffuserConfig:
     in_channels: int = 4
     # FreeU (b1, b2, s1, s2); None = off. See UNetConfig.freeu.
     freeu: Optional[Tuple[float, float, float, float]] = None
+    # LCM-distilled UNet guidance-embedding width; see UNetConfig.
+    time_cond_proj_dim: int = 0
 
     def __post_init__(self):
         object.__setattr__(self, "channel_mults", tuple(self.channel_mults))
@@ -118,6 +125,7 @@ class DiffuserConfig:
             transformer_levels=self.transformer_levels,
             n_heads=self.n_heads,
             freeu=self.freeu,
+            time_cond_proj_dim=self.time_cond_proj_dim,
         )
 
 

@@ -152,6 +152,11 @@ def build_unet_from_diffusers(
         "norm_out": ks.norm("conv_norm_out", cast),
         "conv_out": ks.conv("conv_out", cast),
     }
+    # LCM-distilled UNets: guidance-embedding projection (no bias)
+    if ks.has("time_embedding.cond_proj.weight"):
+        params["time_embed"]["cond_proj"] = ks.linear(
+            "time_embedding.cond_proj", cast
+        )
     # SDXL's micro-conditioning embedding; absent in SD 1.x/2.x checkpoints
     if cfg.adm_in_channels and ks.has("add_embedding.linear_1.weight"):
         params["label_embed"] = {
@@ -385,6 +390,13 @@ def load_sdxl_diffusers_dir(
     cin = int(unet_tensors["conv_in.weight"].shape[1])
     if cin != diffuser_cfg.in_channels:
         diffuser_cfg = dataclasses.replace(diffuser_cfg, in_channels=cin)
+    # LCM-distilled checkpoints carry time_embedding.cond_proj; its input
+    # width is the guidance-embedding dim (diffusers time_cond_proj_dim)
+    cp = unet_tensors.get("time_embedding.cond_proj.weight")
+    tcp = 0 if cp is None else int(cp.shape[1])
+    if tcp != diffuser_cfg.time_cond_proj_dim:
+        diffuser_cfg = dataclasses.replace(
+            diffuser_cfg, time_cond_proj_dim=tcp)
     unet = build_unet_from_diffusers(
         unet_tensors,
         diffuser_cfg.unet_config(),
@@ -458,6 +470,13 @@ def load_sd1_diffusers_dir(
     cin = int(unet_tensors["conv_in.weight"].shape[1])
     if cin != diffuser_cfg.in_channels:
         diffuser_cfg = dataclasses.replace(diffuser_cfg, in_channels=cin)
+    # LCM-distilled checkpoints carry time_embedding.cond_proj; its input
+    # width is the guidance-embedding dim (diffusers time_cond_proj_dim)
+    cp = unet_tensors.get("time_embedding.cond_proj.weight")
+    tcp = 0 if cp is None else int(cp.shape[1])
+    if tcp != diffuser_cfg.time_cond_proj_dim:
+        diffuser_cfg = dataclasses.replace(
+            diffuser_cfg, time_cond_proj_dim=tcp)
     unet = build_unet_from_diffusers(
         unet_tensors,
         diffuser_cfg.unet_config(),

@@ -238,6 +238,7 @@ def unet_forward(
     label: jnp.ndarray,
     cross_kv=None,
     control_residuals=None,
+    t_add=None,
 ) -> jnp.ndarray:
     """UNet::forward (unet/mod.rs:449-493). x: [B,h,w,4] NHWC latent.
 
@@ -253,7 +254,7 @@ def unet_forward(
     ControlNet semantics)."""
     dtype = x.dtype
     # SD 1.x/2.x (adm_in_channels == 0): timestep conditioning only
-    emb = _unet_embed(params, cfg, timesteps, label, dtype)
+    emb = _unet_embed(params, cfg, timesteps, label, dtype, t_add)
     in_plan, mid_spec, out_plan = unet_block_plan(cfg)
     ckv = cross_kv or {}
 
@@ -316,10 +317,19 @@ def freeu_fourier_filter(x: jnp.ndarray, threshold: int,
     return out.astype(x.dtype)
 
 
-def _unet_embed(params, cfg: UNetConfig, timesteps, label, dtype):
+def _unet_embed(params, cfg: UNetConfig, timesteps, label, dtype,
+                t_add=None):
     """Shared timestep (+ label) embedding for the full and DeepCache
-    forward variants."""
+    forward variants.
+
+    t_add [1 or B, model_channels]: optional addend to the raw timestep
+    sinusoid BEFORE the time-embed MLP — diffusers' TimestepEmbedding
+    cond_proj slot, used by LCM-distilled UNets for the guidance-scale
+    embedding (models with time_cond_proj_dim; the caller applies the
+    cond_proj linear once since the addend is scan-invariant)."""
     t_emb = timestep_embedding(timesteps, cfg.model_channels).astype(dtype)
+    if t_add is not None:
+        t_emb = t_emb + t_add.astype(dtype)
     t_emb = linear(params["time_embed"]["lin2"],
                    silu(linear(params["time_embed"]["lin1"], t_emb)))
     if cfg.adm_in_channels:
@@ -659,6 +669,13 @@ def init_unet(key, cfg: UNetConfig, dtype=jnp.bfloat16):
         "lin1": _dense(next(ki), mc, emb_dim, dtype),
         "lin2": _dense(next(ki), emb_dim, emb_dim, dtype),
     }
+    if cfg.time_cond_proj_dim:
+        # keyed off a fold of the base key so pre-existing inits (no
+        # cond_proj) stay bit-identical to their pinned goldens
+        time_embed["cond_proj"] = _dense(
+            jax.random.fold_in(key, 7001), cfg.time_cond_proj_dim, mc,
+            dtype, bias=False,
+        )
     # label keys are drawn at their historical position so SDXL inits stay
     # bit-identical to the pinned goldens even though SD 1.x skips them
     label_keys = (next(ki), next(ki))

@@ -25,6 +25,32 @@ def timestep_embedding(
     return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=1)
 
 
+def guidance_scale_embedding(w, dim: int) -> jnp.ndarray:
+    """LCM guidance embedding (arXiv:2310.04378 §4.1; diffusers
+    LatentConsistencyModelPipeline.get_guidance_scale_embedding).
+
+    ``w`` is guidance_scale - 1, scaled by 1000 and embedded with a
+    **sin-first** sinusoid (unlike the UNet timestep embedding above,
+    which is cos-first per the reference) using ``exp(-log(10000) *
+    arange(half) / (half - 1))`` frequencies — both quirks are the
+    public implementation's, preserved for checkpoint compatibility
+    (distilled LCM UNets were trained against exactly this embedding).
+    Returns [N, dim] float32; odd dims are zero-padded on the right.
+    """
+    w = jnp.asarray(w, jnp.float32).reshape(-1) * 1000.0
+    half = dim // 2
+    # f32 op order mirrors the public torch code; exact agreement is
+    # still bounded by f32 phase quantization (the sin argument reaches
+    # w*1000 ~ 6.5e3, where one ulp is ~8e-4 of phase)
+    log_scale = jnp.log(jnp.float32(10000.0)) / (half - 1)
+    freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -log_scale)
+    args = w[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
 def conditioning_embedding(
     pooled_text_enc: jnp.ndarray,
     dim: int,

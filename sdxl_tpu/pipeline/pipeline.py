@@ -45,7 +45,7 @@ from .sampler import (
     scaled_linear_alphas_cumprod,
 )
 
-SAMPLERS = ("ddim",) + K_SAMPLERS
+SAMPLERS = ("ddim",) + K_SAMPLERS + ("lcm",)
 
 
 @dataclass
@@ -556,10 +556,11 @@ class SDXLPipeline:
             from .sampler import gen_noise_per_seed
 
             initial_noise = gen_noise_per_seed(seeds, cond_half)
-            if sampler in K_STOCHASTIC:
-                # stochastic k-samplers draw noise every step: per-image
-                # scan keys keep image i's full noise stream a function of
-                # seeds[i] alone (fused serving contract)
+            if sampler in K_STOCHASTIC or sampler == "lcm":
+                # stochastic samplers (euler_a/dpmpp_sde/lcm) draw noise
+                # every step: per-image scan keys keep image i's full
+                # noise stream a function of seeds[i] alone (fused
+                # serving contract)
                 from .sampler import k_step_keys_per_seed
 
                 step_keys = k_step_keys_per_seed(seeds, n_steps)
@@ -603,12 +604,16 @@ class SDXLPipeline:
 
         if sampler not in SAMPLERS:
             raise ValueError(f"unknown sampler {sampler!r} ({'|'.join(SAMPLERS)})")
-        if schedule != "linear" and sampler == "ddim":
+        if schedule != "linear" and sampler in ("ddim", "lcm"):
             raise ValueError(
                 "--schedule applies to the euler/dpmpp samplers; the DDIM "
-                "schedule is fixed by reference semantics"
+                "and LCM schedules are fixed by their reference semantics"
             )
         use_cfg = not (no_cfg or guidance_scale == 1.0)
+        if sampler == "lcm" and self.diffuser_cfg.time_cond_proj_dim:
+            # LCM-distilled UNet: guidance enters via the cond_proj
+            # embedding; true CFG would double the work for nothing
+            use_cfg = False
         ctl = self._control_kwargs(control_image, control_scale,
                                    control_start, control_end, resolution,
                                    cond.context_full.shape[0])
@@ -617,6 +622,11 @@ class SDXLPipeline:
             raise ValueError(
                 "deepcache is incompatible with step previews (the "
                 "segmented scans do not carry the feature cache)"
+            )
+        if preview_every is not None and sampler == "lcm":
+            raise ValueError(
+                "step previews are not supported with the LCM sampler "
+                "(4-8 steps total; preview the final image instead)"
             )
 
         with self.timer.stage("diffuser"):
@@ -668,6 +678,21 @@ class SDXLPipeline:
                     guidance_rescale=guidance_rescale,
                     concat_channels=concat_channels,
                     preview_factors=self.preview_factors, ip=ipd, **ctl,
+                )
+            elif sampler == "lcm":
+                from .sampler import lcm_sample_latent
+
+                if deepcache is not None:
+                    raise ValueError("deepcache is not supported with the "
+                                     "LCM sampler (few-step by design)")
+                latent = lcm_sample_latent(
+                    self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
+                    cond_half, base_key, guidance_scale, n_steps,
+                    compute_dtype=self.compute_dtype,
+                    reference=reference_latent, mask=inpaint_mask,
+                    use_cfg=use_cfg, concat_channels=concat_channels,
+                    initial_noise=initial_noise, step_keys=step_keys,
+                    ip=ipd, **ctl,
                 )
             elif sampler in K_SAMPLERS:
                 latent = euler_sample_latent(
@@ -843,8 +868,19 @@ class SDXLPipeline:
         cond = self._shard_cond(self.conditioning(
             prompts, resolution, negative_prompt=negative_prompt,
         ).astype(self.compute_dtype))
+        if sampler == "lcm" and self.diffuser_cfg.time_cond_proj_dim:
+            common["use_cfg"] = False
         with self.timer.stage("diffuser"):
-            if sampler in K_SAMPLERS:
+            if sampler == "lcm":
+                from .sampler import lcm_sample_latent
+
+                lcm_common = dict(common)
+                lcm_common.pop("guidance_rescale")
+                latent = lcm_sample_latent(
+                    self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
+                    cond, base_key, n_steps=n_steps, **lcm_common,
+                )
+            elif sampler in K_SAMPLERS:
                 latent = euler_sample_latent(
                     self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
                     cond, base_key, n_steps=n_steps, method=sampler,
@@ -865,7 +901,17 @@ class SDXLPipeline:
         ).astype(self.compute_dtype))
         step_start = int(round((1.0 - hires_strength) * 1000))
         with self.timer.stage("hires"):
-            if sampler in K_SAMPLERS:
+            if sampler == "lcm":
+                from .sampler import lcm_refine_latent
+
+                lcm_common = dict(common)
+                lcm_common.pop("guidance_rescale")
+                latent = lcm_refine_latent(
+                    self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
+                    up, cond_hi, hires_key, strength=hires_strength,
+                    n_steps=n_steps, **lcm_common,
+                )
+            elif sampler in K_SAMPLERS:
                 latent = k_refine_latent(
                     self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
                     up, cond_hi, hires_key, step_start=step_start,
@@ -932,10 +978,10 @@ class SDXLPipeline:
 
         if sampler not in SAMPLERS:
             raise ValueError(f"unknown sampler {sampler!r} ({'|'.join(SAMPLERS)})")
-        if schedule != "linear" and sampler == "ddim":
+        if schedule != "linear" and sampler in ("ddim", "lcm"):
             raise ValueError(
                 "--schedule applies to the euler/dpmpp samplers; the DDIM "
-                "schedule is fixed by reference semantics"
+                "and LCM schedules are fixed by their reference semantics"
             )
         ctl = self._control_kwargs(control_image, control_scale,
                                    control_start, control_end,
@@ -945,8 +991,22 @@ class SDXLPipeline:
         # skip the first (1-strength) of the schedule
         step_start = int(round((1.0 - strength) * 1000))
         use_cfg = not (no_cfg or guidance_scale == 1.0)
+        if sampler == "lcm" and self.diffuser_cfg.time_cond_proj_dim:
+            use_cfg = False
         with self.timer.stage("diffuser"):
-            if sampler in K_SAMPLERS:
+            if sampler == "lcm":
+                from .sampler import lcm_refine_latent
+
+                if deepcache is not None:
+                    raise ValueError("deepcache is not supported with the "
+                                     "LCM sampler (few-step by design)")
+                latent = lcm_refine_latent(
+                    self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
+                    latent, cond, jax.random.PRNGKey(seed), guidance_scale,
+                    strength, n_steps, compute_dtype=self.compute_dtype,
+                    use_cfg=use_cfg, ip=ipd, **ctl,
+                )
+            elif sampler in K_SAMPLERS:
                 latent = k_refine_latent(
                     self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
                     latent, cond, jax.random.PRNGKey(seed), guidance_scale,

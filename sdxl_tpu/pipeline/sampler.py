@@ -133,7 +133,7 @@ def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
              guidance_scale, compute_dtype, cross_kv=None, alpha_t=None,
              use_cfg: bool = True, guidance_rescale: float = 0.0,
              concat=None, control=None, control_cfg=None, control_kv=None,
-             control_scale=None):
+             control_scale=None, t_add=None):
     """One guided epsilon prediction (forward_diffuser, mod.rs:494-541).
 
     For prediction_type="v" (SD 2.x-768) the raw output is converted to
@@ -199,7 +199,7 @@ def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
         t_vec = jnp.broadcast_to(t, (n_batch,))
         raw = unet_forward(
             unet_params, ucfg, latent.astype(compute_dtype), t_vec, ctx2, ch2,
-            cross_kv=cross_kv,
+            cross_kv=cross_kv, t_add=t_add,
         ).astype(jnp.float32)
         return to_eps(raw, latent.astype(jnp.float32))
 
@@ -212,6 +212,7 @@ def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
         raw = unet_forward(
             unet_params, ucfg, x_in, t_vec, ctx2, ch2,
             cross_kv=cross_kv, control_residuals=residuals(x4, t_vec),
+            t_add=t_add,
         ).astype(jnp.float32)
         return to_eps(raw, latent.astype(jnp.float32))
 
@@ -222,7 +223,7 @@ def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
         x_in = jnp.concatenate([x_in, concat.astype(compute_dtype)], -1)
     t2 = jnp.broadcast_to(t, (2 * n_batch,))
     raw2 = unet_forward(unet_params, ucfg, x_in, t2, ctx2, ch2,
-                        cross_kv=cross_kv,
+                        cross_kv=cross_kv, t_add=t_add,
                         control_residuals=residuals(x2, t2)).astype(jnp.float32)
     eps2 = to_eps(raw2, x2.astype(jnp.float32))
     eps_u, eps_c = jnp.split(eps2, 2, axis=0)
@@ -1158,6 +1159,278 @@ def k_refine_latent(
         control_scale=control_scale, control_cfg=control_cfg,
         control_window=control_window, step_keys=step_keys, ip=ip,
         deepcache=deepcache,
+    )
+
+
+# ---------------------------------------------------------------------------
+# LCM (Latent Consistency Models, arXiv:2310.04378 / LCM-LoRA
+# arXiv:2311.05556) — capability extension; the reference ships only DDIM.
+# Scheduler math follows diffusers' LCMScheduler exactly (set_timesteps'
+# linspace index selection, discrete boundary-condition scalings with
+# timestep_scaling=10 / sigma_data=0.5, per-step re-noising); pinned
+# against a literal torch transcription in tests/test_lcm.py.
+# ---------------------------------------------------------------------------
+
+def lcm_timesteps(n_steps: int, original_steps: int = 50,
+                  n_train: int = N_STEPS_TOTAL,
+                  strength: float = 1.0) -> np.ndarray:
+    """LCMScheduler.set_timesteps: the distilled model was trained on an
+    `original_steps`-point DDIM grid (t = k*i - 1, k = n_train //
+    original_steps); inference picks n_steps of those grid points with
+    floor(linspace) indexing over the (strength-scaled) descending grid.
+    """
+    k = n_train // original_steps
+    n_origin = int(original_steps * strength)
+    if n_origin < 1:
+        n_origin = 1
+    origin = (np.arange(1, n_origin + 1, dtype=np.int64) * k - 1)[::-1]
+    if n_steps > len(origin):
+        raise ValueError(
+            f"LCM: n_steps={n_steps} exceeds the trained grid "
+            f"({len(origin)} points at original_steps={original_steps}, "
+            f"strength={strength})"
+        )
+    idx = np.floor(
+        np.linspace(0, len(origin), num=n_steps, endpoint=False)
+    ).astype(np.int64)
+    return origin[idx].astype(np.int32)
+
+
+def lcm_step_update(lat, eps, alpha, alpha_prev, t, noise, is_last,
+                    timestep_scaling: float = 10.0, sigma_data: float = 0.5):
+    """One LCMScheduler.step (epsilon-prediction form, pure math).
+
+    The consistency parameterization evaluates f(x,t) = c_skip(t)*x +
+    c_out(t)*x0(x,t) with the discrete boundary scalings
+    (get_scalings_for_boundary_condition_discrete), then — unless this is
+    the final step — re-noises the denoised estimate to the next grid
+    point: x = sqrt(a_prev)*f + sqrt(1-a_prev)*noise."""
+    x0 = (lat - jnp.sqrt(1.0 - alpha) * eps) / jnp.sqrt(alpha)
+    st = t.astype(jnp.float32) * timestep_scaling
+    c_skip = sigma_data**2 / (st**2 + sigma_data**2)
+    c_out = st / jnp.sqrt(st**2 + sigma_data**2)
+    denoised = c_out * x0 + c_skip * lat
+    nxt = (jnp.sqrt(alpha_prev) * denoised
+           + jnp.sqrt(1.0 - alpha_prev) * noise)
+    return jnp.where(is_last, denoised, nxt), denoised
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "n_steps", "original_steps", "strength", "compute_dtype",
+        "inpaint", "use_cfg", "control_cfg", "control_window",
+    ),
+    donate_argnames=("latent",),
+)
+def lcm_diffuse_latent(
+    unet_params,
+    cfg: DiffuserConfig,
+    alphas_cumprod: jnp.ndarray,
+    latent: jnp.ndarray,
+    cond: Conditioning,
+    guidance_scale: float,
+    key: Optional[jax.Array] = None,
+    n_steps: int = 4,
+    original_steps: int = 50,
+    strength: float = 1.0,
+    compute_dtype=jnp.bfloat16,
+    inpaint: bool = False,
+    reference: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+    use_cfg: bool = False,
+    concat_channels: Optional[jnp.ndarray] = None,
+    control_params=None,
+    control_image: Optional[jnp.ndarray] = None,
+    control_scale: float = 1.0,
+    control_cfg=None,
+    control_window: Tuple[float, float] = (0.0, 1.0),
+    ip=None,
+    step_keys: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """LCM sampling loop as one lax.scan.
+
+    Two model flavors share this loop:
+      - LCM-distilled UNets (cfg.time_cond_proj_dim > 0): guidance is
+        embedded via the cond_proj guidance-scale embedding (w =
+        guidance_scale - 1); CFG must be off (use_cfg=False) — the
+        distillation bakes it in.
+      - LCM-LoRA over a standard UNet: optional true CFG at small scales
+        (diffusers recommends 1.0-2.0).
+
+    LCM is stochastic: each non-final step re-noises with a fresh normal
+    (key / step_keys, stream semantics identical to the stochastic
+    k-samplers). `strength` < 1 selects the img2img tail of the trained
+    grid; the caller must pass a latent already noised to the first
+    selected timestep."""
+    n_train = alphas_cumprod.shape[0]
+    if cfg.n_steps != n_train:
+        raise ValueError(
+            f"DiffuserConfig.n_steps={cfg.n_steps} does not match the "
+            f"alphas_cumprod table length {n_train}"
+        )
+    if cfg.time_cond_proj_dim and use_cfg:
+        raise ValueError(
+            "LCM-distilled UNets (time_cond_proj_dim > 0) embed guidance; "
+            "run them with use_cfg=False"
+        )
+    if cfg.is_refiner:
+        raise ValueError("LCM sampling applies to the base/family UNets, "
+                         "not the SDXL refiner")
+    ts = jnp.asarray(lcm_timesteps(n_steps, original_steps, n_train,
+                                   strength))
+    n = int(ts.shape[0])
+    a_t = alphas_cumprod[ts]
+    # a_prev[i] = alpha at the NEXT grid point (unused on the final step)
+    a_prev = jnp.concatenate([alphas_cumprod[ts[1:]], a_t[-1:]])
+    is_last = jnp.arange(n) == n - 1
+
+    latent = latent.astype(jnp.float32)
+    if step_keys is not None:
+        keys = step_keys  # [n, B, 2] per-image streams
+    elif key is not None:
+        keys = jax.random.split(key, n)
+    else:
+        raise ValueError("LCM needs a PRNG key (stochastic re-noising)")
+    if inpaint:
+        reference = reference.astype(jnp.float32)
+
+    ctx2, ch2 = _cfg_contexts(cfg, cond, compute_dtype, use_cfg)
+    cross_kv = precompute_cross_kv(unet_params, cfg.unet_config(), ctx2)
+    cross_kv = _merge_ip(cross_kv, ip, cfg, cond, compute_dtype, use_cfg)
+    cc = concat_channels
+    if cc is not None and use_cfg:
+        cc = jnp.concatenate([cc, cc], axis=0)
+    ctrl, ctrl_kv = _control_setup(control_params, control_cfg, control_image,
+                                   ctx2, compute_dtype, use_cfg, False)
+    cscales = _control_window_scales(n, control_scale, control_window)
+
+    # guidance-scale embedding, scan-invariant: project once ([1, mc])
+    t_add = None
+    if cfg.time_cond_proj_dim:
+        from ..ops.embeddings import guidance_scale_embedding
+        from ..ops.linear import linear_nobias
+
+        w_emb = guidance_scale_embedding(
+            jnp.asarray(guidance_scale, jnp.float32) - 1.0,
+            cfg.time_cond_proj_dim,
+        )
+        t_add = linear_nobias(
+            unet_params["time_embed"]["cond_proj"], w_emb.astype(compute_dtype)
+        )
+
+    def step(lat, inp):
+        t, alpha, alpha_prev, k, last, cs = inp
+        if inpaint:
+            pin_noise = _scan_normal(_scan_fold(k, 1), lat.shape)
+            noised_ref = (reference * jnp.sqrt(alpha)
+                          + pin_noise * jnp.sqrt(1.0 - alpha))
+            lat = jnp.where(mask, lat, noised_ref)
+        eps = _cfg_eps(unet_params, cfg, lat, t, ctx2, ch2, guidance_scale,
+                       compute_dtype, cross_kv, alpha,
+                       use_cfg=use_cfg, concat=cc, control=ctrl,
+                       control_cfg=control_cfg, control_kv=ctrl_kv,
+                       control_scale=cs, t_add=t_add)
+        noise = _scan_normal(_scan_fold(k, 0), lat.shape)
+        lat, _ = lcm_step_update(lat, eps, alpha, alpha_prev, t, noise, last)
+        return lat, None
+
+    latent, _ = jax.lax.scan(step, latent,
+                             (ts, a_t, a_prev, keys, is_last, cscales))
+    return latent
+
+
+def lcm_sample_latent(
+    unet_params,
+    cfg: DiffuserConfig,
+    alphas_cumprod,
+    cond: Conditioning,
+    key,
+    guidance_scale: float = 7.5,
+    n_steps: int = 4,
+    original_steps: int = 50,
+    compute_dtype=jnp.bfloat16,
+    reference: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+    use_cfg: bool = False,
+    concat_channels: Optional[jnp.ndarray] = None,
+    initial_noise: Optional[jnp.ndarray] = None,
+    control_params=None,
+    control_image: Optional[jnp.ndarray] = None,
+    control_scale: float = 1.0,
+    control_cfg=None,
+    control_window: Tuple[float, float] = (0.0, 1.0),
+    ip=None,
+    step_keys: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """LCM txt2img (+ optional latent-mask inpainting).
+
+    LCMScheduler's init_noise_sigma is 1.0: the starting latent is plain
+    N(0,1), like the DDIM path (initial_noise overrides it for per-image
+    seeds)."""
+    noise_key, scan_key = jax.random.split(key)
+    latent = (initial_noise if initial_noise is not None
+              else gen_noise(noise_key, cond))
+    return lcm_diffuse_latent(
+        unet_params, cfg, alphas_cumprod, latent, cond, guidance_scale,
+        key=scan_key, n_steps=n_steps, original_steps=original_steps,
+        compute_dtype=compute_dtype,
+        inpaint=reference is not None and mask is not None,
+        reference=reference, mask=mask, use_cfg=use_cfg,
+        concat_channels=concat_channels, control_params=control_params,
+        control_image=control_image, control_scale=control_scale,
+        control_cfg=control_cfg, control_window=control_window, ip=ip,
+        step_keys=step_keys,
+    )
+
+
+def lcm_refine_latent(
+    unet_params,
+    cfg: DiffuserConfig,
+    alphas_cumprod,
+    latent: jnp.ndarray,  # clean (x0-space) latent
+    cond: Conditioning,
+    key,
+    guidance_scale: float = 7.5,
+    strength: float = 0.3,
+    n_steps: int = 4,
+    original_steps: int = 50,
+    compute_dtype=jnp.bfloat16,
+    use_cfg: bool = False,
+    concat_channels: Optional[jnp.ndarray] = None,
+    control_params=None,
+    control_image: Optional[jnp.ndarray] = None,
+    control_scale: float = 1.0,
+    control_cfg=None,
+    control_window: Tuple[float, float] = (0.0, 1.0),
+    ip=None,
+    step_keys: Optional[jnp.ndarray] = None,
+    noise: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """LCM img2img: diffusers' LCM img2img pipeline windows the trained
+    grid by `strength` (set_timesteps(..., strength)) and noises the
+    clean latent to the FIRST selected grid point; the loop is then
+    identical to txt2img. `noise` overrides the key-derived re-noise
+    normal (per-image seeds)."""
+    n_train = alphas_cumprod.shape[0]
+    # number of steps actually run is n_steps over the strength window
+    # (the grid the timesteps are drawn from is already windowed)
+    eff_steps = min(n_steps, max(1, int(original_steps * strength)))
+    ts = lcm_timesteps(eff_steps, original_steps, n_train, strength)
+    noise_key, scan_key = jax.random.split(key)
+    if noise is None:
+        noise = jax.random.normal(noise_key, latent.shape, jnp.float32)
+    a0 = alphas_cumprod[int(ts[0])]
+    noised = (latent.astype(jnp.float32) * jnp.sqrt(a0)
+              + noise * jnp.sqrt(1.0 - a0))
+    return lcm_diffuse_latent(
+        unet_params, cfg, alphas_cumprod, noised, cond, guidance_scale,
+        key=scan_key, n_steps=eff_steps, original_steps=original_steps,
+        strength=strength, compute_dtype=compute_dtype, use_cfg=use_cfg,
+        concat_channels=concat_channels, control_params=control_params,
+        control_image=control_image, control_scale=control_scale,
+        control_cfg=control_cfg, control_window=control_window, ip=ip,
+        step_keys=step_keys,
     )
 
 
