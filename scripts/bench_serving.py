@@ -23,15 +23,32 @@ from sdxl_tpu.utils.cache import init_compilation_cache
 init_compilation_cache()
 
 
-def main():
+def main(max_batch=None):
     from sdxl_tpu.cli.serve import GenConfig, GenerationServer, GenRequest
     from sdxl_tpu.pipeline.pipeline import random_pipeline
     from sdxl_tpu.utils import log
 
+    if max_batch is None:
+        # the tunnel chip's free HBM varies with its co-tenant: batch-4
+        # fusion (= batch-8 UNet under CFG) fit in r2 but OOMs when the
+        # co-tenant is large. Each attempt runs in a FRESH process (an
+        # in-process retry would keep the OOMed executables resident).
+        import subprocess
+
+        for mb in (4, 2, 1):
+            r = subprocess.run(
+                [sys.executable, __file__, str(mb)], cwd=os.getcwd()
+            )
+            if r.returncode == 0:
+                return
+            log(f"max_batch={mb} failed (rc={r.returncode}); "
+                "retrying smaller")
+        raise RuntimeError("even max_batch=1 failed")
+
     pipe = random_pipeline()
     cfg_a = GenConfig(width=1024, height=1024, steps=30)
     cfg_b = GenConfig(width=1024, height=1024, steps=20)
-    srv = GenerationServer(pipe, max_batch=4, batch_window_ms=50,
+    srv = GenerationServer(pipe, max_batch=max_batch, batch_window_ms=50,
                            default_cfg=cfg_a)
     log("warmup (compiles both configs)...")
     srv._generate([GenRequest("warmup", cfg_a, seed=0)])
@@ -69,6 +86,7 @@ def main():
     info = srv.info()
     srv.stop()
     out = {
+        "serving_16req_max_batch": max_batch,
         "serving_16req_p50_s": round(p50, 3),
         "serving_16req_p95_s": round(p95, 3),
         "serving_16req_makespan_s": round(makespan, 3),
@@ -88,4 +106,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else None)

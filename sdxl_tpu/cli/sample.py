@@ -79,9 +79,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "LCM-LoRA (use gs 1-2, or the baked-in guidance "
                         "embedding for distilled models)")
     p.add_argument("--schedule", type=str, default="linear",
-                   choices=["linear", "karras"],
-                   help="Sigma spacing for the euler/dpmpp samplers; karras "
-                        "(rho=7) improves low-step-count quality")
+                   choices=["linear", "karras", "ays"],
+                   help="Sigma spacing for the euler/dpmpp samplers: karras "
+                        "(rho=7) improves low-step-count quality; ays uses "
+                        "the published Align-Your-Steps optimized schedule "
+                        "(arXiv:2404.14507; 10 steps native, other counts "
+                        "log-linearly retargeted, family table auto-picked)")
     p.add_argument("--freeu", type=str, nargs="?", const="auto",
                    default=None, metavar="B1,B2,S1,S2",
                    help="FreeU decoder rebalancing (arXiv:2309.11497): "

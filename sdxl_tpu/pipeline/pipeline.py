@@ -165,6 +165,13 @@ class SDXLPipeline:
         log(f"pipeline sharded over mesh {dict(mesh.shape)}")
         return mesh
 
+    # AYS schedule family variant (arXiv:2404.14507): the published
+    # 10-point tables differ per family; SD1Pipeline overrides
+    _ays_variant = "ays"
+
+    def _resolve_schedule(self, schedule: str) -> str:
+        return self._ays_variant if schedule == "ays" else schedule
+
     def _shard_cond(self, cond):
         if self.mesh is None:
             return cond
@@ -609,6 +616,7 @@ class SDXLPipeline:
                 "--schedule applies to the euler/dpmpp samplers; the DDIM "
                 "and LCM schedules are fixed by their reference semantics"
             )
+        schedule = self._resolve_schedule(schedule)
         use_cfg = not (no_cfg or guidance_scale == 1.0)
         if sampler == "lcm" and self.diffuser_cfg.time_cond_proj_dim:
             # LCM-distilled UNet: guidance enters via the cond_proj
@@ -634,16 +642,13 @@ class SDXLPipeline:
                 from .sampler import (
                     gen_noise,
                     k_diffuse_latent_preview,
-                    k_sigma_at,
-                    k_timesteps,
+                    k_sigma_max,
                 )
 
                 # same key split + sigma-space scaling as euler_sample_latent
                 noise_key, inpaint_key = jax.random.split(base_key)
-                sigma_max = k_sigma_at(
-                    self.alphas_cumprod,
-                    k_timesteps(0, n_steps, self.alphas_cumprod.shape[0])[0],
-                )
+                sigma_max = k_sigma_max(self.alphas_cumprod, n_steps,
+                                        schedule)
                 k_lat0 = (initial_noise if initial_noise is not None
                           else gen_noise(noise_key, cond_half)) * sigma_max
                 latent = k_diffuse_latent_preview(
@@ -856,6 +861,7 @@ class SDXLPipeline:
             raise ValueError("hires_strength must be in (0, 1]")
         if sampler not in SAMPLERS:
             raise ValueError(f"unknown sampler {sampler!r} ({'|'.join(SAMPLERS)})")
+        schedule = self._resolve_schedule(schedule)
 
         use_cfg = not (no_cfg or guidance_scale == 1.0)
         common = dict(
@@ -983,6 +989,7 @@ class SDXLPipeline:
                 "--schedule applies to the euler/dpmpp samplers; the DDIM "
                 "and LCM schedules are fixed by their reference semantics"
             )
+        schedule = self._resolve_schedule(schedule)
         ctl = self._control_kwargs(control_image, control_scale,
                                    control_start, control_end,
                                    (height, width),

@@ -574,6 +574,35 @@ def k_timesteps(step_start: int, n_steps: int, n_train: int) -> np.ndarray:
     return ts
 
 
+# Align Your Steps (Sabour et al. 2024, arXiv:2404.14507): the paper's
+# published 10-step optimized noise-level schedules (minimizing the KLUB
+# discretization bound) for the SD families. The constants ARE the
+# published data (paper appendix / the authors' released schedules);
+# other step counts come from the paper's own log-linear interpolation
+# recipe (ays_sigmas).
+AYS_SIGMAS_SDXL = (14.615, 6.315, 3.771, 2.181, 1.342,
+                   0.862, 0.555, 0.380, 0.234, 0.113)
+AYS_SIGMAS_SD15 = (14.615, 6.475, 3.861, 2.697, 1.886,
+                   1.396, 0.963, 0.652, 0.399, 0.152)
+
+
+def ays_sigmas(n_steps: int, family: str = "sdxl") -> np.ndarray:
+    """AYS sigma schedule at n_steps (descending, no trailing zero).
+
+    n_steps == 10 returns the published table verbatim; other counts use
+    log-linear interpolation over a unit ramp (the paper's recipe for
+    retargeting its 10-point schedules)."""
+    table = AYS_SIGMAS_SDXL if family == "sdxl" else AYS_SIGMAS_SD15
+    logt = np.log(np.asarray(table, dtype=np.float64))
+    if n_steps == len(table):
+        out = logt
+    else:
+        xs = np.linspace(0.0, 1.0, len(table))
+        xt = np.linspace(0.0, 1.0, n_steps)
+        out = np.interp(xt, xs, logt)
+    return np.exp(out).astype(np.float32)
+
+
 def k_schedule(alphas_cumprod, step_start: int, n_steps: int,
                schedule: str = "linear"):
     """(timesteps, sigmas) for the k-samplers; sigmas has n+1 entries
@@ -587,12 +616,40 @@ def k_schedule(alphas_cumprod, step_start: int, n_steps: int,
     log-sigma (continuous-time conditioning, as diffusers does for
     use_karras_sigmas=True). Pinned against literal transcriptions of the
     public algorithms in tests/test_k_goldens.py.
+
+    schedule="ays" / "ays_sd15" uses the published Align-Your-Steps
+    10-point optimized schedule (arXiv:2404.14507) for SDXL / SD1.x,
+    log-linearly retargeted to n_steps; step_start windows it to the
+    sigmas at or below the handoff noise level (img2img/refiner tails),
+    keeping at least one step. Fractional timesteps from log-sigma like
+    karras.
     """
     n_train = alphas_cumprod.shape[0]
     sigmas_full = jnp.sqrt(
         (1.0 - alphas_cumprod.astype(jnp.float32)) / alphas_cumprod
     )
     lin_ts = k_timesteps(step_start, n_steps, n_train)
+    if schedule in ("ays", "ays_sd15"):
+        sig_np = ays_sigmas(n_steps, "sdxl" if schedule == "ays" else "sd15")
+        if step_start > 0:
+            # window to the handoff noise level, like k_timesteps slices
+            # the linear grid: keep sigmas below sigma(t_handoff). The
+            # bound comes from the STATIC scaled-linear table (this runs
+            # under jit where alphas_cumprod is traced; the published AYS
+            # sigmas presuppose the SD scaled-linear schedule anyway)
+            alphas_np = scaled_linear_alphas_cumprod(n_train).astype(
+                np.float64)
+            t_hi = n_train - step_start - 1
+            bound = float(np.sqrt((1 - alphas_np[t_hi]) / alphas_np[t_hi]))
+            kept = sig_np[sig_np <= bound]
+            sig_np = kept if len(kept) else sig_np[-1:]
+        sig_k = jnp.asarray(sig_np)
+        ts = jnp.interp(
+            jnp.log(sig_k), jnp.log(sigmas_full),
+            jnp.arange(n_train, dtype=jnp.float32),
+        )
+        sigmas = jnp.concatenate([sig_k, jnp.zeros((1,), jnp.float32)])
+        return ts, sigmas
     if schedule == "karras":
         # same sigma endpoints as the linear schedule, Karras rho=7 spacing
         # between them (descending, like the t schedule); endpoints are
@@ -800,8 +857,9 @@ def k_diffuse_latent(
         raise ValueError(
             f"unknown k-sampler {method!r} ({'|'.join(K_SAMPLERS)})"
         )
-    if schedule not in ("linear", "karras"):
-        raise ValueError(f"unknown schedule {schedule!r} (linear|karras)")
+    if schedule not in ("linear", "karras", "ays", "ays_sd15"):
+        raise ValueError(
+            f"unknown schedule {schedule!r} (linear|karras|ays|ays_sd15)")
     ts, sigmas = k_schedule(alphas_cumprod, step_start, n_steps, schedule)
 
     stochastic = method in K_STOCHASTIC
@@ -900,6 +958,17 @@ def k_diffuse_latent(
 def k_sigma_at(alphas_cumprod, t: int) -> jnp.ndarray:
     a = alphas_cumprod[t]
     return jnp.sqrt((1.0 - a) / a)
+
+
+def k_sigma_max(alphas_cumprod, n_steps: int,
+                schedule: str = "linear") -> jnp.ndarray:
+    """The schedule's actual first sigma — the initial-noise scale for
+    the sigma-space samplers. For linear/karras this equals
+    sigma(t_max); the AYS tables carry their own (slightly different)
+    published top value, and x0 + sigmas[0]*eps must use the same number
+    the scan starts from."""
+    _, sigmas = k_schedule(alphas_cumprod, 0, n_steps, schedule)
+    return sigmas[0]
 
 
 @functools.partial(
@@ -1088,8 +1157,7 @@ def euler_sample_latent(
     The scan key (inpaint pin + stochastic-method step noise) is the
     second split of `key`; step_keys overrides it with per-image keys."""
     noise_key, inpaint_key = jax.random.split(key)
-    n_train = alphas_cumprod.shape[0]
-    sigma_max = k_sigma_at(alphas_cumprod, k_timesteps(0, n_steps, n_train)[0])
+    sigma_max = k_sigma_max(alphas_cumprod, n_steps, schedule)
     latent = (initial_noise if initial_noise is not None
               else gen_noise(noise_key, cond)) * sigma_max
     ctl = dict(control_params=control_params, control_image=control_image,
@@ -1142,9 +1210,11 @@ def k_refine_latent(
 
     noise overrides the key-derived re-noise (per-image seeds,
     refiner_noise_per_seed)."""
-    n_train = alphas_cumprod.shape[0]
-    t0 = int(k_timesteps(step_start, n_steps, n_train)[0])
-    sigma_start = k_sigma_at(alphas_cumprod, t0)
+    # re-noise to the schedule's ACTUAL first sigma: equals sigma(t0) for
+    # linear/karras by construction, but the AYS window's top value is its
+    # own published number — the scan must start where the noising ends
+    _, sig_sched = k_schedule(alphas_cumprod, step_start, n_steps, schedule)
+    sigma_start = sig_sched[0]
     if noise is None:
         noise = jax.random.normal(key, latent.shape, jnp.float32)
     noised = latent.astype(jnp.float32) + sigma_start * noise

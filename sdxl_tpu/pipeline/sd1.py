@@ -122,6 +122,9 @@ class SD1Pipeline(SDXLPipeline):
     # SD 2.x taps the penultimate hidden; SD 1.x the final LN output
     penultimate_hidden: bool = False
 
+    # published AYS table for the SD1.x/2.x family (arXiv:2404.14507)
+    _ays_variant = "ays_sd15"
+
     def __post_init__(self):
         if self.preview_factors is None:
             from .sampler import SD1_LATENT_RGB
