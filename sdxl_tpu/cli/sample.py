@@ -85,6 +85,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "the published Align-Your-Steps optimized schedule "
                         "(arXiv:2404.14507; 10 steps native, other counts "
                         "log-linearly retargeted, family table auto-picked)")
+    p.add_argument("--pag-scale", type=float, default=0.0,
+                   help="Perturbed-Attention Guidance scale "
+                        "(arXiv:2403.17377, 'mid' layers; try 3.0): one "
+                        "extra conditional UNet eval per step; composes "
+                        "with CFG or --no-cfg; not with --controlnet/"
+                        "--deepcache/--preview-every/--hires-scale/lcm")
     p.add_argument("--freeu", type=str, nargs="?", const="auto",
                    default=None, metavar="B1,B2,S1,S2",
                    help="FreeU decoder rebalancing (arXiv:2309.11497): "
@@ -401,6 +407,13 @@ def main(argv=None) -> int:
                   file=sys.stderr)
             return 1
         control_kw["deepcache"] = (args.deepcache, args.deepcache_branch)
+
+    if args.pag_scale:
+        if args.hires_scale is not None:
+            print("error: --pag-scale is not supported with --hires-scale",
+                  file=sys.stderr)
+            return 1
+        control_kw["pag_scale"] = args.pag_scale
 
     if args.hires_scale is not None:
         if args.reference_img is not None or args.use_refiner:

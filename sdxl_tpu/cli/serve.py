@@ -77,6 +77,9 @@ class GenConfig:
     sampler: str = "ddim"
     schedule: str = "linear"
     guidance_rescale: float = 0.0
+    # Perturbed-Attention Guidance (arXiv:2403.17377); one extra cond
+    # UNet eval per step when > 0
+    pag_scale: float = 0.0
 
 
 @dataclass
@@ -248,6 +251,7 @@ class GenerationServer:
                     sampler=cfg.sampler,
                     schedule=cfg.schedule,
                     guidance_rescale=cfg.guidance_rescale,
+                    pag_scale=cfg.pag_scale,
                 )
             else:
                 control_kw = {}
@@ -273,6 +277,7 @@ class GenerationServer:
                     sampler=cfg.sampler,
                     schedule=cfg.schedule,
                     guidance_rescale=cfg.guidance_rescale,
+                    pag_scale=cfg.pag_scale,
                     **control_kw,
                 )
             images = np.asarray(images)
@@ -306,6 +311,7 @@ class GenerationServer:
             seed=r.seed, negative_prompt=cfg.negative_prompt,
             sampler=cfg.sampler, schedule=cfg.schedule,
             guidance_rescale=cfg.guidance_rescale,
+            pag_scale=cfg.pag_scale,
         )
         ref = np.asarray(r.image)[None]
         if r.mask_image is not None:
@@ -417,6 +423,7 @@ def make_handler(server: GenerationServer):
                     guidance_rescale=float(
                         payload.get("guidance_rescale", d.guidance_rescale)
                     ),
+                    pag_scale=float(payload.get("pag_scale", d.pag_scale)),
                 )
                 seed = int(payload.get("seed", 0))
                 image = None

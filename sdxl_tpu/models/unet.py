@@ -167,20 +167,42 @@ def _mha(p, x, context, n_head, kv=None):
     return linear(p["out"], att)
 
 
-def _transformer_block(p, x, context, n_head, kv=None):
-    x = x + _mha(p["attn1"], layernorm_affine(x, **p["norm1"]), None, n_head)
+def _mha_identity(p, x):
+    """PAG perturbed self-attention (Ahn et al. 2024, arXiv:2403.17377):
+    the softmax map is replaced by the identity matrix, so every token
+    attends only to itself — the output is just the V projection (Q/K
+    are skipped entirely; with the identity map they are unused)."""
+    if "qkv" in p:
+        qkv = linear_nobias(p["qkv"], x)
+        _, _, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        v = linear_nobias(p["v"], x)
+    return linear(p["out"], v)
+
+
+def _transformer_block(p, x, context, n_head, kv=None, identity_self=False):
+    if identity_self:
+        x = x + _mha_identity(p["attn1"], layernorm_affine(x, **p["norm1"]))
+    else:
+        x = x + _mha(p["attn1"], layernorm_affine(x, **p["norm1"]), None,
+                     n_head)
     x = x + _mha(p["attn2"], layernorm_affine(x, **p["norm2"]), context, n_head,
                  kv=kv)
     return x + _geglu_mlp(p["mlp"], layernorm_affine(x, **p["norm3"]))
 
 
-def _spatial_transformer(p, x, context, n_head, kv=None):
+def _spatial_transformer(p, x, context, n_head, kv=None,
+                         identity_self=False):
     """SpatialTransformer (unet/mod.rs:820-845) over NHWC.
 
     `blocks` is either a list of per-block pytrees (unrolled at trace time)
     or one stacked pytree with a leading depth axis (see
     stack_unet_transformers), in which case the stack runs as a lax.scan —
     the depth-10 stacks then trace/compile one body instead of ten.
+
+    identity_self=True perturbs every block's SELF-attention to the
+    identity map (PAG, see _mha_identity); cross-attention and MLPs are
+    untouched.
     """
     b, h, w, c = x.shape
     x_in = x
@@ -192,18 +214,21 @@ def _spatial_transformer(p, x, context, n_head, kv=None):
         if kv is not None:
             def body(carry, inp):
                 blk, kv_d = inp
-                return _transformer_block(blk, carry, context, n_head, kv_d), None
+                return _transformer_block(blk, carry, context, n_head, kv_d,
+                                          identity_self), None
 
             y, _ = jax.lax.scan(body, y, (blocks, kv))
         else:
             def body(carry, blk):
-                return _transformer_block(blk, carry, context, n_head), None
+                return _transformer_block(blk, carry, context, n_head,
+                                          identity_self=identity_self), None
 
             y, _ = jax.lax.scan(body, y, blocks)
     else:
         for i, bp in enumerate(blocks):
             y = _transformer_block(
-                bp, y, context, n_head, kv[i] if kv is not None else None
+                bp, y, context, n_head, kv[i] if kv is not None else None,
+                identity_self=identity_self,
             )
     y = linear(p["proj_out"], y).reshape(b, h, w, c)
     return x_in + y
@@ -239,8 +264,13 @@ def unet_forward(
     cross_kv=None,
     control_residuals=None,
     t_add=None,
+    pag_mid: bool = False,
 ) -> jnp.ndarray:
     """UNet::forward (unet/mod.rs:449-493). x: [B,h,w,4] NHWC latent.
+
+    pag_mid=True runs the MIDDLE block's self-attentions as identity
+    maps — the PAG perturbed branch (arXiv:2403.17377; the "mid" layer
+    set, diffusers' default pag_applied_layers).
 
     cross_kv: optional precompute_cross_kv() output. The sampler's context
     is constant across the whole denoising scan, so every cross-attention
@@ -271,7 +301,8 @@ def unet_forward(
     mp = params["middle_block"]
     x = _res_block(mp["res1"], x, emb)
     x = _spatial_transformer(mp["transformer"], x, context, mid_spec.n_head,
-                             ckv.get("middle_block"))
+                             ckv.get("middle_block"),
+                             identity_self=pag_mid)
     x = _res_block(mp["res2"], x, emb)
     if control_residuals is not None:
         x = x + mid_res.astype(x.dtype)

@@ -480,8 +480,14 @@ class SDXLPipeline:
         ip_adapter_image: Optional[np.ndarray] = None,
         ip_adapter_scale: float = 0.6,
         deepcache: Optional[Tuple[int, int]] = None,
+        pag_scale: float = 0.0,
     ) -> np.ndarray:
         """Full pipeline; returns [B, H, W, 3] uint8.
+
+        pag_scale > 0: Perturbed-Attention Guidance (arXiv:2403.17377;
+        "mid" layers) — one extra conditional UNet eval per step; not
+        combinable with ControlNet, DeepCache, step previews, or the LCM
+        sampler.
 
         deepcache ((interval, branch), e.g. (2, 3)): DeepCache
         (arXiv:2312.00858) — every interval-th step runs the full UNet
@@ -636,6 +642,14 @@ class SDXLPipeline:
                 "step previews are not supported with the LCM sampler "
                 "(4-8 steps total; preview the final image instead)"
             )
+        if pag_scale:
+            if preview_every is not None:
+                raise ValueError("pag_scale is not supported with step "
+                                 "previews")
+            if sampler == "lcm":
+                raise ValueError("pag_scale does not apply to the LCM "
+                                 "sampler (consistency models embed their "
+                                 "own guidance)")
 
         with self.timer.stage("diffuser"):
             if preview_every is not None and sampler in K_SAMPLERS:
@@ -709,7 +723,7 @@ class SDXLPipeline:
                     guidance_rescale=guidance_rescale,
                     concat_channels=concat_channels,
                     initial_noise=initial_noise, step_keys=step_keys,
-                    ip=ipd, deepcache=deepcache, **ctl,
+                    ip=ipd, deepcache=deepcache, pag_scale=pag_scale, **ctl,
                 )
             else:
                 latent = sample_latent(
@@ -727,7 +741,7 @@ class SDXLPipeline:
                     guidance_rescale=guidance_rescale,
                     concat_channels=concat_channels,
                     initial_noise=initial_noise, ip=ipd,
-                    deepcache=deepcache, **ctl,
+                    deepcache=deepcache, pag_scale=pag_scale, **ctl,
                 )
             if profile_stages:
                 fence(latent)
@@ -957,6 +971,7 @@ class SDXLPipeline:
         ip_adapter_image: Optional[np.ndarray] = None,
         ip_adapter_scale: float = 0.6,
         deepcache: Optional[Tuple[int, int]] = None,
+        pag_scale: float = 0.0,
     ) -> np.ndarray:
         """Strength-based image-to-image (capability extension).
 
@@ -1007,6 +1022,9 @@ class SDXLPipeline:
                 if deepcache is not None:
                     raise ValueError("deepcache is not supported with the "
                                      "LCM sampler (few-step by design)")
+                if pag_scale:
+                    raise ValueError("pag_scale does not apply to the LCM "
+                                     "sampler")
                 latent = lcm_refine_latent(
                     self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
                     latent, cond, jax.random.PRNGKey(seed), guidance_scale,
@@ -1020,7 +1038,7 @@ class SDXLPipeline:
                     step_start, n_steps, self.compute_dtype, method=sampler,
                     schedule=schedule, use_cfg=use_cfg,
                     guidance_rescale=guidance_rescale, ip=ipd,
-                    deepcache=deepcache, **ctl,
+                    deepcache=deepcache, pag_scale=pag_scale, **ctl,
                 )
             else:
                 latent = refine_latent(
@@ -1028,7 +1046,7 @@ class SDXLPipeline:
                     latent, cond, jax.random.PRNGKey(seed), guidance_scale,
                     step_start, n_steps, self.compute_dtype,
                     use_cfg=use_cfg, guidance_rescale=guidance_rescale,
-                    ip=ipd, deepcache=deepcache, **ctl,
+                    ip=ipd, deepcache=deepcache, pag_scale=pag_scale, **ctl,
                 )
 
         with self.timer.stage("vae_decode"):

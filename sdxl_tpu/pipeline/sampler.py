@@ -133,7 +133,7 @@ def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
              guidance_scale, compute_dtype, cross_kv=None, alpha_t=None,
              use_cfg: bool = True, guidance_rescale: float = 0.0,
              concat=None, control=None, control_cfg=None, control_kv=None,
-             control_scale=None, t_add=None):
+             control_scale=None, t_add=None, pag_scale: float = 0.0):
     """One guided epsilon prediction (forward_diffuser, mod.rs:494-541).
 
     For prediction_type="v" (SD 2.x-768) the raw output is converted to
@@ -156,14 +156,36 @@ def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
     residuals, scaled by control_scale (the per-step window scale), are
     injected into the UNet's skips + middle. The trunk always sees the
     4-channel latent — never the inpainting concat channels (diffusers
-    ControlNet-inpaint semantics)."""
+    ControlNet-inpaint semantics).
+
+    pag_scale > 0 adds Perturbed-Attention Guidance (Ahn et al. 2024,
+    arXiv:2403.17377): one extra UNet eval on the COND rows with the
+    middle block's self-attention replaced by the identity map, then
+    eps += pag_scale * (eps_cond - eps_perturbed) — diffusers'
+    "mid"-layer PAG. Composes with CFG or the no-CFG path; costs one
+    extra conditional forward per step."""
     n_batch = latent.shape[0]
     ucfg = cfg.unet_config()
+    if pag_scale and cfg.is_refiner:
+        raise ValueError("PAG applies to the base/family UNets, not the "
+                         "refiner (its stage runs unguided)")
 
     def to_eps(raw, x_vp):
         if cfg.prediction_type == "v":
             return jnp.sqrt(alpha_t) * raw + jnp.sqrt(1.0 - alpha_t) * x_vp
         return raw
+
+    def pag_eps(ctx_c, ch_c, kv_c, cc_c, t_vec):
+        # perturbed branch: cond context, identity mid self-attention
+        x4 = latent.astype(compute_dtype)
+        x_in = x4
+        if cc_c is not None:
+            x_in = jnp.concatenate([x_in, cc_c.astype(compute_dtype)], -1)
+        raw = unet_forward(
+            unet_params, ucfg, x_in, t_vec, ctx_c, ch_c,
+            cross_kv=kv_c, t_add=t_add, pag_mid=True,
+        ).astype(jnp.float32)
+        return to_eps(raw, latent.astype(jnp.float32))
 
     def residuals(x4, t_vec):
         if control is None:
@@ -214,7 +236,11 @@ def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
             cross_kv=cross_kv, control_residuals=residuals(x4, t_vec),
             t_add=t_add,
         ).astype(jnp.float32)
-        return to_eps(raw, latent.astype(jnp.float32))
+        eps = to_eps(raw, latent.astype(jnp.float32))
+        if pag_scale:
+            eps_pert = pag_eps(ctx2, ch2, cross_kv, concat, t_vec)
+            eps = eps + pag_scale * (eps - eps_pert)
+        return eps
 
     # pair-batched CFG: [uncond | cond] in one UNet call
     x2 = jnp.concatenate([latent, latent], axis=0).astype(compute_dtype)
@@ -228,6 +254,13 @@ def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
     eps2 = to_eps(raw2, x2.astype(jnp.float32))
     eps_u, eps_c = jnp.split(eps2, 2, axis=0)
     eps = eps_u + (eps_c - eps_u) * guidance_scale
+    if pag_scale:
+        kv_c = (None if cross_kv is None else jax.tree_util.tree_map(
+            lambda a: a[n_batch:], cross_kv))
+        ch_c = None if ch2 is None else ch2[n_batch:]
+        cc_c = None if concat is None else concat[n_batch:]
+        eps_pert = pag_eps(ctx2[n_batch:], ch_c, kv_c, cc_c, t2[:n_batch])
+        eps = eps + pag_scale * (eps_c - eps_pert)
     if guidance_rescale > 0.0:
         axes = tuple(range(1, eps.ndim))
         std_c = jnp.std(eps_c, axis=axes, keepdims=True)
@@ -413,7 +446,7 @@ def _merge_ip(cross_kv, ip, cfg: DiffuserConfig, cond: Conditioning,
     jax.jit,
     static_argnames=("cfg", "step_start", "n_steps", "compute_dtype", "inpaint",
                      "use_cfg", "guidance_rescale", "control_cfg",
-                     "control_window", "deepcache"),
+                     "control_window", "deepcache", "pag_scale"),
     donate_argnames=("latent",),
 )
 def diffuse_latent(
@@ -440,6 +473,7 @@ def diffuse_latent(
     control_window: Tuple[float, float] = (0.0, 1.0),
     ip=None,
     deepcache: Optional[Tuple[int, int]] = None,
+    pag_scale: float = 0.0,
 ) -> jnp.ndarray:
     """DDIM loop as one lax.scan (diffuse_latent, mod.rs:390-483).
 
@@ -454,7 +488,15 @@ def diffuse_latent(
     every `interval`-th step runs the full UNet and caches the deep
     decoder feature; in-between steps recompute only the `branch`
     shallowest input/output blocks and splice the cache in (lax.cond
-    inside the same scan). interval=1 == off (identical math)."""
+    inside the same scan). interval=1 == off (identical math).
+
+    pag_scale > 0: Perturbed-Attention Guidance (see _cfg_eps); not
+    combinable with ControlNet or DeepCache (one extra cond-rows UNet
+    eval per step; the perturbed branch would need its own trunk run /
+    feature cache)."""
+    if pag_scale and (control_params is not None or deepcache is not None):
+        raise ValueError("pag_scale is not combinable with ControlNet or "
+                         "deepcache")
     # DDPM table length comes from the table itself; DiffuserConfig.n_steps
     # must agree (a loaded .cfg with a different table length is honored,
     # a mismatched one is an error rather than silently ignored).
@@ -530,7 +572,8 @@ def diffuse_latent(
                        compute_dtype, cross_kv, alpha,
                        use_cfg=use_cfg, guidance_rescale=guidance_rescale,
                        concat=cc, control=ctrl, control_cfg=control_cfg,
-                       control_kv=ctrl_kv, control_scale=cs)
+                       control_kv=ctrl_kv, control_scale=cs,
+                       pag_scale=pag_scale)
         sqrt_noise = jnp.sqrt(1.0 - alpha)
         x0 = (lat - eps * sqrt_noise) / jnp.sqrt(alpha)
         lat = x0 * jnp.sqrt(alpha_prev) + eps * jnp.sqrt(1.0 - alpha_prev)
@@ -790,7 +833,7 @@ def k_step_update(method: str, lat, denoised, old_denoised, sigma, sigma_next,
     static_argnames=(
         "cfg", "method", "step_start", "n_steps", "compute_dtype", "inpaint",
         "schedule", "use_cfg", "guidance_rescale", "control_cfg",
-        "control_window", "deepcache",
+        "control_window", "deepcache", "pag_scale",
     ),
     donate_argnames=("latent",),
 )
@@ -821,6 +864,7 @@ def k_diffuse_latent(
     step_keys: Optional[jnp.ndarray] = None,
     ip=None,
     deepcache: Optional[Tuple[int, int]] = None,
+    pag_scale: float = 0.0,
 ) -> jnp.ndarray:
     """k-diffusion samplers over the same ᾱ table the DDIM path uses.
 
@@ -860,6 +904,9 @@ def k_diffuse_latent(
     if schedule not in ("linear", "karras", "ays", "ays_sd15"):
         raise ValueError(
             f"unknown schedule {schedule!r} (linear|karras|ays|ays_sd15)")
+    if pag_scale and (control_params is not None or deepcache is not None):
+        raise ValueError("pag_scale is not combinable with ControlNet or "
+                         "deepcache")
     ts, sigmas = k_schedule(alphas_cumprod, step_start, n_steps, schedule)
 
     stochastic = method in K_STOCHASTIC
@@ -938,7 +985,8 @@ def k_diffuse_latent(
                        compute_dtype, cross_kv, 1.0 / (sigma**2 + 1.0),
                        use_cfg=use_cfg, guidance_rescale=guidance_rescale,
                        concat=cc, control=ctrl, control_cfg=control_cfg,
-                       control_kv=ctrl_kv, control_scale=cs)
+                       control_kv=ctrl_kv, control_scale=cs,
+                       pag_scale=pag_scale)
         denoised = lat - sigma * eps
         snoise = (_scan_normal(_scan_fold(k, 1), lat.shape)
                   if stochastic else None)
@@ -1151,6 +1199,7 @@ def euler_sample_latent(
     step_keys: Optional[jnp.ndarray] = None,
     ip=None,
     deepcache: Optional[Tuple[int, int]] = None,
+    pag_scale: float = 0.0,
 ) -> jnp.ndarray:
     """txt2img (+ optional inpainting) with a k-diffusion sampler.
 
@@ -1162,7 +1211,8 @@ def euler_sample_latent(
               else gen_noise(noise_key, cond)) * sigma_max
     ctl = dict(control_params=control_params, control_image=control_image,
                control_scale=control_scale, control_cfg=control_cfg,
-               control_window=control_window, ip=ip, deepcache=deepcache)
+               control_window=control_window, ip=ip, deepcache=deepcache,
+               pag_scale=pag_scale)
     if reference is not None:
         return k_diffuse_latent(
             unet_params, cfg, alphas_cumprod, latent, cond, guidance_scale,
@@ -1204,6 +1254,7 @@ def k_refine_latent(
     step_keys: Optional[jnp.ndarray] = None,
     ip=None,
     deepcache: Optional[Tuple[int, int]] = None,
+    pag_scale: float = 0.0,
 ) -> jnp.ndarray:
     """Refiner/img2img re-noise in sigma space: x = latent + σ_start·noise,
     then run the schedule tail (k-space analogue of mod.rs:355-376).
@@ -1228,7 +1279,7 @@ def k_refine_latent(
         control_params=control_params, control_image=control_image,
         control_scale=control_scale, control_cfg=control_cfg,
         control_window=control_window, step_keys=step_keys, ip=ip,
-        deepcache=deepcache,
+        deepcache=deepcache, pag_scale=pag_scale,
     )
 
 
@@ -1547,6 +1598,7 @@ def sample_latent(
     control_window: Tuple[float, float] = (0.0, 1.0),
     ip=None,
     deepcache: Optional[Tuple[int, int]] = None,
+    pag_scale: float = 0.0,
 ) -> jnp.ndarray:
     """txt2img (+ optional latent-mask inpainting) (mod.rs:316-353).
 
@@ -1557,7 +1609,8 @@ def sample_latent(
         noise_key, cond)
     ctl = dict(control_params=control_params, control_image=control_image,
                control_scale=control_scale, control_cfg=control_cfg,
-               control_window=control_window, ip=ip, deepcache=deepcache)
+               control_window=control_window, ip=ip, deepcache=deepcache,
+               pag_scale=pag_scale)
     if reference is not None:
         return diffuse_latent(
             unet_params, cfg, alphas_cumprod, latent, cond, guidance_scale,
@@ -1608,12 +1661,14 @@ def refine_latent(
     control_window: Tuple[float, float] = (0.0, 1.0),
     ip=None,
     deepcache: Optional[Tuple[int, int]] = None,
+    pag_scale: float = 0.0,
 ) -> jnp.ndarray:
     """Refiner stage: re-noise at t = n_train - step_start, run the schedule
     tail (refine_latent, mod.rs:355-376).
 
     noise overrides the key-derived re-noise (per-image seeds,
-    refiner_noise_per_seed)."""
+    refiner_noise_per_seed). pag_scale serves the img2img use of this
+    wrapper; the actual SDXL refiner stage rejects it (is_refiner)."""
     t = alphas_cumprod.shape[0] - step_start
     start_alpha = alphas_cumprod[t]
     if noise is None:
@@ -1629,6 +1684,7 @@ def refine_latent(
         control_params=control_params, control_image=control_image,
         control_scale=control_scale, control_cfg=control_cfg,
         control_window=control_window, ip=ip, deepcache=deepcache,
+        pag_scale=pag_scale,
     )
 
 
