@@ -8,6 +8,10 @@ Adds to BENCH_CONFIGS.json:
   deepcache_1024_i2b3_s   — 30-step DDIM + CFG with DeepCache interval 2 /
                             branch 3 (alternate steps skip the deep
                             transformers)
+  pag_1024_30steps_s      — 30-step DDIM + CFG + PAG 3.0 (one extra cond
+                            UNet eval per step: the quality-max config)
+  ays_1024_dpmpp10_s      — 10-step DPM++ 2M on the published AYS schedule
+                            (the low-step quality operating point)
 
 Weights are random (no public checkpoint here) — identical FLOPs/HBM
 traffic to real weights. Run on the real chip: python scripts/bench_r3_extras.py
@@ -78,8 +82,25 @@ def main():
 
     timed("deepcache_1024_i2b3_s", dc)
 
+    def pag(seed):
+        return pipe.txt2img(prompt, resolution=(1024, 1024), n_steps=30,
+                            guidance_scale=7.5, pag_scale=3.0,
+                            seed=seed, device_output=True,
+                            profile_stages=False)
+
+    timed("pag_1024_30steps_s", pag)
+
+    def ays10(seed):
+        return pipe.txt2img(prompt, resolution=(1024, 1024), n_steps=10,
+                            guidance_scale=7.5, sampler="dpmpp",
+                            schedule="ays", seed=seed, device_output=True,
+                            profile_stages=False)
+
+    timed("ays_1024_dpmpp10_s", ays10)
+
     print(json.dumps({k: RESULTS[k] for k in
-                      ("lcm_1024_4steps_s", "deepcache_1024_i2b3_s")}))
+                      ("lcm_1024_4steps_s", "deepcache_1024_i2b3_s",
+                       "pag_1024_30steps_s", "ays_1024_dpmpp10_s")}))
 
 
 if __name__ == "__main__":

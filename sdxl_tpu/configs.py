@@ -274,6 +274,64 @@ SD15_VAE_SCALE = 0.18215  # vs SDXL's 0.13025
 
 
 # ---------------------------------------------------------------------------
+# SD3 family (MMDiT, arXiv:2403.03206) — capability extension beyond the
+# reference's SDXL/SD1/SD2 surface. Hyperparameters follow the public
+# sd3-medium release (diffusers SD3Transformer2DModel config).
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class MMDiTConfig:
+    """Multimodal Diffusion Transformer (SD3's denoiser)."""
+
+    patch_size: int = 2
+    in_channels: int = 16
+    out_channels: int = 16
+    num_layers: int = 24
+    n_heads: int = 24
+    head_dim: int = 64  # hidden = n_heads * head_dim (sd3-medium: 1536)
+    # token-stream context width BEFORE the context_embedder projection
+    # (T5-XXL d_model; the CLIP 2048-wide half is zero-padded up to this)
+    joint_attention_dim: int = 4096
+    pooled_projection_dim: int = 2048  # CLIP-L (768) + CLIP-G (1280)
+    pos_embed_max_size: int = 192
+    # "rms" enables per-head RMS q/k normalization (SD3.5); sd3-medium
+    # ships without it
+    qk_norm: str = ""
+    # timestep sinusoid width before the MLP (diffusers Timesteps(256))
+    time_sinusoid_dim: int = 256
+
+    @property
+    def hidden(self) -> int:
+        return self.n_heads * self.head_dim
+
+
+@dataclass(frozen=True)
+class T5Config:
+    """T5 v1.1 encoder (gated-gelu). Defaults = T5-XXL (SD3's tokenizer_3
+    / text_encoder_3)."""
+
+    vocab_size: int = 32128
+    d_model: int = 4096
+    d_kv: int = 64
+    d_ff: int = 10240
+    n_heads: int = 64
+    n_layers: int = 24
+    relative_buckets: int = 32
+    relative_max_distance: int = 128
+    layer_norm_eps: float = 1e-6
+
+
+SD3_MEDIUM_MMDIT = MMDiTConfig()
+T5_XXL_CONFIG = T5Config()
+
+# SD3's 16-channel VAE: same conv topology as SDXL's, wider latent
+SD3_VAE_CONFIG_KW = dict(n_channels_out=32, latent_channels=16)
+SD3_VAE_SCALE = 1.5305
+SD3_VAE_SHIFT = 0.0609  # latent = (z - shift) * scale at encode
+SD3_FLOW_SHIFT = 3.0  # flow-matching timestep shift (sd3-medium default)
+
+
+# ---------------------------------------------------------------------------
 # burn .cfg JSON interop
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,107 @@
+"""SD3 family: flow-matching scheduler goldens + MMDiT sampling loop.
+
+Schedule/step/noising math is pinned against a literal torch
+transcription of diffusers' FlowMatchEulerDiscreteScheduler
+(scripts/gen_fm_goldens.py -> goldens/k_samplers/fm_goldens.npz).
+"""
+
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdxl_tpu.models.mmdit import init_mmdit
+from sdxl_tpu.pipeline.flow_match import (
+    fm_add_noise,
+    fm_diffuse_latent,
+    fm_schedule,
+    fm_window,
+)
+from tests.test_mmdit import TINY
+
+GOLDENS = (
+    pathlib.Path(__file__).resolve().parent.parent
+    / "goldens"
+    / "k_samplers"
+    / "fm_goldens.npz"
+)
+
+
+@pytest.fixture(scope="module")
+def g():
+    return np.load(GOLDENS)
+
+
+def synth_model(x, t):
+    # must match scripts/gen_fm_goldens.py::synth_model
+    return np.cos(x * 1.3) * 0.7 - 0.2 * x * t / 1000.0
+
+
+def test_fm_schedule_matches_transcription(g):
+    ts, sig = fm_schedule(8, shift=3.0)
+    np.testing.assert_allclose(ts, g["ts8"], rtol=1e-6)
+    np.testing.assert_allclose(sig, g["sig8"], rtol=1e-6, atol=1e-8)
+    ts5, sig5 = fm_schedule(4, shift=5.0)
+    np.testing.assert_allclose(ts5, g["ts4_s5"], rtol=1e-6)
+    np.testing.assert_allclose(sig5, g["sig4_s5"], rtol=1e-6, atol=1e-8)
+    # sigma_max = 1 is a fixed point of the shift: pure noise at the start
+    assert sig[0] == 1.0 and sig[-1] == 0.0
+
+
+def test_fm_trajectory_matches_transcription(g):
+    ts, sig = fm_schedule(8, shift=3.0)
+    x = g["x0"].copy()
+    traj = [x.copy()]
+    for i in range(8):
+        v = synth_model(x, float(ts[i]))
+        x = x + (sig[i + 1] - sig[i]) * v
+        traj.append(x.copy())
+    np.testing.assert_allclose(np.stack(traj), g["traj"], rtol=2e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(x, g["final"], rtol=2e-5, atol=1e-6)
+
+
+def test_fm_add_noise_matches_transcription(g):
+    out = fm_add_noise(jnp.asarray(g["clean"]), jnp.asarray(g["nz"]),
+                       float(g["noised_sigma"]))
+    np.testing.assert_allclose(np.asarray(out), g["noised"], rtol=1e-6,
+                               atol=1e-7)
+
+
+def test_fm_window():
+    assert fm_window(28, 1.0) == 0
+    assert fm_window(28, 0.5) == 14
+    assert fm_window(10, 0.34) == 7
+    assert fm_window(10, 0.0) == 10  # degenerate: zero steps run
+
+
+def test_fm_diffuse_latent_e2e():
+    params = init_mmdit(jax.random.PRNGKey(0), TINY, jnp.float32)
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 16))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 11, 48))  # [u | c]
+    pooled = jax.random.normal(jax.random.PRNGKey(3), (2, 40))
+    out = fm_diffuse_latent(params, TINY, lat.copy(), ctx, pooled, 5.0,
+                            n_steps=4, compute_dtype=jnp.float32)
+    assert out.shape == (1, 8, 8, 16)
+    assert np.isfinite(np.asarray(out)).all()
+    out2 = fm_diffuse_latent(params, TINY, lat.copy(), ctx, pooled, 5.0,
+                             n_steps=4, compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+    # gs=1 CFG == cond-only path (u + (c-u)*1 == c), up to f32 rounding
+    cond_only = fm_diffuse_latent(params, TINY, lat.copy(), ctx[1:],
+                                  pooled[1:], 1.0, n_steps=4,
+                                  compute_dtype=jnp.float32, use_cfg=False)
+    cfg1 = fm_diffuse_latent(params, TINY, lat.copy(), ctx, pooled, 1.0,
+                             n_steps=4, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(cfg1), np.asarray(cond_only),
+                               rtol=1e-4, atol=1e-5)
+
+    # img2img window: start_index > 0 runs the schedule tail
+    tail = fm_diffuse_latent(params, TINY, lat.copy(), ctx, pooled, 5.0,
+                             n_steps=4, compute_dtype=jnp.float32,
+                             start_index=2)
+    assert np.isfinite(np.asarray(tail)).all()
+    assert not np.allclose(np.asarray(tail), np.asarray(out))
