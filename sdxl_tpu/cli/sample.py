@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -61,9 +62,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--random-weights", action="store_true",
                    help="Run with random weights (pipeline bring-up)")
     p.add_argument("--family", type=str, default="sdxl",
-                   choices=["sdxl", "sd1", "sd2"],
-                   help="Model family: SDXL (reference parity) or the "
-                        "SD 1.x / 2.x architecture (diffusers checkpoints)")
+                   choices=["sdxl", "sd1", "sd2", "sd3"],
+                   help="Model family: SDXL (reference parity), the "
+                        "SD 1.x / 2.x UNet architecture, or SD3 (MMDiT + "
+                        "flow matching; diffusers checkpoints, txt2img/"
+                        "img2img surface)")
+    p.add_argument("--no-t5", action="store_true",
+                   help="SD3: drop the T5-XXL tower (its token block "
+                        "becomes zeros — the public pipeline's "
+                        "memory-saving mode)")
     p.add_argument("--f32", action="store_true",
                    help="Run the UNet in float32 instead of bfloat16")
     p.add_argument("--vae-bf16", action="store_true",
@@ -200,6 +207,98 @@ def pipe_min_layers(pipe) -> int:
     return cfg.n_layer
 
 
+def _run_sd3(args, dtype) -> int:
+    """SD3 family path (MMDiT + flow matching): txt2img / img2img.
+
+    The SD3 surface intentionally excludes the UNet families' knobs —
+    sampler choices (flow-matching Euler is the SD3 scheduler), refiner,
+    inpaint crops, ControlNet/IP-Adapter/LoRA/FreeU/DeepCache/PAG/
+    previews/hires — unsupported flags error instead of being ignored."""
+    import numpy as np
+
+    from ..io.images import load_images, save_images
+    from ..utils import log
+
+    unsupported = [
+        ("--use-refiner", args.use_refiner),
+        ("--sampler", args.sampler != "ddim"),
+        ("--schedule", args.schedule != "linear"),
+        ("--controlnet", bool(args.controlnet)),
+        ("--ip-adapter", args.ip_adapter is not None),
+        ("--lora", bool(args.lora)),
+        ("--freeu", args.freeu is not None),
+        ("--deepcache", args.deepcache is not None),
+        ("--pag-scale", bool(args.pag_scale)),
+        ("--preview-every", bool(args.preview_every)),
+        ("--hires-scale", args.hires_scale is not None),
+        ("--embedding", bool(args.embedding)),
+        ("--crop-left/right/top/bottom", any(
+            v is not None for v in (args.crop_left, args.crop_right,
+                                    args.crop_top, args.crop_bottom))),
+        ("--guidance-rescale", bool(args.guidance_rescale)),
+        ("--clip-skip", bool(args.clip_skip)),
+        ("--dp/--tp", args.dp is not None or args.tp is not None),
+    ]
+    bad = [name for name, hit in unsupported if hit]
+    if bad:
+        print(f"error: {', '.join(bad)} not supported with --family sd3",
+              file=sys.stderr)
+        return 1
+
+    from ..pipeline.sd3 import load_sd3_pipeline, random_sd3_pipeline
+
+    if args.random_weights or args.model_dir is None:
+        if not args.random_weights:
+            print("error: --model-dir is required (or --random-weights)",
+                  file=sys.stderr)
+            return 1
+        pipe = random_sd3_pipeline(compute_dtype=dtype,
+                                   tokenizer_dir=args.tokenizer_dir)
+    else:
+        try:
+            pipe = load_sd3_pipeline(args.model_dir, dtype,
+                                     args.tokenizer_dir,
+                                     load_t5=not args.no_t5)
+        except (KeyError, FileNotFoundError, ValueError) as e:
+            print(f"error: failed to load checkpoint from "
+                  f"{args.model_dir}: {e}", file=sys.stderr)
+            return 1
+
+    prompts = (args.prompt if len(args.prompt) > 1
+               else [args.prompt[0]] * args.batch)
+    t0 = time.perf_counter()
+    if args.reference_img is not None:
+        if args.img2img_strength is None:
+            print("error: SD3 inpainting is not supported; use "
+                  "--img2img-strength for img2img", file=sys.stderr)
+            return 1
+        ref = load_images([args.reference_img])
+        if len(prompts) > 1:
+            ref = np.repeat(ref, len(prompts), axis=0)
+        images = pipe.img2img(
+            prompts, ref, strength=args.img2img_strength,
+            n_steps=args.n_diffusion_steps,
+            guidance_scale=args.unconditional_guidance_scale,
+            seed=args.seed, negative_prompt=args.negative_prompt,
+            no_cfg=args.no_cfg,
+        )
+    else:
+        images = pipe.txt2img(
+            prompts, resolution=(args.height, args.width),
+            n_steps=args.n_diffusion_steps,
+            guidance_scale=args.unconditional_guidance_scale,
+            seed=args.seed, negative_prompt=args.negative_prompt,
+            no_cfg=args.no_cfg,
+        )
+    total = time.perf_counter() - t0
+    paths = save_images(np.asarray(images), args.output_dir)
+    log(f"saved: {paths}")
+    log(pipe.timer.summary())
+    log(f"throughput: {60.0 * len(prompts) / total:.2f} images/min "
+        f"(p50-equivalent latency {total / len(prompts):.2f}s/image)")
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -228,6 +327,9 @@ def main(argv=None) -> int:
         print("error: --lora requires a real checkpoint (--model-dir)",
               file=sys.stderr)
         return 1
+
+    if args.family == "sd3":
+        return _run_sd3(args, dtype)
 
     if args.family in ("sd1", "sd2"):
         from ..configs import (
