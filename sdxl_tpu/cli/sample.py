@@ -237,7 +237,6 @@ def _run_sd3(args, dtype) -> int:
                                     args.crop_top, args.crop_bottom))),
         ("--guidance-rescale", bool(args.guidance_rescale)),
         ("--clip-skip", bool(args.clip_skip)),
-        ("--dp/--tp", args.dp is not None or args.tp is not None),
     ]
     bad = [name for name, hit in unsupported if hit]
     if bad:
@@ -263,6 +262,8 @@ def _run_sd3(args, dtype) -> int:
             print(f"error: failed to load checkpoint from "
                   f"{args.model_dir}: {e}", file=sys.stderr)
             return 1
+    if args.dp is not None or args.tp is not None:
+        pipe.shard(args.dp, args.tp)
 
     prompts = (args.prompt if len(args.prompt) > 1
                else [args.prompt[0]] * args.batch)

@@ -75,6 +75,26 @@ _TP_RULES: Sequence = (
     (re.compile(r"\.attn\d?\.out\.w$"), P(MODEL_AXIS, None), "attn_row"),
     (re.compile(r"\.mlp\.fc2\.w$"), P(MODEL_AXIS, None), None),
     (re.compile(r"\.mlp\.lin\.w$"), P(MODEL_AXIS, None), None),
+    # --- MMDiT (SD3, models/mmdit.py) joint-attention + dual-stream MLPs:
+    # per-stream q/k/v column-parallel (24 heads x 64 — head-aligned for
+    # any power-of-two tp), out projections row-parallel, adaLN modulation
+    # linears replicated (tiny next to attention/MLP)
+    (re.compile(
+        r"\.attn\.(to_q|to_k|to_v|add_q_proj|add_k_proj|add_v_proj)\.w$"),
+     P(None, MODEL_AXIS), "attn_col"),
+    (re.compile(
+        r"\.attn\.(to_q|to_k|to_v|add_q_proj|add_k_proj|add_v_proj)\.b$"),
+     P(MODEL_AXIS), "attn_col"),
+    (re.compile(r"\.attn\.(to_out|to_add_out)\.w$"),
+     P(MODEL_AXIS, None), "attn_row"),
+    (re.compile(r"\.mlp(_context)?\.in\.w$"), P(None, MODEL_AXIS), None),
+    (re.compile(r"\.mlp(_context)?\.in\.b$"), P(MODEL_AXIS), None),
+    (re.compile(r"\.mlp(_context)?\.out\.w$"), P(MODEL_AXIS, None), None),
+    # --- T5 encoder (models/t5.py): q/k/v already match the first rule;
+    # o row-parallel, gated FFN column/row (all bias-free)
+    (re.compile(r"\.attn\.o\.w$"), P(MODEL_AXIS, None), "attn_row"),
+    (re.compile(r"\.ffn\.wi_[01]\.w$"), P(None, MODEL_AXIS), None),
+    (re.compile(r"\.ffn\.wo\.w$"), P(MODEL_AXIS, None), None),
 )
 
 

@@ -89,6 +89,42 @@ class SD3Pipeline:
     compute_dtype: jnp.dtype = jnp.bfloat16
     timer: StageTimer = field(default_factory=StageTimer)
 
+    # (data, model) mesh set by .shard(); None = single device
+    mesh: Optional[object] = None
+
+    def shard(self, n_data: Optional[int] = None,
+              n_model: Optional[int] = None,
+              tensor_parallel: bool = True):
+        """Place the SD3 pipeline on a (data, model) mesh
+        (parallel/mesh.py): MMDiT joint-attention/MLP linears
+        tensor-parallel over the model axis (24 heads x 64 — head-aligned
+        for any power-of-two tp), T5 likewise, CLIP towers per their head
+        geometry, VAE replicated. XLA GSPMD inserts all ICI collectives."""
+        from ..parallel.mesh import make_mesh, shard_params
+
+        mesh = make_mesh(n_data, n_model)
+        self.mesh = mesh
+        self.mmdit_params = shard_params(
+            self.mmdit_params, mesh, tensor_parallel,
+            head_channels=self.mmdit_cfg.head_dim,
+            fixed_heads=self.mmdit_cfg.n_heads,
+        )
+        if self.t5_params is not None:
+            self.t5_params = shard_params(
+                self.t5_params, mesh, tensor_parallel,
+                head_channels=self.t5_cfg.d_kv,
+                fixed_heads=self.t5_cfg.n_heads,
+            )
+        self.clip_l_params = shard_params(
+            self.clip_l_params, mesh, tensor_parallel,
+            fixed_heads=self.clip_l_cfg.n_head)
+        self.clip_g_params = shard_params(
+            self.clip_g_params, mesh, tensor_parallel,
+            fixed_heads=self.clip_g_cfg.n_head)
+        self.vae_params = shard_params(self.vae_params, mesh, False)
+        log(f"sd3 pipeline sharded over mesh {dict(mesh.shape)}")
+        return mesh
+
     # ------------------------------------------------------------------
     def _ids77(self, tokenizer, texts, n_ctx):
         from ..tokenizer.bpe import tokenize_text
