@@ -297,8 +297,16 @@ class MMDiTConfig:
     # "rms" enables per-head RMS q/k normalization (SD3.5); sd3-medium
     # ships without it
     qk_norm: str = ""
+    # SD3.5-medium: block indices with an EXTRA plain self-attention on
+    # the latent stream (attn2) driven by a 9-way adaLN modulation
+    # (diffusers dual_attention_layers; empty for sd3-medium/3.5-large)
+    dual_attention_layers: Tuple[int, ...] = ()
     # timestep sinusoid width before the MLP (diffusers Timesteps(256))
     time_sinusoid_dim: int = 256
+
+    def __post_init__(self):
+        object.__setattr__(self, "dual_attention_layers",
+                           tuple(self.dual_attention_layers))
 
     @property
     def hidden(self) -> int:

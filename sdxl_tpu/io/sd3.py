@@ -91,6 +91,14 @@ def mmdit_config_from_dir(tdir: str, tensors: Dict[str, np.ndarray]
             tensors["time_text_embed.timestep_embedder.linear_1.weight"]
             .shape[1]
         ),
+        # SD3.5-medium: blocks with an extra latent-stream self-attention
+        dual_attention_layers=tuple(
+            cfgj.get(
+                "dual_attention_layers",
+                [i for i in range(n_layers)
+                 if f"transformer_blocks.{i}.attn2.to_q.weight" in tensors],
+            )
+        ),
     )
 
 
@@ -152,6 +160,17 @@ def build_mmdit_from_diffusers(
                 "out": b.linear("ff.net.2", cast),
             },
         }
+        if i in cfg.dual_attention_layers:
+            attn2 = {
+                "to_q": b.linear("attn2.to_q", cast),
+                "to_k": b.linear("attn2.to_k", cast),
+                "to_v": b.linear("attn2.to_v", cast),
+                "to_out": b.linear("attn2.to_out.0", cast),
+            }
+            if cfg.qk_norm == "rms":
+                for nm in ("norm_q", "norm_k"):
+                    attn2[nm] = {"w": cast(b.get(f"attn2.{nm}.weight"))}
+            blk["attn2"] = attn2
         if not pre_only:
             blk["mlp_context"] = {
                 "in": b.linear("ff_context.net.0.proj", cast),

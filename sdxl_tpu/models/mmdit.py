@@ -155,8 +155,29 @@ def _mlp(p, x):
     return linear(p["out"], jax.nn.gelu(linear(p["in"], x), approximate=True))
 
 
-def _joint_block(p, x, c, temb, cfg: MMDiTConfig, pre_only: bool):
-    sh, sc, g, sh2, sc2, g2 = _ada_zero(p["norm1"]["mod"], temb)
+def _self_attention(p, x, cfg: MMDiTConfig):
+    """Plain latent-stream self-attention — SD3.5-medium's attn2."""
+    n_head = cfg.n_heads
+    q = linear(p["to_q"], x)
+    k = linear(p["to_k"], x)
+    v = linear(p["to_v"], x)
+    if cfg.qk_norm == "rms":
+        q = _rms_head(_split_heads(q, n_head), p["norm_q"]["w"]).reshape(q.shape)
+        k = _rms_head(_split_heads(k, n_head), p["norm_k"]["w"]).reshape(k.shape)
+    return linear(p["to_out"], qkv_attention(q, k, v, None, n_head))
+
+
+def _joint_block(p, x, c, temb, cfg: MMDiTConfig, pre_only: bool,
+                 dual: bool = False):
+    if dual:
+        # SD35AdaLayerNormZeroX: 9-way chunk — the joint attention's
+        # shift/scale/gate, the MLP's, then the EXTRA self-attention's
+        m = linear(p["norm1"]["mod"], jax.nn.silu(temb))
+        (sh, sc, g, sh2, sc2, g2,
+         sh_a2, sc_a2, g_a2) = jnp.split(m, 9, axis=-1)
+        nx_a2 = _ln_nomod(x) * (1 + sc_a2[:, None]) + sh_a2[:, None]
+    else:
+        sh, sc, g, sh2, sc2, g2 = _ada_zero(p["norm1"]["mod"], temb)
     nx = _ln_nomod(x) * (1 + sc[:, None]) + sh[:, None]
     if pre_only:
         # AdaLayerNormContinuous: 2-way chunk, SCALE first
@@ -170,6 +191,8 @@ def _joint_block(p, x, c, temb, cfg: MMDiTConfig, pre_only: bool):
 
     ax, ac = _joint_attention(p["attn"], nx, nc, cfg, pre_only)
     x = x + g[:, None] * ax
+    if dual:
+        x = x + g_a2[:, None] * _self_attention(p["attn2"], nx_a2, cfg)
     nx2 = _ln_nomod(x) * (1 + sc2[:, None]) + sh2[:, None]
     x = x + g2[:, None] * _mlp(p["mlp"], nx2)
     if pre_only:
@@ -218,7 +241,8 @@ def mmdit_forward(
 
     n = len(params["blocks"])
     for i, blk in enumerate(params["blocks"]):
-        tokens, c = _joint_block(blk, tokens, c, temb, cfg, i == n - 1)
+        tokens, c = _joint_block(blk, tokens, c, temb, cfg, i == n - 1,
+                                 dual=i in cfg.dual_attention_layers)
 
     # final AdaLayerNormContinuous (SCALE first) + projection
     m = linear(params["norm_out"]["mod"], jax.nn.silu(temb))
@@ -245,9 +269,10 @@ def _dense(key, d_in, d_out, dtype, scale=0.02):
     }
 
 
-def _init_block(key, cfg: MMDiTConfig, dtype, pre_only: bool):
+def _init_block(key, cfg: MMDiTConfig, dtype, pre_only: bool,
+                dual: bool = False):
     hdim = cfg.hidden
-    ks = iter(jax.random.split(key, 16))
+    ks = iter(jax.random.split(key, 22))
     attn = {
         "to_q": _dense(next(ks), hdim, hdim, dtype),
         "to_k": _dense(next(ks), hdim, hdim, dtype),
@@ -263,7 +288,8 @@ def _init_block(key, cfg: MMDiTConfig, dtype, pre_only: bool):
         for nm in ("norm_q", "norm_k", "norm_added_q", "norm_added_k"):
             attn[nm] = {"w": jnp.ones((cfg.head_dim,), dtype)}
     p = {
-        "norm1": {"mod": _dense(next(ks), hdim, 6 * hdim, dtype)},
+        "norm1": {"mod": _dense(next(ks), hdim,
+                                (9 if dual else 6) * hdim, dtype)},
         "norm1_context": {
             "mod": _dense(next(ks), hdim,
                           (2 if pre_only else 6) * hdim, dtype)
@@ -274,6 +300,17 @@ def _init_block(key, cfg: MMDiTConfig, dtype, pre_only: bool):
             "out": _dense(next(ks), 4 * hdim, hdim, dtype),
         },
     }
+    if dual:
+        attn2 = {
+            "to_q": _dense(next(ks), hdim, hdim, dtype),
+            "to_k": _dense(next(ks), hdim, hdim, dtype),
+            "to_v": _dense(next(ks), hdim, hdim, dtype),
+            "to_out": _dense(next(ks), hdim, hdim, dtype),
+        }
+        if cfg.qk_norm == "rms":
+            for nm in ("norm_q", "norm_k"):
+                attn2[nm] = {"w": jnp.ones((cfg.head_dim,), dtype)}
+        p["attn2"] = attn2
     if not pre_only:
         p["mlp_context"] = {
             "in": _dense(next(ks), hdim, 4 * hdim, dtype),
@@ -302,7 +339,8 @@ def init_mmdit(key, cfg: MMDiTConfig, dtype=jnp.float32):
         "context_embedder": _dense(next(ks), cfg.joint_attention_dim, hdim,
                                    dtype),
         "blocks": [
-            _init_block(next(ks), cfg, dtype, i == cfg.num_layers - 1)
+            _init_block(next(ks), cfg, dtype, i == cfg.num_layers - 1,
+                        dual=i in cfg.dual_attention_layers)
             for i in range(cfg.num_layers)
         ],
         "norm_out": {"mod": _dense(next(ks), hdim, 2 * hdim, dtype)},

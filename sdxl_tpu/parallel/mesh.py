@@ -80,12 +80,12 @@ _TP_RULES: Sequence = (
     # any power-of-two tp), out projections row-parallel, adaLN modulation
     # linears replicated (tiny next to attention/MLP)
     (re.compile(
-        r"\.attn\.(to_q|to_k|to_v|add_q_proj|add_k_proj|add_v_proj)\.w$"),
+        r"\.attn2?\.(to_q|to_k|to_v|add_q_proj|add_k_proj|add_v_proj)\.w$"),
      P(None, MODEL_AXIS), "attn_col"),
     (re.compile(
-        r"\.attn\.(to_q|to_k|to_v|add_q_proj|add_k_proj|add_v_proj)\.b$"),
+        r"\.attn2?\.(to_q|to_k|to_v|add_q_proj|add_k_proj|add_v_proj)\.b$"),
      P(MODEL_AXIS), "attn_col"),
-    (re.compile(r"\.attn\.(to_out|to_add_out)\.w$"),
+    (re.compile(r"\.attn2?\.(to_out|to_add_out)\.w$"),
      P(MODEL_AXIS, None), "attn_row"),
     (re.compile(r"\.mlp(_context)?\.in\.w$"), P(None, MODEL_AXIS), None),
     (re.compile(r"\.mlp(_context)?\.in\.b$"), P(MODEL_AXIS), None),

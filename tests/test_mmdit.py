@@ -87,10 +87,29 @@ def torch_attention(ap, nx, nc, cfg, pre_only):
     return out_x, out_c
 
 
+def torch_self_attn(ap, nx, cfg):
+    n_head = cfg.n_heads
+
+    def heads(x):
+        b, l, d = x.shape
+        return x.view(b, l, n_head, d // n_head).transpose(1, 2)
+
+    q, k, v = (lin(ap[nm], nx) for nm in ("to_q", "to_k", "to_v"))
+    att = F.scaled_dot_product_attention(heads(q), heads(k), heads(v))
+    return lin(ap["to_out"], att.transpose(1, 2).reshape(q.shape))
+
+
 def torch_block(p, x, c, temb, cfg, pre_only):
     hdim = cfg.hidden
+    dual = "attn2" in p
     mod = lin(p["norm1"]["mod"], F.silu(temb))
-    sh, sc, g, sh2, sc2, g2 = mod.chunk(6, dim=-1)
+    if dual:
+        # SD35AdaLayerNormZeroX: 9-way chunk (attn, mlp, attn2)
+        sh, sc, g, sh2, sc2, g2, sh_a2, sc_a2, g_a2 = mod.chunk(9, dim=-1)
+        nx_a2 = (F.layer_norm(x, (hdim,), eps=1e-6) * (1 + sc_a2[:, None])
+                 + sh_a2[:, None])
+    else:
+        sh, sc, g, sh2, sc2, g2 = mod.chunk(6, dim=-1)
     nx = F.layer_norm(x, (hdim,), eps=1e-6) * (1 + sc[:, None]) + sh[:, None]
     if pre_only:
         cmod = lin(p["norm1_context"]["mod"], F.silu(temb))
@@ -105,6 +124,8 @@ def torch_block(p, x, c, temb, cfg, pre_only):
 
     ax, ac = torch_attention(p["attn"], nx, nc, cfg, pre_only)
     x = x + g[:, None] * ax
+    if dual:
+        x = x + g_a2[:, None] * torch_self_attn(p["attn2"], nx_a2, cfg)
     nx2 = (F.layer_norm(x, (hdim,), eps=1e-6) * (1 + sc2[:, None])
            + sh2[:, None])
     x = x + g2[:, None] * lin(
@@ -173,6 +194,24 @@ def test_mmdit_matches_torch_mirror(setup):
                       jnp.asarray(ctx), jnp.asarray(pooled))
     )
     ref = torch_mmdit(jax.tree_util.tree_map(np.asarray, params), TINY, x,
+                      ts, ctx, pooled)
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_mmdit_dual_attention_matches_torch_mirror(setup):
+    """SD3.5-medium's dual-attention blocks (extra latent-stream
+    self-attention with a 9-way adaLN chunk) vs the torch mirror."""
+    _, x, ts, ctx, pooled = setup
+    cfg = MMDiTConfig(**{**TINY.__dict__, "dual_attention_layers": (0, 1)})
+    params = init_mmdit(jax.random.PRNGKey(5), cfg, jnp.float32)
+    assert "attn2" in params["blocks"][0] and "attn2" in params["blocks"][1]
+    assert "attn2" not in params["blocks"][2]
+    assert params["blocks"][0]["norm1"]["mod"]["w"].shape[1] == 9 * cfg.hidden
+    ours = np.asarray(
+        mmdit_forward(params, cfg, jnp.asarray(x), jnp.asarray(ts),
+                      jnp.asarray(ctx), jnp.asarray(pooled))
+    )
+    ref = torch_mmdit(jax.tree_util.tree_map(np.asarray, params), cfg, x,
                       ts, ctx, pooled)
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
 

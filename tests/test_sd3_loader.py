@@ -69,6 +69,14 @@ def make_diffusers_mmdit_dict(cfg: MMDiTConfig, params):
         for nm in ("norm_q", "norm_k", "norm_added_q", "norm_added_k"):
             if nm in a:
                 d[f"{pre}.attn.{nm}.weight"] = np.asarray(a[nm]["w"])
+        if "attn2" in blk:
+            a2 = blk["attn2"]
+            for nm in ("to_q", "to_k", "to_v"):
+                inv_linear(d, f"{pre}.attn2.{nm}", a2[nm])
+            inv_linear(d, f"{pre}.attn2.to_out.0", a2["to_out"])
+            for nm in ("norm_q", "norm_k"):
+                if nm in a2:
+                    d[f"{pre}.attn2.{nm}.weight"] = np.asarray(a2[nm]["w"])
         inv_linear(d, f"{pre}.ff.net.0.proj", blk["mlp"]["in"])
         inv_linear(d, f"{pre}.ff.net.2", blk["mlp"]["out"])
         if "mlp_context" in blk:
@@ -112,6 +120,22 @@ def test_mmdit_qknorm_roundtrip(tmp_path):
         d, MMDiTConfig(**{**detected.__dict__, "head_dim": 8,
                           "n_heads": 4, "pos_embed_max_size": 16}),
         jnp.float32)
+    assert_trees_close(params, loaded)
+
+
+def test_mmdit_dual_attention_roundtrip(tmp_path):
+    """SD3.5-medium layout: attn2 + 9-way norm1 detected and loaded."""
+    cfg = MMDiTConfig(**{**TINY_MMDIT.__dict__,
+                         "dual_attention_layers": (0,)})
+    params = init_mmdit(jax.random.PRNGKey(3), cfg, jnp.float32)
+    d = make_diffusers_mmdit_dict(cfg, params)
+    # attn2 keys use the diffusers to_out.0 name
+    assert "transformer_blocks.0.attn2.to_q.weight" in d
+    detected = mmdit_config_from_dir(str(tmp_path), d)
+    assert detected.dual_attention_layers == (0,)
+    loaded = build_mmdit_from_diffusers(
+        d, MMDiTConfig(**{**detected.__dict__, "head_dim": 8, "n_heads": 4,
+                          "pos_embed_max_size": 16}), jnp.float32)
     assert_trees_close(params, loaded)
 
 
