@@ -87,6 +87,10 @@ _TP_RULES: Sequence = (
      P(MODEL_AXIS), "attn_col"),
     (re.compile(r"\.attn2?\.(to_out|to_add_out)\.w$"),
      P(MODEL_AXIS, None), "attn_row"),
+    # fused MMDiT context-stream projections (fuse_mmdit_qkv); the
+    # latent-stream .qkv already matches the UNet fused rule above
+    (re.compile(r"\.attn2?\.add_qkv\.w$"), P(None, MODEL_AXIS),
+     "attn_qkv"),
     (re.compile(r"\.mlp(_context)?\.in\.w$"), P(None, MODEL_AXIS), None),
     (re.compile(r"\.mlp(_context)?\.in\.b$"), P(MODEL_AXIS), None),
     (re.compile(r"\.mlp(_context)?\.out\.w$"), P(MODEL_AXIS, None), None),

@@ -249,3 +249,28 @@ def test_mmdit_resolution_flexibility(setup):
                             jnp.asarray(ctx), jnp.asarray(pooled))
         assert out.shape == (2, h, w, 16)
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fuse_mmdit_qkv_exact(setup):
+    """Fused per-stream qkv projections == the separate ones (column
+    blocks of a matmul are independent), incl. dual-attention blocks."""
+    from sdxl_tpu.models.mmdit import fuse_mmdit_qkv
+
+    _, x, ts, ctx, pooled = setup
+    cfg = MMDiTConfig(**{**TINY.__dict__, "dual_attention_layers": (1,)})
+    params = init_mmdit(jax.random.PRNGKey(8), cfg, jnp.float32)
+    base = mmdit_forward(params, cfg, jnp.asarray(x), jnp.asarray(ts),
+                         jnp.asarray(ctx), jnp.asarray(pooled))
+    fused = fuse_mmdit_qkv(params)
+    assert "qkv" in fused["blocks"][0]["attn"]
+    assert "add_qkv" in fused["blocks"][0]["attn"]
+    assert "qkv" in fused["blocks"][1]["attn2"]
+    out = mmdit_forward(fused, cfg, jnp.asarray(x), jnp.asarray(ts),
+                        jnp.asarray(ctx), jnp.asarray(pooled))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               rtol=2e-5, atol=2e-6)
+    # idempotent
+    refused = fuse_mmdit_qkv(fused)
+    out2 = mmdit_forward(refused, cfg, jnp.asarray(x), jnp.asarray(ts),
+                         jnp.asarray(ctx), jnp.asarray(pooled))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
