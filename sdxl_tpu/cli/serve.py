@@ -237,7 +237,12 @@ class GenerationServer:
             import numpy as np
 
             seeds = [r.seed for r in batch]
-            if batch[0].crop is not None or batch[0].mask_image is not None:
+            if not hasattr(self.pipe, "diffuser_cfg"):
+                # SD3 family (pipeline/sd3.py): narrower surface — flow
+                # matching is the only scheduler; same fused-batch
+                # per-image-seed contract as the UNet families
+                images = self._generate_sd3(batch, cfg, seeds)
+            elif batch[0].crop is not None or batch[0].mask_image is not None:
                 images = self._inpaint_one(batch[0], cfg)
             elif batch[0].image is not None:
                 images = self.pipe.img2img(
@@ -297,6 +302,37 @@ class GenerationServer:
                 self.latencies = self.latencies[-256:]
             for r in batch:
                 r.done.set()
+
+    def _generate_sd3(self, batch, cfg: GenConfig, seeds):
+        import numpy as np
+
+        if cfg.sampler != "ddim" or cfg.schedule != "linear":
+            raise ValueError("SD3 uses flow-matching Euler; per-request "
+                             "sampler/schedule do not apply")
+        if cfg.guidance_rescale or cfg.pag_scale:
+            raise ValueError("guidance_rescale/pag_scale do not apply to "
+                             "the SD3 family")
+        r0 = batch[0]
+        if r0.crop is not None or r0.mask_image is not None:
+            raise ValueError("inpaint is not supported for --family sd3")
+        if r0.control_image is not None or r0.ip_image is not None:
+            raise ValueError("controlnet/ip-adapter are not supported for "
+                             "--family sd3")
+        if r0.image is not None:  # solo img2img
+            return self.pipe.img2img(
+                r0.prompt, np.asarray(r0.image)[None],
+                strength=r0.strength, n_steps=cfg.steps,
+                guidance_scale=cfg.guidance_scale, seed=r0.seed,
+                negative_prompt=cfg.negative_prompt,
+            )
+        return self.pipe.txt2img(
+            [r.prompt for r in batch],
+            resolution=(cfg.height, cfg.width),
+            n_steps=cfg.steps,
+            guidance_scale=cfg.guidance_scale,
+            seed=seeds,
+            negative_prompt=cfg.negative_prompt,
+        )
 
     def _inpaint_one(self, r: GenRequest, cfg: GenConfig):
         """Dispatch one inpaint request: crop-window variant goes through
@@ -504,7 +540,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model-dir", type=str, default=None)
     p.add_argument("--random-weights", action="store_true")
     p.add_argument("--family", type=str, default="sdxl",
-                   choices=["sdxl", "sd1", "sd2"])
+                   choices=["sdxl", "sd1", "sd2", "sd3"])
     p.add_argument("--tokenizer-dir", type=str, default=None)
     p.add_argument("--embedding", action="append", default=[],
                    help="Textual-inversion embedding file PATH[:word] "
@@ -544,6 +580,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Data-parallel mesh axis size (multi-chip)")
     p.add_argument("--tp", type=int, default=None,
                    help="Tensor-parallel mesh axis size (multi-chip)")
+    p.add_argument("--no-t5", action="store_true",
+                   help="SD3: drop the T5-XXL tower (its token block "
+                        "becomes zeros — the public pipeline's "
+                        "memory-saving mode)")
     p.add_argument("--no-warmup", action="store_true",
                    help="Skip the compile-at-boot generation")
     return p
@@ -578,6 +618,24 @@ def build_pipeline(args):
             args.model_dir, clip_cfg, d_cfg, jnp.bfloat16,
             args.tokenizer_dir, penultimate_hidden=sd2, loras=loras,
         )
+    if args.family == "sd3":
+        from ..pipeline.sd3 import load_sd3_pipeline, random_sd3_pipeline
+
+        bad = [name for name, hit in (
+            ("--lora", bool(loras)), ("--freeu", args.freeu is not None),
+            ("--controlnet", bool(args.controlnet)),
+            ("--ip-adapter", args.ip_adapter is not None),
+            ("--embedding", bool(args.embedding)),
+            ("--vae-bf16", args.vae_bf16),
+        ) if hit]
+        if bad:
+            raise ValueError(
+                f"{', '.join(bad)} not supported with --family sd3")
+        if args.random_weights:
+            return random_sd3_pipeline(tokenizer_dir=args.tokenizer_dir)
+        return load_sd3_pipeline(args.model_dir,
+                                 tokenizer_dir=args.tokenizer_dir,
+                                 load_t5=not args.no_t5)
     if args.random_weights:
         from ..pipeline.pipeline import random_pipeline
 
@@ -601,7 +659,13 @@ def main(argv=None) -> int:
 
     from ..utils import log
 
-    pipe = build_pipeline(args)
+    try:
+        pipe = build_pipeline(args)
+    except (KeyError, FileNotFoundError, ValueError) as e:
+        # same clean checkpoint-error UX as the sample CLI
+        print(f"error: failed to load checkpoint from "
+              f"{args.model_dir}: {e}", file=sys.stderr)
+        return 1
     if args.vae_bf16:
         import jax.numpy as jnp
 

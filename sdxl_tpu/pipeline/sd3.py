@@ -204,11 +204,20 @@ class SD3Pipeline:
         if not use_cfg:
             b = len(prompts)
             ctx, pooled = ctx[b:], pooled[b:]
-        lat = jax.random.normal(
-            jax.random.PRNGKey(seed),
-            (len(prompts), h // 8, w // 8, self.mmdit_cfg.in_channels),
-            jnp.float32,
-        )
+        shape = (h // 8, w // 8, self.mmdit_cfg.in_channels)
+        if isinstance(seed, (int, np.integer)):
+            lat = jax.random.normal(jax.random.PRNGKey(seed),
+                                    (len(prompts),) + shape, jnp.float32)
+        else:
+            # per-image seeds: image i's noise depends only on seeds[i]
+            # (the fused-serving contract, same as the SDXL pipeline)
+            seeds = list(seed)
+            if len(seeds) != len(prompts):
+                raise ValueError(f"{len(seeds)} seeds for "
+                                 f"{len(prompts)} prompts")
+            keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
+            lat = jax.vmap(
+                lambda k: jax.random.normal(k, shape, jnp.float32))(keys)
         with self.timer.stage("diffuser"):
             lat = fm_diffuse_latent(
                 self.mmdit_params, self.mmdit_cfg, lat, ctx, pooled,
@@ -328,18 +337,29 @@ def load_sd3_pipeline(
     compute_dtype=jnp.bfloat16,
     tokenizer_dir: Optional[str] = None,
     load_t5: bool = True,
+    t5_tokenize: Optional[object] = None,
 ) -> SD3Pipeline:
     """Load a diffusers-layout SD3 directory
     (stabilityai/stable-diffusion-3-medium-diffusers style).
 
     load_t5=False drops the T5-XXL tower (the public pipeline's
-    memory-saving mode: its token block becomes zeros)."""
+    memory-saving mode: its token block becomes zeros). A checkpoint
+    whose text_encoder_3/ weights load but whose tokenizer_3/ is absent
+    fails HERE (not on the first request) unless a `t5_tokenize`
+    callable is supplied."""
     from ..io.sd3 import load_sd3_diffusers_dir
 
     log(f"loading SD3 diffusers checkpoint from {model_dir}")
     (mmdit_cfg, mmdit, clip_l_cfg, clip_l, clip_g_cfg, clip_g, vae_cfg,
      vae, t5_cfg, t5_params, t5_tok, flow_shift) = load_sd3_diffusers_dir(
         model_dir, compute_dtype, load_t5)
+    if t5_tok is None:
+        t5_tok = t5_tokenize
+    if t5_params is not None and t5_tok is None:
+        raise ValueError(
+            f"{model_dir}: text_encoder_3/ (T5) weights loaded but "
+            "tokenizer_3/ is missing — add the tokenizer directory, pass "
+            "t5_tokenize=, or drop the tower (load_t5=False / --no-t5)")
     return SD3Pipeline(
         mmdit_cfg=mmdit_cfg,
         mmdit_params=mmdit,

@@ -269,13 +269,17 @@ def test_load_sd3_dir_and_generate(sd3_dir, tokenizer_dir):
 def test_load_sd3_with_t5_requires_tokenizer(sd3_dir, tokenizer_dir):
     from sdxl_tpu.pipeline.sd3 import load_sd3_pipeline
 
-    pipe = load_sd3_pipeline(sd3_dir, compute_dtype=jnp.float32,
-                             tokenizer_dir=tokenizer_dir, load_t5=True)
-    assert pipe.t5_params is not None and pipe.t5_tokenize is None
-    with pytest.raises(ValueError, match="tokenizer"):
-        pipe.txt2img(["a crab"], resolution=(64, 64), n_steps=2)
-    # wiring a tokenizer stub makes the full triple-tower path run
-    pipe.t5_tokenize = lambda texts: np.zeros((len(texts), 256), np.int32)
+    # T5 weights present but no tokenizer_3/: the load fails FAST with a
+    # remedy (not on the first request, which would 500 a running server)
+    with pytest.raises(ValueError, match="tokenizer_3"):
+        load_sd3_pipeline(sd3_dir, compute_dtype=jnp.float32,
+                          tokenizer_dir=tokenizer_dir, load_t5=True)
+    # wiring a tokenizer stub at load makes the full triple-tower path run
+    pipe = load_sd3_pipeline(
+        sd3_dir, compute_dtype=jnp.float32, tokenizer_dir=tokenizer_dir,
+        load_t5=True,
+        t5_tokenize=lambda texts: np.zeros((len(texts), 256), np.int32))
+    assert pipe.t5_params is not None
     img = pipe.txt2img(["a crab"], resolution=(64, 64), n_steps=2,
                        guidance_scale=4.0, seed=1)
     assert img.shape == (1, 64, 64, 3)

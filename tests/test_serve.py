@@ -390,3 +390,71 @@ def test_controlnet_request_runs_solo_and_differs(tiny_pipe):
     finally:
         tiny_pipe.controlnet_params = base_cn
         tiny_pipe.controlnet_cfg = None
+
+
+# ---------------------------------------------------------------------------
+# SD3 family serving
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_sd3_pipe(tokenizer_dir):
+    from sdxl_tpu.pipeline.sd3 import random_sd3_pipeline
+    from tests.test_sd3_loader import (
+        TINY_CLIP_G,
+        TINY_CLIP_L,
+        TINY_SD3_MMDIT,
+        TINY_SD3_VAE,
+    )
+
+    return random_sd3_pipeline(
+        mmdit_cfg=TINY_SD3_MMDIT, clip_l_cfg=TINY_CLIP_L,
+        clip_g_cfg=TINY_CLIP_G, vae_cfg=TINY_SD3_VAE,
+        compute_dtype=jnp.float32, tokenizer_dir=tokenizer_dir,
+    )
+
+
+def test_sd3_server_fuses_and_keeps_per_image_seeds(tiny_sd3_pipe):
+    cfg = GenConfig(width=64, height=64, steps=2, guidance_scale=4.0)
+    srv = GenerationServer(tiny_sd3_pipe, max_batch=2, batch_window_ms=200,
+                           default_cfg=cfg)
+    a = GenRequest("a cat", cfg, seed=7)
+    b = GenRequest("a dog", cfg, seed=8)
+    for r in (a, b):
+        srv.queue.put(r)
+    srv.start(warmup=False)
+    for r in (a, b):
+        assert r.done.wait(300) and r.error is None, r.error
+    srv.stop()
+    assert srv.info()["batches"] == 1  # fused into one pair-batched run
+
+    # request a's image must equal a solo run with the same seed
+    srv2 = GenerationServer(tiny_sd3_pipe, max_batch=1, default_cfg=cfg)
+    srv2.start(warmup=False)
+    solo = srv2.submit(GenRequest("a cat", cfg, seed=7), timeout=300)
+    srv2.stop()
+    from PIL import Image
+
+    pa = np.asarray(Image.open(io.BytesIO(a.result[0])), dtype=int)
+    ps = np.asarray(Image.open(io.BytesIO(solo.result[0])), dtype=int)
+    # per-image seeds make the noise identical; the batch-4 (fused CFG)
+    # vs batch-2 (solo) MMDiT run reorders f32 reductions, so a few
+    # pixels sitting on the uint8 rounding boundary may flip by 1 level
+    d = np.abs(pa - ps)
+    assert d.max() <= 1 and d.mean() < 0.01, (d.max(), d.mean())
+
+
+def test_sd3_server_img2img_and_rejections(tiny_sd3_pipe):
+    cfg = GenConfig(width=64, height=64, steps=2, guidance_scale=4.0)
+    srv = GenerationServer(tiny_sd3_pipe, default_cfg=cfg)
+    srv.start(warmup=False)
+    ref = np.zeros((64, 64, 3), np.uint8)
+    ok = srv.submit(GenRequest("a crab", cfg, seed=1, image=ref,
+                               strength=0.5), timeout=300)
+    assert ok.error is None and _png_shape(ok.result[0]) == (64, 64, 3)
+
+    bad = srv.submit(
+        GenRequest("x", GenConfig(width=64, height=64, steps=2,
+                                  sampler="euler"), seed=0), timeout=300)
+    assert bad.error is not None and "flow-matching" in bad.error
+    srv.stop()
