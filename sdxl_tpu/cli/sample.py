@@ -208,12 +208,13 @@ def pipe_min_layers(pipe) -> int:
 
 
 def _run_sd3(args, dtype) -> int:
-    """SD3 family path (MMDiT + flow matching): txt2img / img2img.
+    """SD3 family path (MMDiT + flow matching): txt2img / img2img /
+    crop-window inpaint (--reference-img + --crop-*).
 
     The SD3 surface intentionally excludes the UNet families' knobs —
     sampler choices (flow-matching Euler is the SD3 scheduler), refiner,
-    inpaint crops, ControlNet/IP-Adapter/LoRA/FreeU/DeepCache/PAG/
-    previews/hires — unsupported flags error instead of being ignored."""
+    ControlNet/IP-Adapter/LoRA/FreeU/DeepCache/PAG/previews/hires —
+    unsupported flags error instead of being ignored."""
     import numpy as np
 
     from ..io.images import load_images, save_images
@@ -232,9 +233,6 @@ def _run_sd3(args, dtype) -> int:
         ("--preview-every", bool(args.preview_every)),
         ("--hires-scale", args.hires_scale is not None),
         ("--embedding", bool(args.embedding)),
-        ("--crop-left/right/top/bottom", any(
-            v is not None for v in (args.crop_left, args.crop_right,
-                                    args.crop_top, args.crop_bottom))),
         ("--guidance-rescale", bool(args.guidance_rescale)),
         ("--clip-skip", bool(args.clip_skip)),
     ]
@@ -269,20 +267,28 @@ def _run_sd3(args, dtype) -> int:
                else [args.prompt[0]] * args.batch)
     t0 = time.perf_counter()
     if args.reference_img is not None:
-        if args.img2img_strength is None:
-            print("error: SD3 inpainting is not supported; use "
-                  "--img2img-strength for img2img", file=sys.stderr)
-            return 1
         ref = load_images([args.reference_img])
         if len(prompts) > 1:
             ref = np.repeat(ref, len(prompts), axis=0)
-        images = pipe.img2img(
-            prompts, ref, strength=args.img2img_strength,
-            n_steps=args.n_diffusion_steps,
-            guidance_scale=args.unconditional_guidance_scale,
-            seed=args.seed, negative_prompt=args.negative_prompt,
-            no_cfg=args.no_cfg,
-        )
+        if args.img2img_strength is not None:
+            images = pipe.img2img(
+                prompts, ref, strength=args.img2img_strength,
+                n_steps=args.n_diffusion_steps,
+                guidance_scale=args.unconditional_guidance_scale,
+                seed=args.seed, negative_prompt=args.negative_prompt,
+                no_cfg=args.no_cfg,
+            )
+        else:
+            # crop-window latent inpainting (same flag surface as SDXL)
+            images = pipe.inpaint(
+                prompts, ref, crop_left=args.crop_left,
+                crop_right=args.crop_right, crop_top=args.crop_top,
+                crop_bottom=args.crop_bottom, crop_out=args.crop_out,
+                n_steps=args.n_diffusion_steps,
+                guidance_scale=args.unconditional_guidance_scale,
+                seed=args.seed, negative_prompt=args.negative_prompt,
+                no_cfg=args.no_cfg,
+            )
     else:
         images = pipe.txt2img(
             prompts, resolution=(args.height, args.width),

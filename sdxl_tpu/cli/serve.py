@@ -313,11 +313,23 @@ class GenerationServer:
             raise ValueError("guidance_rescale/pag_scale do not apply to "
                              "the SD3 family")
         r0 = batch[0]
-        if r0.crop is not None or r0.mask_image is not None:
-            raise ValueError("inpaint is not supported for --family sd3")
         if r0.control_image is not None or r0.ip_image is not None:
             raise ValueError("controlnet/ip-adapter are not supported for "
                              "--family sd3")
+        if r0.crop is not None or r0.mask_image is not None:  # solo inpaint
+            common = dict(n_steps=cfg.steps,
+                          guidance_scale=cfg.guidance_scale, seed=r0.seed,
+                          negative_prompt=cfg.negative_prompt)
+            ref = np.asarray(r0.image)[None]
+            if r0.mask_image is not None:
+                return self.pipe.inpaint(
+                    [r0.prompt], ref, mask_image=np.asarray(r0.mask_image),
+                    **common)
+            left, right, top, bottom, crop_out = r0.crop
+            return self.pipe.inpaint(
+                [r0.prompt], ref, crop_left=left, crop_right=right,
+                crop_top=top, crop_bottom=bottom, crop_out=crop_out,
+                **common)
         if r0.image is not None:  # solo img2img
             return self.pipe.img2img(
                 r0.prompt, np.asarray(r0.image)[None],

@@ -18,6 +18,13 @@ Implements diffusers' FlowMatchEulerDiscreteScheduler semantics
 img2img: window the schedule by strength (the SD3 img2img pipeline runs
 the last n*strength steps) and noise the clean latent along the straight
 path x = (1-sigma)*x0 + sigma*noise.
+
+inpaint: diffusers StableDiffusion3InpaintPipeline blending — after every
+Euler update the clean reference latent is re-noised to the NEXT step's
+sigma and keeps the un-masked region: lat = m*lat + (1-m)*((1-s')*x0 +
+s'*noise), with the SAME noise tensor every step. The final step has
+s' = 0, so the formula itself pins the reference exactly (the public
+code's i == len(timesteps)-1 special case is the same value).
 """
 
 from __future__ import annotations
@@ -83,6 +90,9 @@ def fm_diffuse_latent(
     compute_dtype=jnp.bfloat16,
     use_cfg: bool = True,
     start_index: int = 0,
+    pin_reference: Optional[jnp.ndarray] = None,  # [B,h,w,C] clean latent
+    pin_mask: Optional[jnp.ndarray] = None,       # [1|B,h,w,1], 1 = generate
+    pin_noise: Optional[jnp.ndarray] = None,      # [B,h,w,C]
 ) -> jnp.ndarray:
     """The whole flow-matching Euler loop as one lax.scan."""
     timesteps, sigmas = fm_schedule(n_steps, shift)
@@ -108,10 +118,19 @@ def fm_diffuse_latent(
         vu, vc = jnp.split(v2, 2, axis=0)
         return vu + (vc - vu) * guidance_scale
 
+    if pin_reference is not None:
+        pin_ref = pin_reference.astype(jnp.float32)
+        pin_m = pin_mask.astype(jnp.float32)
+        pin_n = pin_noise.astype(jnp.float32)
+
     def step(lat, inp):
         t, s, s_next = inp
         v = velocity(lat, t)
-        return lat + (s_next - s) * v, None
+        lat = lat + (s_next - s) * v
+        if pin_reference is not None:
+            proper = (1.0 - s_next) * pin_ref + s_next * pin_n
+            lat = pin_m * lat + (1.0 - pin_m) * proper
+        return lat, None
 
     latent, _ = jax.lax.scan(step, latent, (ts, sig, sig_next))
     return latent

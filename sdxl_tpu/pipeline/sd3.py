@@ -272,6 +272,103 @@ class SD3Pipeline:
             fence(images)
         return images if device_output else np.asarray(images)
 
+    def inpaint(
+        self,
+        prompts,
+        reference_images: np.ndarray,  # [B, H, W, 3] uint8
+        mask_image: Optional[np.ndarray] = None,  # [H, W(,C)] u8, >127 = gen
+        crop_left: Optional[int] = None,
+        crop_right: Optional[int] = None,
+        crop_top: Optional[int] = None,
+        crop_bottom: Optional[int] = None,
+        crop_out: bool = False,
+        strength: float = 1.0,
+        n_steps: int = 28,
+        guidance_scale: float = 7.0,
+        seed: int = 0,
+        negative_prompt: str = "",
+        no_cfg: bool = False,
+        device_output: bool = False,
+    ) -> np.ndarray:
+        """Latent inpainting for the SD3 family.
+
+        Masked-region semantics are diffusers' SD3 inpaint blending (see
+        pipeline/flow_match.py): after every Euler step the un-masked
+        region is re-pinned to the reference latent re-noised at the next
+        sigma. The mask comes from either a mask IMAGE (any >127 pixel in
+        an 8x8 cell marks the cell generated) or a pixel crop WINDOW
+        (reference sample/main.rs:135-197 semantics, shared with the SDXL
+        family's pipe.inpaint). strength defaults to 1.0 (full schedule,
+        like the SDXL crop-inpaint path); diffusers' pipeline default is
+        0.6 — pass strength= for that behavior.
+        """
+        if not 0.0 < strength <= 1.0:
+            raise ValueError("strength must be in (0, 1]")
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        _, height, width, _ = np.asarray(reference_images).shape
+        if height % 16 or width % 16:
+            raise ValueError(f"reference image {height}x{width} must be a "
+                             "multiple of 16 (patchified 16-ch latent)")
+        lh, lw = height // 8, width // 8
+        if mask_image is not None:
+            if any(v is not None
+                   for v in (crop_left, crop_right, crop_top, crop_bottom)):
+                raise ValueError("pass either mask_image or a crop window, "
+                                 "not both")
+            m = np.asarray(mask_image)
+            if m.shape[:2] != (height, width):
+                raise ValueError(f"mask {m.shape[:2]} does not match image "
+                                 f"{(height, width)}")
+            if m.ndim == 3:
+                m = m.max(axis=-1)
+            cells = (m[: lh * 8, : lw * 8].reshape(lh, 8, lw, 8)
+                     .max(axis=(1, 3)) > 127)
+            mask = cells[None, :, :, None]
+        else:
+            crop_left = 0 if crop_left is None else crop_left
+            crop_right = width if crop_right is None else crop_right
+            crop_top = 0 if crop_top is None else crop_top
+            crop_bottom = height if crop_bottom is None else crop_bottom
+            if not (crop_right <= width and crop_bottom <= height
+                    and (crop_left < crop_right or crop_top < crop_bottom)):
+                raise ValueError("Invalid crop parameters.")
+            l, r = crop_left // 8, crop_right // 8
+            t, b = crop_top // 8, crop_bottom // 8
+            mask = np.zeros((1, lh, lw, 1), dtype=bool)
+            mask[:, t:b, l:r, :] = True
+        if crop_out:
+            mask = ~mask
+        mask = jnp.asarray(mask, jnp.float32)
+
+        use_cfg = not (no_cfg or guidance_scale == 1.0)
+        ctx, pooled = self.conditioning(prompts, negative_prompt)
+        if not use_cfg:
+            b = len(prompts)
+            ctx, pooled = ctx[b:], pooled[b:]
+        with self.timer.stage("vae_encode"):
+            x = (jnp.asarray(reference_images).astype(jnp.float32) / 255.0
+                 * 2.0 - 1.0)
+            z = encode_image(self.vae_params, self.vae_cfg, x)
+            lat0 = (z - self.shift_factor) * self.scale_factor
+        start = fm_window(n_steps, strength)
+        _, sigmas = fm_schedule(n_steps, self.flow_shift)
+        noise = jax.random.normal(jax.random.PRNGKey(seed), lat0.shape,
+                                  jnp.float32)
+        lat = fm_add_noise(lat0, noise, float(sigmas[start]))
+        with self.timer.stage("diffuser"):
+            lat = fm_diffuse_latent(
+                self.mmdit_params, self.mmdit_cfg, lat, ctx, pooled,
+                guidance_scale, n_steps=n_steps, shift=self.flow_shift,
+                compute_dtype=self.compute_dtype, use_cfg=use_cfg,
+                start_index=start, pin_reference=lat0, pin_mask=mask,
+                pin_noise=noise,
+            )
+        with self.timer.stage("vae_decode"):
+            images = self._decode(lat)
+            fence(images)
+        return images if device_output else np.asarray(images)
+
 
 # ---------------------------------------------------------------------------
 # construction

@@ -105,3 +105,40 @@ def test_fm_diffuse_latent_e2e():
                              start_index=2)
     assert np.isfinite(np.asarray(tail)).all()
     assert not np.allclose(np.asarray(tail), np.asarray(out))
+
+
+def test_fm_pin_blending_identities():
+    """The SD3 inpaint pin (diffusers SD3InpaintPipeline blending):
+    mask=0 returns the reference EXACTLY (the final step's sigma'=0 makes
+    proper == x0), mask=1 is arithmetically the unpinned run, and a
+    partial mask pins exactly inside its zero region."""
+    params = init_mmdit(jax.random.PRNGKey(0), TINY, jnp.float32)
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 16))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 11, 48))
+    pooled = jax.random.normal(jax.random.PRNGKey(3), (2, 40))
+    ref = jax.random.normal(jax.random.PRNGKey(4), (1, 8, 8, 16))
+    noise = jax.random.normal(jax.random.PRNGKey(5), (1, 8, 8, 16))
+    kw = dict(n_steps=4, compute_dtype=jnp.float32)
+
+    plain = np.asarray(fm_diffuse_latent(params, TINY, lat.copy(), ctx,
+                                         pooled, 5.0, **kw))
+
+    m0 = jnp.zeros((1, 8, 8, 1), jnp.float32)
+    out0 = fm_diffuse_latent(params, TINY, lat.copy(), ctx, pooled, 5.0,
+                             pin_reference=ref, pin_mask=m0,
+                             pin_noise=noise, **kw)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(ref))
+
+    m1 = jnp.ones((1, 8, 8, 1), jnp.float32)
+    out1 = fm_diffuse_latent(params, TINY, lat.copy(), ctx, pooled, 5.0,
+                             pin_reference=ref, pin_mask=m1,
+                             pin_noise=noise, **kw)
+    np.testing.assert_allclose(np.asarray(out1), plain, rtol=1e-5,
+                               atol=1e-6)
+
+    mh = jnp.zeros((1, 8, 8, 1), jnp.float32).at[:, :4].set(1.0)
+    outh = np.asarray(fm_diffuse_latent(params, TINY, lat.copy(), ctx,
+                                        pooled, 5.0, pin_reference=ref,
+                                        pin_mask=mh, pin_noise=noise, **kw))
+    np.testing.assert_array_equal(outh[:, 4:], np.asarray(ref)[:, 4:])
+    assert not np.allclose(outh[:, :4], np.asarray(ref)[:, :4])

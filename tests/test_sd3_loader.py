@@ -302,3 +302,41 @@ def test_random_sd3_pipeline_e2e(tokenizer_dir):
     assert img_nc.shape == (1, 64, 64, 3)
     with pytest.raises(ValueError, match="multiple of 16"):
         pipe.txt2img(["x"], resolution=(72, 72), n_steps=2)
+
+
+def test_sd3_inpaint_pipeline(tokenizer_dir):
+    from sdxl_tpu.pipeline.sd3 import random_sd3_pipeline
+
+    pipe = random_sd3_pipeline(
+        mmdit_cfg=TINY_SD3_MMDIT, clip_l_cfg=TINY_CLIP_L,
+        clip_g_cfg=TINY_CLIP_G, vae_cfg=TINY_SD3_VAE,
+        compute_dtype=jnp.float32, tokenizer_dir=tokenizer_dir,
+    )
+    ref = np.full((1, 64, 64, 3), 128, np.uint8)
+
+    out = pipe.inpaint(["a crab"], ref, crop_left=16, crop_right=48,
+                       crop_top=16, crop_bottom=48, n_steps=2,
+                       guidance_scale=4.0, seed=3)
+    assert out.shape == (1, 64, 64, 3) and out.dtype == np.uint8
+
+    # the equivalent mask image selects the same latent cells -> identical
+    mask = np.zeros((64, 64), np.uint8)
+    mask[16:48, 16:48] = 255
+    out_m = pipe.inpaint(["a crab"], ref, mask_image=mask, n_steps=2,
+                         guidance_scale=4.0, seed=3)
+    np.testing.assert_array_equal(out, out_m)
+
+    # full-window inpaint at strength 1.0 degenerates to txt2img: the
+    # initial latent is (1-sigma0)*x0 + sigma0*noise with sigma0 == 1,
+    # i.e. exactly the txt2img noise from the same PRNGKey(seed)
+    full = pipe.inpaint(["a crab"], ref, n_steps=2, guidance_scale=4.0,
+                        seed=3)
+    t2i = pipe.txt2img(["a crab"], resolution=(64, 64), n_steps=2,
+                       guidance_scale=4.0, seed=3)
+    d = np.abs(full.astype(int) - t2i.astype(int))
+    assert d.max() <= 1 and d.mean() < 0.01, (d.max(), d.mean())
+
+    with pytest.raises(ValueError, match="not both"):
+        pipe.inpaint(["x"], ref, mask_image=mask, crop_left=0, n_steps=2)
+    with pytest.raises(ValueError, match="strength"):
+        pipe.inpaint(["x"], ref, strength=0.0, n_steps=2)

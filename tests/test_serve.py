@@ -453,6 +453,17 @@ def test_sd3_server_img2img_and_rejections(tiny_sd3_pipe):
                                strength=0.5), timeout=300)
     assert ok.error is None and _png_shape(ok.result[0]) == (64, 64, 3)
 
+    # crop-window inpaint runs through SD3Pipeline.inpaint (solo)
+    inp = srv.submit(GenRequest("a crab", cfg, seed=2, image=ref,
+                                crop=(16, 48, 16, 48, False)), timeout=300)
+    assert inp.error is None and _png_shape(inp.result[0]) == (64, 64, 3)
+    # mask-image variant
+    mask = np.zeros((64, 64), np.uint8)
+    mask[16:48, 16:48] = 255
+    inp_m = srv.submit(GenRequest("a crab", cfg, seed=2, image=ref,
+                                  mask_image=mask), timeout=300)
+    assert inp_m.error is None and inp_m.result[0] == inp.result[0]
+
     bad = srv.submit(
         GenRequest("x", GenConfig(width=64, height=64, steps=2,
                                   sampler="euler"), seed=0), timeout=300)
