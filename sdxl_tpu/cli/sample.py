@@ -98,6 +98,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "extra conditional UNet eval per step; composes "
                         "with CFG or --no-cfg; not with --controlnet/"
                         "--deepcache/--preview-every/--hires-scale/lcm")
+    p.add_argument("--slg-scale", type=float, default=0.0,
+                   help="SD3.5 skip-layer guidance scale (--family sd3; "
+                        "try 2.8): one extra cond-only MMDiT eval with "
+                        "--slg-layers omitted, inside the first ~fifth of "
+                        "the run (diffusers skip_guidance_layers)")
+    p.add_argument("--slg-layers", type=str, default=None,
+                   metavar="I,J,...",
+                   help="Transformer blocks the SLG perturbed branch "
+                        "skips (default 7,8,9 — the SD3.5-medium "
+                        "recommendation)")
     p.add_argument("--freeu", type=str, nargs="?", const="auto",
                    default=None, metavar="B1,B2,S1,S2",
                    help="FreeU decoder rebalancing (arXiv:2309.11497): "
@@ -265,6 +275,10 @@ def _run_sd3(args, dtype) -> int:
 
     prompts = (args.prompt if len(args.prompt) > 1
                else [args.prompt[0]] * args.batch)
+    slg_kw = dict(slg_scale=args.slg_scale)
+    if args.slg_layers is not None:
+        slg_kw["slg_layers"] = tuple(
+            int(v) for v in args.slg_layers.split(","))
     t0 = time.perf_counter()
     if args.reference_img is not None:
         ref = load_images([args.reference_img])
@@ -276,7 +290,7 @@ def _run_sd3(args, dtype) -> int:
                 n_steps=args.n_diffusion_steps,
                 guidance_scale=args.unconditional_guidance_scale,
                 seed=args.seed, negative_prompt=args.negative_prompt,
-                no_cfg=args.no_cfg,
+                no_cfg=args.no_cfg, **slg_kw,
             )
         else:
             # crop-window latent inpainting (same flag surface as SDXL)
@@ -287,7 +301,7 @@ def _run_sd3(args, dtype) -> int:
                 n_steps=args.n_diffusion_steps,
                 guidance_scale=args.unconditional_guidance_scale,
                 seed=args.seed, negative_prompt=args.negative_prompt,
-                no_cfg=args.no_cfg,
+                no_cfg=args.no_cfg, **slg_kw,
             )
     else:
         images = pipe.txt2img(
@@ -295,7 +309,7 @@ def _run_sd3(args, dtype) -> int:
             n_steps=args.n_diffusion_steps,
             guidance_scale=args.unconditional_guidance_scale,
             seed=args.seed, negative_prompt=args.negative_prompt,
-            no_cfg=args.no_cfg,
+            no_cfg=args.no_cfg, **slg_kw,
         )
     total = time.perf_counter() - t0
     paths = save_images(np.asarray(images), args.output_dir)
@@ -337,6 +351,11 @@ def main(argv=None) -> int:
 
     if args.family == "sd3":
         return _run_sd3(args, dtype)
+
+    if args.slg_scale or args.slg_layers is not None:
+        print("error: --slg-scale/--slg-layers apply to --family sd3 only",
+              file=sys.stderr)
+        return 1
 
     if args.family in ("sd1", "sd2"):
         from ..configs import (

@@ -80,6 +80,9 @@ class GenConfig:
     # Perturbed-Attention Guidance (arXiv:2403.17377); one extra cond
     # UNet eval per step when > 0
     pag_scale: float = 0.0
+    # SD3.5 skip-layer guidance (--family sd3 only); one extra cond-only
+    # MMDiT eval per early step when > 0
+    slg_scale: float = 0.0
 
 
 @dataclass
@@ -242,6 +245,10 @@ class GenerationServer:
                 # matching is the only scheduler; same fused-batch
                 # per-image-seed contract as the UNet families
                 images = self._generate_sd3(batch, cfg, seeds)
+            elif cfg.slg_scale:
+                raise ValueError(
+                    "slg_scale applies to the SD3 family only (use "
+                    "pag_scale for the UNet families)")
             elif batch[0].crop is not None or batch[0].mask_image is not None:
                 images = self._inpaint_one(batch[0], cfg)
             elif batch[0].image is not None:
@@ -311,7 +318,7 @@ class GenerationServer:
                              "sampler/schedule do not apply")
         if cfg.guidance_rescale or cfg.pag_scale:
             raise ValueError("guidance_rescale/pag_scale do not apply to "
-                             "the SD3 family")
+                             "the SD3 family (use slg_scale)")
         r0 = batch[0]
         if r0.control_image is not None or r0.ip_image is not None:
             raise ValueError("controlnet/ip-adapter are not supported for "
@@ -319,7 +326,8 @@ class GenerationServer:
         if r0.crop is not None or r0.mask_image is not None:  # solo inpaint
             common = dict(n_steps=cfg.steps,
                           guidance_scale=cfg.guidance_scale, seed=r0.seed,
-                          negative_prompt=cfg.negative_prompt)
+                          negative_prompt=cfg.negative_prompt,
+                          slg_scale=cfg.slg_scale)
             ref = np.asarray(r0.image)[None]
             if r0.mask_image is not None:
                 return self.pipe.inpaint(
@@ -336,6 +344,7 @@ class GenerationServer:
                 strength=r0.strength, n_steps=cfg.steps,
                 guidance_scale=cfg.guidance_scale, seed=r0.seed,
                 negative_prompt=cfg.negative_prompt,
+                slg_scale=cfg.slg_scale,
             )
         return self.pipe.txt2img(
             [r.prompt for r in batch],
@@ -344,6 +353,7 @@ class GenerationServer:
             guidance_scale=cfg.guidance_scale,
             seed=seeds,
             negative_prompt=cfg.negative_prompt,
+            slg_scale=cfg.slg_scale,
         )
 
     def _inpaint_one(self, r: GenRequest, cfg: GenConfig):
@@ -472,6 +482,7 @@ def make_handler(server: GenerationServer):
                         payload.get("guidance_rescale", d.guidance_rescale)
                     ),
                     pag_scale=float(payload.get("pag_scale", d.pag_scale)),
+                    slg_scale=float(payload.get("slg_scale", d.slg_scale)),
                 )
                 seed = int(payload.get("seed", 0))
                 image = None

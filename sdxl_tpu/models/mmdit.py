@@ -224,8 +224,14 @@ def mmdit_forward(
     timesteps: jnp.ndarray,  # [B] (flow-matching: sigma*1000, continuous)
     context: jnp.ndarray,    # [B, T, joint_attention_dim] token stream
     pooled: jnp.ndarray,     # [B, pooled_projection_dim]
+    skip_layers: tuple = (),
 ) -> jnp.ndarray:
-    """Velocity prediction [B, h, w, out_channels]."""
+    """Velocity prediction [B, h, w, out_channels].
+
+    skip_layers omits the named transformer blocks entirely (both
+    streams pass through unchanged) — the perturbed branch of SD3.5
+    skip-layer guidance (diffusers SD3Transformer2DModel's skip_layers).
+    """
     dtype = x.dtype
     b, h, w, _ = x.shape
     pN = cfg.patch_size
@@ -255,6 +261,8 @@ def mmdit_forward(
 
     n = len(params["blocks"])
     for i, blk in enumerate(params["blocks"]):
+        if i in skip_layers:
+            continue
         tokens, c = _joint_block(blk, tokens, c, temb, cfg, i == n - 1,
                                  dual=i in cfg.dual_attention_layers)
 

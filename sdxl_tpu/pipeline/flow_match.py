@@ -75,7 +75,7 @@ def fm_window(n_steps: int, strength: float) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "n_steps", "shift", "compute_dtype", "use_cfg",
-                     "start_index"),
+                     "start_index", "slg_layers", "slg_start", "slg_stop"),
     donate_argnames=("latent",),
 )
 def fm_diffuse_latent(
@@ -93,8 +93,21 @@ def fm_diffuse_latent(
     pin_reference: Optional[jnp.ndarray] = None,  # [B,h,w,C] clean latent
     pin_mask: Optional[jnp.ndarray] = None,       # [1|B,h,w,1], 1 = generate
     pin_noise: Optional[jnp.ndarray] = None,      # [B,h,w,C]
+    slg_scale: float = 0.0,
+    slg_layers: tuple = (),
+    slg_start: float = 0.01,
+    slg_stop: float = 0.2,
 ) -> jnp.ndarray:
-    """The whole flow-matching Euler loop as one lax.scan."""
+    """The whole flow-matching Euler loop as one lax.scan.
+
+    Skip-layer guidance (SD3.5, arXiv:2403.03206 follow-up; diffusers'
+    skip_guidance_layers): inside the (slg_start, slg_stop) fraction of
+    the run, one extra cond-only MMDiT eval with slg_layers omitted adds
+    (v_cond - v_skip) * slg_scale to the CFG-combined velocity. The step
+    window transcribes the public gate exactly: i > n*start and
+    i < n*stop, i the 0-based index over the steps actually run. The
+    off-window steps pay nothing (lax.cond skips the extra eval).
+    """
     timesteps, sigmas = fm_schedule(n_steps, shift)
     ts = jnp.asarray(timesteps[start_index:])
     sig = jnp.asarray(sigmas[start_index:-1])
@@ -104,19 +117,29 @@ def fm_diffuse_latent(
     ctx = context.astype(compute_dtype)
     pld = pooled.astype(compute_dtype)
 
+    if slg_layers and not use_cfg:
+        raise ValueError("skip-layer guidance needs the CFG pair "
+                         "(use_cfg=True), like the public pipeline")
+    n_run = n_steps - start_index
+    idx = np.arange(n_run)
+    slg_on = jnp.asarray((idx > n_run * slg_start)
+                         & (idx < n_run * slg_stop))
+
     def velocity(lat, t):
+        """CFG-combined velocity (+ the bare cond velocity for SLG)."""
         n_batch = lat.shape[0]
         if not use_cfg:
             t_vec = jnp.broadcast_to(t, (n_batch,))
-            return mmdit_forward(
+            v = mmdit_forward(
                 mmdit_params, cfg, lat.astype(compute_dtype), t_vec, ctx, pld
             ).astype(jnp.float32)
+            return v, v
         x2 = jnp.concatenate([lat, lat], axis=0).astype(compute_dtype)
         t2 = jnp.broadcast_to(t, (2 * n_batch,))
         v2 = mmdit_forward(mmdit_params, cfg, x2, t2, ctx, pld
                            ).astype(jnp.float32)
         vu, vc = jnp.split(v2, 2, axis=0)
-        return vu + (vc - vu) * guidance_scale
+        return vu + (vc - vu) * guidance_scale, vc
 
     if pin_reference is not None:
         pin_ref = pin_reference.astype(jnp.float32)
@@ -124,15 +147,27 @@ def fm_diffuse_latent(
         pin_n = pin_noise.astype(jnp.float32)
 
     def step(lat, inp):
-        t, s, s_next = inp
-        v = velocity(lat, t)
+        t, s, s_next, on = inp
+        v, vc = velocity(lat, t)
+        if slg_layers:
+            b = lat.shape[0]
+
+            def perturbed(_):
+                t_vec = jnp.broadcast_to(t, (b,))
+                v_skip = mmdit_forward(
+                    mmdit_params, cfg, lat.astype(compute_dtype), t_vec,
+                    ctx[b:], pld[b:], skip_layers=slg_layers,
+                ).astype(jnp.float32)
+                return v + (vc - v_skip) * slg_scale
+
+            v = jax.lax.cond(on, perturbed, lambda _: v, None)
         lat = lat + (s_next - s) * v
         if pin_reference is not None:
             proper = (1.0 - s_next) * pin_ref + s_next * pin_n
             lat = pin_m * lat + (1.0 - pin_m) * proper
         return lat, None
 
-    latent, _ = jax.lax.scan(step, latent, (ts, sig, sig_next))
+    latent, _ = jax.lax.scan(step, latent, (ts, sig, sig_next, slg_on))
     return latent
 
 

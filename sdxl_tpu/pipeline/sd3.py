@@ -182,6 +182,21 @@ class SD3Pipeline:
         return sd3_decode_latent(self.vae_params, self.vae_cfg, latent,
                                  self.scale_factor, self.shift_factor)
 
+    def _slg_kwargs(self, scale, layers, start, stop) -> dict:
+        """Skip-layer guidance kwargs for fm_diffuse_latent. scale=0 is
+        the exact plain run (no perturbed branch is even built); the
+        default layer set (7, 8, 9) is diffusers' SD3.5-medium
+        recommendation."""
+        if not scale:
+            return {}
+        layers = (7, 8, 9) if layers is None else tuple(layers)
+        if any(i >= self.mmdit_cfg.num_layers or i < 0 for i in layers):
+            raise ValueError(
+                f"slg_layers {layers} out of range for a "
+                f"{self.mmdit_cfg.num_layers}-block MMDiT")
+        return dict(slg_scale=float(scale), slg_layers=layers,
+                    slg_start=float(start), slg_stop=float(stop))
+
     def txt2img(
         self,
         prompts,
@@ -191,6 +206,10 @@ class SD3Pipeline:
         seed: int = 0,
         negative_prompt: str = "",
         no_cfg: bool = False,
+        slg_scale: float = 0.0,
+        slg_layers: Optional[Tuple[int, ...]] = None,
+        slg_start: float = 0.01,
+        slg_stop: float = 0.2,
         device_output: bool = False,
     ) -> np.ndarray:
         h, w = resolution
@@ -223,6 +242,8 @@ class SD3Pipeline:
                 self.mmdit_params, self.mmdit_cfg, lat, ctx, pooled,
                 guidance_scale, n_steps=n_steps, shift=self.flow_shift,
                 compute_dtype=self.compute_dtype, use_cfg=use_cfg,
+                **self._slg_kwargs(slg_scale, slg_layers, slg_start,
+                                   slg_stop),
             )
         with self.timer.stage("vae_decode"):
             images = self._decode(lat)
@@ -239,6 +260,10 @@ class SD3Pipeline:
         seed: int = 0,
         negative_prompt: str = "",
         no_cfg: bool = False,
+        slg_scale: float = 0.0,
+        slg_layers: Optional[Tuple[int, ...]] = None,
+        slg_start: float = 0.01,
+        slg_stop: float = 0.2,
         device_output: bool = False,
     ) -> np.ndarray:
         if not 0.0 < strength <= 1.0:
@@ -266,6 +291,8 @@ class SD3Pipeline:
                 guidance_scale, n_steps=n_steps, shift=self.flow_shift,
                 compute_dtype=self.compute_dtype, use_cfg=use_cfg,
                 start_index=start,
+                **self._slg_kwargs(slg_scale, slg_layers, slg_start,
+                                   slg_stop),
             )
         with self.timer.stage("vae_decode"):
             images = self._decode(lat)
@@ -288,6 +315,10 @@ class SD3Pipeline:
         seed: int = 0,
         negative_prompt: str = "",
         no_cfg: bool = False,
+        slg_scale: float = 0.0,
+        slg_layers: Optional[Tuple[int, ...]] = None,
+        slg_start: float = 0.01,
+        slg_stop: float = 0.2,
         device_output: bool = False,
     ) -> np.ndarray:
         """Latent inpainting for the SD3 family.
@@ -363,6 +394,8 @@ class SD3Pipeline:
                 compute_dtype=self.compute_dtype, use_cfg=use_cfg,
                 start_index=start, pin_reference=lat0, pin_mask=mask,
                 pin_noise=noise,
+                **self._slg_kwargs(slg_scale, slg_layers, slg_start,
+                                   slg_stop),
             )
         with self.timer.stage("vae_decode"):
             images = self._decode(lat)

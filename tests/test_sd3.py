@@ -142,3 +142,67 @@ def test_fm_pin_blending_identities():
                                         pin_mask=mh, pin_noise=noise, **kw))
     np.testing.assert_array_equal(outh[:, 4:], np.asarray(ref)[:, 4:])
     assert not np.allclose(outh[:, :4], np.asarray(ref)[:, :4])
+
+
+def test_slg_identities_and_transcription():
+    """Skip-layer guidance: slg_scale=0 with a layer set is bit-exact to
+    the plain run (v + 0*(vc - v_skip) == v); empty slg_layers builds no
+    perturbed branch; and the scan matches a literal per-step Python
+    transcription of the diffusers gate (i > n*start and i < n*stop,
+    cond-only context, skip_layers forward)."""
+    from sdxl_tpu.models.mmdit import mmdit_forward
+
+    params = init_mmdit(jax.random.PRNGKey(0), TINY, jnp.float32)
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 16))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 11, 48))
+    pooled = jax.random.normal(jax.random.PRNGKey(3), (2, 40))
+    kw = dict(n_steps=4, compute_dtype=jnp.float32)
+    gs, slg = 5.0, 2.8
+
+    plain = np.asarray(fm_diffuse_latent(params, TINY, lat.copy(), ctx,
+                                         pooled, gs, **kw))
+    # model level: skipping a block changes the output; none skipped == id
+    v_all = mmdit_forward(params, TINY, lat, jnp.zeros((1,)), ctx[1:],
+                          pooled[1:])
+    v_same = mmdit_forward(params, TINY, lat, jnp.zeros((1,)), ctx[1:],
+                           pooled[1:], skip_layers=())
+    np.testing.assert_array_equal(np.asarray(v_all), np.asarray(v_same))
+    v_skip = mmdit_forward(params, TINY, lat, jnp.zeros((1,)), ctx[1:],
+                           pooled[1:], skip_layers=(1,))
+    assert not np.allclose(np.asarray(v_skip), np.asarray(v_all))
+
+    zero = fm_diffuse_latent(params, TINY, lat.copy(), ctx, pooled, gs,
+                             slg_scale=0.0, slg_layers=(1,), slg_start=0.0,
+                             slg_stop=1.0, **kw)
+    np.testing.assert_array_equal(np.asarray(zero), plain)
+    noop = fm_diffuse_latent(params, TINY, lat.copy(), ctx, pooled, gs,
+                             slg_scale=slg, slg_layers=(), **kw)
+    np.testing.assert_array_equal(np.asarray(noop), plain)
+
+    out = np.asarray(fm_diffuse_latent(
+        params, TINY, lat.copy(), ctx, pooled, gs, slg_scale=slg,
+        slg_layers=(1,), slg_start=0.0, slg_stop=1.0, **kw))
+
+    # literal transcription of the public loop
+    n = 4
+    ts, sigmas = fm_schedule(n, 3.0)
+    x = np.asarray(lat, np.float32)
+    for i in range(n):
+        t_vec = jnp.full((2,), float(ts[i]), jnp.float32)
+        v2 = np.asarray(mmdit_forward(
+            params, TINY, jnp.concatenate([x, x], 0), t_vec, ctx, pooled))
+        vu, vc = v2[:1], v2[1:]
+        v = vu + (vc - vu) * gs
+        if i > n * 0.0 and i < n * 1.0:
+            vs = np.asarray(mmdit_forward(
+                params, TINY, jnp.asarray(x), t_vec[:1], ctx[1:],
+                pooled[1:], skip_layers=(1,)))
+            v = v + (vc - vs) * slg
+        x = x + (sigmas[i + 1] - sigmas[i]) * v
+    np.testing.assert_allclose(out, x, rtol=1e-4, atol=1e-5)
+    assert not np.allclose(out, plain)
+
+    with pytest.raises(ValueError, match="CFG"):
+        fm_diffuse_latent(params, TINY, lat.copy(), ctx[1:], pooled[1:],
+                          gs, use_cfg=False, slg_scale=slg,
+                          slg_layers=(1,), **kw)

@@ -340,3 +340,27 @@ def test_sd3_inpaint_pipeline(tokenizer_dir):
         pipe.inpaint(["x"], ref, mask_image=mask, crop_left=0, n_steps=2)
     with pytest.raises(ValueError, match="strength"):
         pipe.inpaint(["x"], ref, strength=0.0, n_steps=2)
+
+
+def test_sd3_slg_pipeline(tokenizer_dir):
+    from sdxl_tpu.pipeline.sd3 import random_sd3_pipeline
+
+    pipe = random_sd3_pipeline(
+        mmdit_cfg=TINY_SD3_MMDIT, clip_l_cfg=TINY_CLIP_L,
+        clip_g_cfg=TINY_CLIP_G, vae_cfg=TINY_SD3_VAE,
+        compute_dtype=jnp.float32, tokenizer_dir=tokenizer_dir,
+    )
+    plain = pipe.txt2img(["a crab"], resolution=(64, 64), n_steps=3,
+                         guidance_scale=4.0, seed=1)
+    # slg_scale=0 takes the exact plain path (no kwargs forwarded)
+    same = pipe.txt2img(["a crab"], resolution=(64, 64), n_steps=3,
+                        guidance_scale=4.0, seed=1, slg_scale=0.0)
+    np.testing.assert_array_equal(plain, same)
+    out = pipe.txt2img(["a crab"], resolution=(64, 64), n_steps=3,
+                       guidance_scale=4.0, seed=1, slg_scale=2.8,
+                       slg_layers=(1,), slg_start=0.0, slg_stop=1.0)
+    assert out.shape == (1, 64, 64, 3)
+    assert not np.array_equal(out, plain)
+    # the default layer set (7,8,9) cannot exist on a 2-block MMDiT
+    with pytest.raises(ValueError, match="out of range"):
+        pipe.txt2img(["x"], resolution=(64, 64), n_steps=2, slg_scale=2.8)

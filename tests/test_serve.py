@@ -469,3 +469,22 @@ def test_sd3_server_img2img_and_rejections(tiny_sd3_pipe):
                                   sampler="euler"), seed=0), timeout=300)
     assert bad.error is not None and "flow-matching" in bad.error
     srv.stop()
+
+
+def test_sd3_server_slg_and_unet_rejection(tiny_sd3_pipe, tiny_pipe):
+    cfg = GenConfig(width=64, height=64, steps=2, guidance_scale=4.0,
+                    slg_scale=2.8)
+    # slg default layers (7,8,9) are out of range for the tiny 2-block
+    # MMDiT — the error proves the scale reached SD3Pipeline.txt2img
+    srv = GenerationServer(tiny_sd3_pipe, default_cfg=cfg)
+    srv.start(warmup=False)
+    r = srv.submit(GenRequest("a crab", cfg, seed=1), timeout=300)
+    assert r.error is not None and "out of range" in r.error
+    srv.stop()
+
+    # the UNet families reject slg_scale with a pointer to pag_scale
+    srv2 = GenerationServer(tiny_pipe, default_cfg=cfg)
+    srv2.start(warmup=False)
+    r2 = srv2.submit(GenRequest("a crab", cfg, seed=1), timeout=300)
+    assert r2.error is not None and "SD3 family only" in r2.error
+    srv2.stop()
