@@ -340,6 +340,58 @@ SD3_FLOW_SHIFT = 3.0  # flow-matching timestep shift (sd3-medium default)
 
 
 # ---------------------------------------------------------------------------
+# Flux family (capability extension): the FLUX.1 rectified-flow
+# transformer — double-stream (img/txt) blocks followed by single-stream
+# blocks over the concatenated tokens, 3-axis RoPE instead of learned /
+# sincos positions. Hyperparameters follow the public FLUX.1-dev/schnell
+# releases (diffusers FluxTransformer2DModel config).
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class FluxConfig:
+    """FLUX.1 denoiser (double + single stream DiT, RoPE)."""
+
+    # tokens are PRE-PACKED 2x2 latent patches: 16-ch latent -> 64-wide
+    in_channels: int = 64
+    num_layers: int = 19         # double-stream (img/txt) blocks
+    num_single_layers: int = 38  # single-stream blocks on [txt ⧺ img]
+    n_heads: int = 24
+    head_dim: int = 128          # hidden = 3072
+    joint_attention_dim: int = 4096  # T5-XXL token stream
+    pooled_projection_dim: int = 768  # CLIP-L pooler_output (unprojected)
+    # dev is guidance-distilled: a second sinusoid-MLP embeds the
+    # guidance scale into temb; schnell ships without it
+    guidance_embeds: bool = True
+    # per-axis RoPE widths over the (id, row, col) position ids;
+    # sums to head_dim
+    axes_dims: Tuple[int, ...] = (16, 56, 56)
+    rope_theta: int = 10000
+    time_sinusoid_dim: int = 256
+    mlp_ratio: int = 4
+
+    def __post_init__(self):
+        object.__setattr__(self, "axes_dims", tuple(self.axes_dims))
+        if sum(self.axes_dims) != self.head_dim:
+            raise ValueError(f"axes_dims {self.axes_dims} must sum to "
+                             f"head_dim {self.head_dim}")
+
+    @property
+    def hidden(self) -> int:
+        return self.n_heads * self.head_dim
+
+
+FLUX_DEV = FluxConfig()
+FLUX_SCHNELL = FluxConfig(guidance_embeds=False)
+
+# FLUX.1 16-channel VAE normalization (diffusers vae/config.json)
+FLUX_VAE_SCALE = 0.3611
+FLUX_VAE_SHIFT = 0.1159
+# dynamic-shift schedule endpoints (FluxPipeline/scheduler config)
+FLUX_BASE_SHIFT = 0.5
+FLUX_MAX_SHIFT = 1.15
+
+
+# ---------------------------------------------------------------------------
 # burn .cfg JSON interop
 # ---------------------------------------------------------------------------
 
