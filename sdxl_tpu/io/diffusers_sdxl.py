@@ -347,7 +347,7 @@ def build_vae_from_diffusers(
             bp["upsampler"] = s.conv("upsamplers.0.conv", cast)
         dec_blocks.append(bp)
 
-    return {
+    out = {
         "encoder": {
             "conv_in": ks.conv("encoder.conv_in", cast),
             "blocks": enc_blocks,
@@ -362,9 +362,13 @@ def build_vae_from_diffusers(
             "norm_out": ks.norm("decoder.conv_norm_out", cast),
             "conv_out": ks.conv("decoder.conv_out", cast),
         },
-        "quant_conv": ks.conv("quant_conv", cast),
-        "post_quant_conv": ks.conv("post_quant_conv", cast),
     }
+    # Flux VAEs ship without the quant convs (use_quant_conv: false)
+    if ks.has("quant_conv.weight"):
+        out["quant_conv"] = ks.conv("quant_conv", cast)
+    if ks.has("post_quant_conv.weight"):
+        out["post_quant_conv"] = ks.conv("post_quant_conv", cast)
+    return out
 
 
 # ---------------------------------------------------------------------------

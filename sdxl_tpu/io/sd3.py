@@ -261,12 +261,18 @@ def vae_config_from_dir(vdir: str, tensors: Dict[str, np.ndarray]):
     cpath = os.path.join(vdir, "config.json")
     if os.path.isfile(cpath):
         cfgj = _read_json(cpath)
-    latent = int(tensors["post_quant_conv.weight"].shape[1])
+    # Flux VAEs have no quant convs: fall back to the coder conv shapes
+    if "post_quant_conv.weight" in tensors:
+        latent = int(tensors["post_quant_conv.weight"].shape[1])
+        n_out = int(tensors["quant_conv.weight"].shape[0])
+    else:
+        latent = int(tensors["decoder.conv_in.weight"].shape[1])
+        n_out = int(tensors["encoder.conv_out.weight"].shape[0])
     return AutoencoderConfig(
         encoder_channels=pairs("encoder.down_blocks"),
         decoder_channels=pairs("decoder.up_blocks"),
         n_group=int(cfgj.get("norm_num_groups", 32)),
-        n_channels_out=int(tensors["quant_conv.weight"].shape[0]),
+        n_channels_out=n_out,
         latent_channels=int(cfgj.get("latent_channels", latent)),
     )
 

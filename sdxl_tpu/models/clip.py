@@ -76,8 +76,12 @@ def clip_hidden(params, cfg: CLIPConfig, tokens: jnp.ndarray, hidden_idx: int):
     return x
 
 
-def clip_hidden_pooled(params, cfg: CLIPConfig, tokens: jnp.ndarray, hidden_idx: int):
-    """(hidden @ hidden_idx, pooled EOT embedding) (clip/mod.rs:114-151)."""
+def clip_hidden_pooled(params, cfg: CLIPConfig, tokens: jnp.ndarray,
+                       hidden_idx: int, project: bool = True):
+    """(hidden @ hidden_idx, pooled EOT embedding) (clip/mod.rs:114-151).
+
+    project=False skips text_projection even when the tower carries one —
+    the Flux family conditions on CLIPTextModel's raw pooler_output."""
     mask = causal_mask(tokens.shape[1])
     x = _embed(params, tokens)
     h_out = x
@@ -94,7 +98,7 @@ def clip_hidden_pooled(params, cfg: CLIPConfig, tokens: jnp.ndarray, hidden_idx:
     eot_idx = jnp.argmax(pool_ids, axis=1)
     normed = layernorm_affine(x, **params["layer_norm"])
     o = jnp.take_along_axis(normed, eot_idx[:, None, None], axis=1)[:, 0, :]
-    t_proj = params.get("text_projection")
+    t_proj = params.get("text_projection") if project else None
     pooled = o @ t_proj if t_proj is not None else o
     return h_out, pooled
 

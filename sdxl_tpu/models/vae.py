@@ -98,13 +98,15 @@ def encode_image(params, cfg: AutoencoderConfig, x: jnp.ndarray) -> jnp.ndarray:
     Mirrors Autoencoder::encode_image (autoencoder/mod.rs:59-65).
     """
     h = encoder_forward(params["encoder"], cfg, x)
-    h = conv1x1(params["quant_conv"], h)
+    if "quant_conv" in params:  # Flux VAEs ship without the quant convs
+        h = conv1x1(params["quant_conv"], h)
     return h[..., : cfg.latent_channels]
 
 
 def decode_latent(params, cfg: AutoencoderConfig, latent: jnp.ndarray) -> jnp.ndarray:
     """Latent -> RGB in [-1,1] (autoencoder/mod.rs:67-70)."""
-    h = conv1x1(params["post_quant_conv"], latent)
+    h = (conv1x1(params["post_quant_conv"], latent)
+         if "post_quant_conv" in params else latent)
     return decoder_forward(params["decoder"], cfg, h)
 
 

@@ -1,0 +1,367 @@
+"""Flux family pipeline: prompt -> PNG via the FLUX.1 transformer.
+
+Capability extension beyond the reference (SDXL/SD1/SD2); mirrors the
+public FluxPipeline semantics:
+
+  conditioning = T5 final hidden (512 tokens dev / 256 schnell of 4096)
+  as the token stream, CLIP-L pooler_output (UNPROJECTED — FluxPipeline
+  uses CLIPTextModel, not WithProjection) as the pooled vector. There is
+  NO classifier-free guidance: FLUX.1-dev is guidance-distilled (the
+  guidance scale enters as a sinusoid embedding inside the transformer)
+  and schnell ignores guidance entirely.
+
+  schedule: sigmas = linspace(1, 1/n, n) with the DYNAMIC exp time shift
+  sigma' = e^mu / (e^mu + (1/sigma - 1)), mu linear in the packed image
+  token count between (256, base_shift) and (4096, max_shift) — the
+  FlowMatchEulerDiscreteScheduler(use_dynamic_shifting=True) path.
+  schnell uses the static shift (=1: identity). Euler updates
+  x += (s' - s) * v; the whole loop is one lax.scan.
+
+  VAE: 16-channel, no quant convs; decode z/scale + shift
+  (scale 0.3611, shift 0.1159).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import (
+    AutoencoderConfig,
+    CLIPConfig,
+    FLUX_BASE_SHIFT,
+    FLUX_MAX_SHIFT,
+    FLUX_VAE_SCALE,
+    FLUX_VAE_SHIFT,
+    FluxConfig,
+    T5Config,
+)
+from ..models.clip import clip_hidden_pooled
+from ..models.flux import flux_forward
+from ..models.t5 import t5_encode
+from ..models.vae import encode_image
+from ..tokenizer import ClipTokenizer
+from ..utils import StageTimer, fence, log
+from .flow_match import fm_add_noise, fm_window
+from .sd3 import sd3_decode_latent
+
+
+def flux_schedule(
+    n_steps: int,
+    image_seq_len: int,
+    base_shift: float = FLUX_BASE_SHIFT,
+    max_shift: float = FLUX_MAX_SHIFT,
+    dynamic: bool = True,
+    shift: float = 1.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(timesteps [n] = sigma*1000, sigmas [n+1, trailing 0]), descending.
+
+    Verbatim FluxPipeline + FlowMatchEulerDiscreteScheduler: the base
+    grid is linspace(1, 1/n, n); with use_dynamic_shifting the exp shift
+    applies with mu interpolated linearly in the PACKED image token
+    count between (256, base_shift) and (4096, max_shift); without it
+    the static rational shift applies (shift=1 -> identity, the schnell
+    config)."""
+    sigmas = np.linspace(1.0, 1.0 / n_steps, n_steps, dtype=np.float64)
+    if dynamic:
+        m = (max_shift - base_shift) / (4096 - 256)
+        b = base_shift - m * 256
+        mu = image_seq_len * m + b
+        sigmas = np.exp(mu) / (np.exp(mu) + (1.0 / sigmas - 1.0))
+    else:
+        sigmas = shift * sigmas / (1.0 + (shift - 1.0) * sigmas)
+    timesteps = (sigmas * 1000.0).astype(np.float32)
+    sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
+    return timesteps, sigmas
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "compute_dtype"),
+    donate_argnames=("latent",),
+)
+def flux_diffuse_latent(
+    flux_params,
+    cfg: FluxConfig,
+    latent: jnp.ndarray,    # [B, h, w, 16] — noise at sigmas[0]
+    context: jnp.ndarray,   # [B, T, joint_dim] T5 stream
+    pooled: jnp.ndarray,    # [B, pooled_dim] CLIP-L pooled
+    guidance: jnp.ndarray,  # [B] guidance_scale (dev; ignored by schnell)
+    timesteps: jnp.ndarray,  # [n] sigma*1000
+    sigmas: jnp.ndarray,     # [n+1]
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """The flow-matching Euler loop as one lax.scan — no CFG pair, the
+    guidance embedding replaces it (FLUX.1 is guidance-distilled)."""
+    latent = latent.astype(jnp.float32)
+    ctx = context.astype(compute_dtype)
+    pld = pooled.astype(compute_dtype)
+    g = (guidance.astype(jnp.float32) * 1000.0
+         if cfg.guidance_embeds else None)
+
+    def step(lat, inp):
+        t, s, s_next = inp
+        t_vec = jnp.broadcast_to(t, (lat.shape[0],))
+        v = flux_forward(flux_params, cfg, lat.astype(compute_dtype),
+                         t_vec, ctx, pld, guidance=g).astype(jnp.float32)
+        return lat + (s_next - s) * v, None
+
+    latent, _ = jax.lax.scan(step, latent,
+                             (timesteps, sigmas[:-1], sigmas[1:]))
+    return latent
+
+
+@dataclass
+class FluxPipeline:
+    flux_cfg: FluxConfig
+    flux_params: dict
+    clip_cfg: CLIPConfig
+    clip_params: dict
+    t5_cfg: T5Config
+    t5_params: dict
+    vae_cfg: AutoencoderConfig
+    vae_params: dict
+    # callable: list[str] -> [B, t5_tokens] int32 token ids
+    t5_tokenize: object
+    clip_tokenizer: ClipTokenizer = None
+    t5_tokens: int = 512  # max_sequence_length (512 dev, 256 schnell)
+    scale_factor: float = FLUX_VAE_SCALE
+    shift_factor: float = FLUX_VAE_SHIFT
+    base_shift: float = FLUX_BASE_SHIFT
+    max_shift: float = FLUX_MAX_SHIFT
+    dynamic_shifting: bool = True  # schnell ships with the static shift
+    static_shift: float = 1.0
+    compute_dtype: jnp.dtype = jnp.bfloat16
+    timer: StageTimer = field(default_factory=StageTimer)
+
+    # (data, model) mesh set by .shard(); None = single device
+    mesh: Optional[object] = None
+
+    def shard(self, n_data: Optional[int] = None,
+              n_model: Optional[int] = None,
+              tensor_parallel: bool = True):
+        """Place the Flux pipeline on a (data, model) mesh: transformer
+        attention/MLP linears tensor-parallel over the model axis
+        (24 heads x 128 — head-aligned for any power-of-two tp), T5
+        likewise, the CLIP tower per its head geometry, VAE replicated."""
+        from ..parallel.mesh import make_mesh, shard_params
+
+        mesh = make_mesh(n_data, n_model)
+        self.mesh = mesh
+        self.flux_params = shard_params(
+            self.flux_params, mesh, tensor_parallel,
+            head_channels=self.flux_cfg.head_dim,
+            fixed_heads=self.flux_cfg.n_heads,
+        )
+        self.t5_params = shard_params(
+            self.t5_params, mesh, tensor_parallel,
+            head_channels=self.t5_cfg.d_kv,
+            fixed_heads=self.t5_cfg.n_heads,
+        )
+        self.clip_params = shard_params(
+            self.clip_params, mesh, tensor_parallel,
+            fixed_heads=self.clip_cfg.n_head)
+        self.vae_params = shard_params(self.vae_params, mesh, False)
+        log(f"flux pipeline sharded over mesh {dict(mesh.shape)}")
+        return mesh
+
+    # ------------------------------------------------------------------
+    def conditioning(self, prompts):
+        """([B, t5_tokens, 4096] T5 stream, [B, 768] CLIP-L pooled)."""
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        from ..tokenizer.bpe import tokenize_text
+
+        with self.timer.stage("embedder"):
+            ids = jnp.asarray(np.asarray(
+                [tokenize_text(p, self.clip_tokenizer, self.clip_cfg.n_ctx)
+                 for p in prompts], np.int32))
+            # pooled WITHOUT text_projection (FluxPipeline's CLIPTextModel
+            # pooler_output); project=False also ignores a projection
+            # shipped by a random-weight tower
+            _, pooled = clip_hidden_pooled(
+                self.clip_params, self.clip_cfg, ids,
+                self.clip_cfg.n_layer - 1, project=False)
+            t5_ids = jnp.asarray(self.t5_tokenize(list(prompts)))
+            ctx = t5_encode(self.t5_params, self.t5_cfg, t5_ids)
+            fence(ctx)
+        return ctx, pooled
+
+    def _decode(self, latent):
+        return sd3_decode_latent(self.vae_params, self.vae_cfg, latent,
+                                 self.scale_factor, self.shift_factor)
+
+    def _schedule(self, n_steps, h, w):
+        seq_len = (h // 16) * (w // 16)  # packed 2x2 latent tokens
+        return flux_schedule(n_steps, seq_len, self.base_shift,
+                             self.max_shift, self.dynamic_shifting,
+                             self.static_shift)
+
+    def txt2img(
+        self,
+        prompts,
+        resolution: Tuple[int, int] = (1024, 1024),
+        n_steps: int = 28,
+        guidance_scale: float = 3.5,
+        seed: int = 0,
+        device_output: bool = False,
+    ) -> np.ndarray:
+        h, w = resolution
+        if h % 16 or w % 16:
+            raise ValueError(f"resolution {h}x{w} must be a multiple of "
+                             "16 (2x2-packed 16-ch latent)")
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        ctx, pooled = self.conditioning(prompts)
+        shape = (h // 8, w // 8, self.vae_cfg.latent_channels)
+        if isinstance(seed, (int, np.integer)):
+            lat = jax.random.normal(jax.random.PRNGKey(seed),
+                                    (len(prompts),) + shape, jnp.float32)
+        else:
+            # per-image seeds (the fused-serving contract)
+            seeds = list(seed)
+            if len(seeds) != len(prompts):
+                raise ValueError(f"{len(seeds)} seeds for "
+                                 f"{len(prompts)} prompts")
+            keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
+            lat = jax.vmap(
+                lambda k: jax.random.normal(k, shape, jnp.float32))(keys)
+        ts, sigmas = self._schedule(n_steps, h, w)
+        g = jnp.full((len(prompts),), float(guidance_scale), jnp.float32)
+        with self.timer.stage("diffuser"):
+            lat = flux_diffuse_latent(
+                self.flux_params, self.flux_cfg, lat, ctx, pooled, g,
+                jnp.asarray(ts), jnp.asarray(sigmas),
+                compute_dtype=self.compute_dtype,
+            )
+        with self.timer.stage("vae_decode"):
+            images = self._decode(lat)
+            fence(images)
+        return images if device_output else np.asarray(images)
+
+    def img2img(
+        self,
+        prompts,
+        reference_images: np.ndarray,  # [B, H, W, 3] uint8
+        strength: float = 0.6,
+        n_steps: int = 28,
+        guidance_scale: float = 3.5,
+        seed: int = 0,
+        device_output: bool = False,
+    ) -> np.ndarray:
+        if not 0.0 < strength <= 1.0:
+            raise ValueError("strength must be in (0, 1]")
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        ctx, pooled = self.conditioning(prompts)
+        with self.timer.stage("vae_encode"):
+            x = (jnp.asarray(reference_images).astype(jnp.float32) / 255.0
+                 * 2.0 - 1.0)
+            z = encode_image(self.vae_params, self.vae_cfg, x)
+            lat0 = (z - self.shift_factor) * self.scale_factor
+        h, w = reference_images.shape[1:3]
+        ts, sigmas = self._schedule(n_steps, h, w)
+        start = fm_window(n_steps, strength)
+        noise = jax.random.normal(jax.random.PRNGKey(seed), lat0.shape,
+                                  jnp.float32)
+        lat = fm_add_noise(lat0, noise, float(sigmas[start]))
+        g = jnp.full((len(prompts),), float(guidance_scale), jnp.float32)
+        with self.timer.stage("diffuser"):
+            lat = flux_diffuse_latent(
+                self.flux_params, self.flux_cfg, lat, ctx, pooled, g,
+                jnp.asarray(ts[start:]), jnp.asarray(sigmas[start:]),
+                compute_dtype=self.compute_dtype,
+            )
+        with self.timer.stage("vae_decode"):
+            images = self._decode(lat)
+            fence(images)
+        return images if device_output else np.asarray(images)
+
+
+# ---------------------------------------------------------------------------
+# construction
+# ---------------------------------------------------------------------------
+
+
+def random_flux_pipeline(
+    seed: int = 0,
+    flux_cfg: Optional[FluxConfig] = None,
+    clip_cfg: CLIPConfig = CLIPConfig(),
+    vae_cfg: Optional[AutoencoderConfig] = None,
+    t5_cfg: Optional[T5Config] = None,
+    t5_tokens: int = 512,
+    compute_dtype=jnp.bfloat16,
+    tokenizer_dir: Optional[str] = None,
+) -> FluxPipeline:
+    """Flux pipeline with random weights (bring-up / tests / bench)."""
+    from ..models.clip import init_clip
+    from ..models.flux import init_flux
+    from ..models.t5 import init_t5
+    from ..models.vae import init_autoencoder
+
+    flux_cfg = flux_cfg or FluxConfig()
+    vae_cfg = vae_cfg or AutoencoderConfig(n_channels_out=32,
+                                           latent_channels=16)
+    t5_cfg = t5_cfg or T5Config()
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    flux_params = jax.jit(init_flux, static_argnums=(1, 2))(
+        ks[0], flux_cfg, jnp.bfloat16)
+    clip_params = jax.jit(init_clip, static_argnums=(1, 2))(
+        ks[1], clip_cfg, jnp.float32)
+    t5_params = jax.jit(init_t5, static_argnums=(1, 2))(ks[2], t5_cfg)
+    vae_params = jax.jit(init_autoencoder, static_argnums=(1,))(
+        ks[3], vae_cfg)
+
+    def t5_tok(texts):  # test stub: deterministic ids from text hash
+        out = np.zeros((len(texts), t5_tokens), np.int32)
+        for i, t in enumerate(texts):
+            h = abs(hash(t))
+            out[i, :8] = [(h >> (4 * j)) % t5_cfg.vocab_size
+                          for j in range(8)]
+        return out
+
+    return FluxPipeline(
+        flux_cfg=flux_cfg, flux_params=flux_params,
+        clip_cfg=clip_cfg, clip_params=clip_params,
+        t5_cfg=t5_cfg, t5_params=t5_params,
+        vae_cfg=vae_cfg, vae_params=vae_params,
+        t5_tokenize=t5_tok, t5_tokens=t5_tokens,
+        clip_tokenizer=ClipTokenizer(tokenizer_dir),
+        compute_dtype=compute_dtype,
+    )
+
+
+def load_flux_pipeline(
+    model_dir: str,
+    compute_dtype=jnp.bfloat16,
+    tokenizer_dir: Optional[str] = None,
+    t5_tokenize=None,
+) -> FluxPipeline:
+    """Load a diffusers-layout FLUX.1 directory
+    (black-forest-labs/FLUX.1-dev style: transformer/ text_encoder/
+    [CLIP-L] text_encoder_2/ [T5] tokenizer_2/ vae/ scheduler/)."""
+    from ..io.flux import load_flux_diffusers_dir
+
+    log(f"loading Flux diffusers checkpoint from {model_dir}")
+    (flux_cfg, flux_params, clip_cfg, clip_params, t5_cfg, t5_params,
+     t5_tok, vae_cfg, vae_params, sched) = load_flux_diffusers_dir(
+        model_dir, compute_dtype, t5_tokenize=t5_tokenize)
+    return FluxPipeline(
+        flux_cfg=flux_cfg, flux_params=flux_params,
+        clip_cfg=clip_cfg, clip_params=clip_params,
+        t5_cfg=t5_cfg, t5_params=t5_params,
+        vae_cfg=vae_cfg, vae_params=vae_params,
+        t5_tokenize=t5_tok,
+        t5_tokens=256 if not flux_cfg.guidance_embeds else 512,
+        clip_tokenizer=ClipTokenizer(tokenizer_dir),
+        base_shift=sched.get("base_shift", FLUX_BASE_SHIFT),
+        max_shift=sched.get("max_shift", FLUX_MAX_SHIFT),
+        dynamic_shifting=sched.get("use_dynamic_shifting", True),
+        static_shift=sched.get("shift", 1.0),
+        compute_dtype=compute_dtype,
+    )
