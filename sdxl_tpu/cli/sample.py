@@ -62,11 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--random-weights", action="store_true",
                    help="Run with random weights (pipeline bring-up)")
     p.add_argument("--family", type=str, default="sdxl",
-                   choices=["sdxl", "sd1", "sd2", "sd3"],
+                   choices=["sdxl", "sd1", "sd2", "sd3", "flux"],
                    help="Model family: SDXL (reference parity), the "
-                        "SD 1.x / 2.x UNet architecture, or SD3 (MMDiT + "
-                        "flow matching; diffusers checkpoints, txt2img/"
-                        "img2img surface)")
+                        "SD 1.x / 2.x UNet architecture, SD3 (MMDiT + "
+                        "flow matching), or FLUX.1 (guidance-distilled "
+                        "rectified-flow DiT); sd3/flux load diffusers "
+                        "checkpoints, txt2img/img2img/inpaint surface")
     p.add_argument("--no-t5", action="store_true",
                    help="SD3: drop the T5-XXL tower (its token block "
                         "becomes zeros — the public pipeline's "
@@ -320,6 +321,95 @@ def _run_sd3(args, dtype) -> int:
     return 0
 
 
+def _run_flux(args, dtype) -> int:
+    """Flux family path (FLUX.1 dev/schnell): txt2img / img2img /
+    crop-window inpaint. No CFG exists for this family — dev embeds the
+    guidance scale (-gs; the public default is 3.5), schnell ignores it —
+    so --negative-prompt and the UNet families' knobs error instead of
+    being silently ignored."""
+    import numpy as np
+
+    from ..io.images import load_images, save_images
+    from ..utils import log
+
+    unsupported = [
+        ("--use-refiner", args.use_refiner),
+        ("--sampler", args.sampler != "ddim"),
+        ("--schedule", args.schedule != "linear"),
+        ("--negative-prompt", bool(args.negative_prompt)),
+        ("--no-cfg", args.no_cfg),
+        ("--controlnet", bool(args.controlnet)),
+        ("--ip-adapter", args.ip_adapter is not None),
+        ("--lora", bool(args.lora)),
+        ("--freeu", args.freeu is not None),
+        ("--deepcache", args.deepcache is not None),
+        ("--pag-scale", bool(args.pag_scale)),
+        ("--slg-scale", bool(args.slg_scale) or args.slg_layers is not None),
+        ("--preview-every", bool(args.preview_every)),
+        ("--hires-scale", args.hires_scale is not None),
+        ("--embedding", bool(args.embedding)),
+        ("--guidance-rescale", bool(args.guidance_rescale)),
+        ("--clip-skip", bool(args.clip_skip)),
+        ("--no-t5", args.no_t5),
+        ("--vae-bf16", args.vae_bf16),
+    ]
+    bad = [name for name, hit in unsupported if hit]
+    if bad:
+        print(f"error: {', '.join(bad)} not supported with --family flux",
+              file=sys.stderr)
+        return 1
+
+    from ..pipeline.flux import load_flux_pipeline, random_flux_pipeline
+
+    if args.random_weights or args.model_dir is None:
+        if not args.random_weights:
+            print("error: --model-dir is required (or --random-weights)",
+                  file=sys.stderr)
+            return 1
+        pipe = random_flux_pipeline(compute_dtype=dtype,
+                                    tokenizer_dir=args.tokenizer_dir)
+    else:
+        try:
+            pipe = load_flux_pipeline(args.model_dir, dtype,
+                                      args.tokenizer_dir)
+        except (KeyError, FileNotFoundError, ValueError) as e:
+            print(f"error: failed to load checkpoint from "
+                  f"{args.model_dir}: {e}", file=sys.stderr)
+            return 1
+    if args.dp is not None or args.tp is not None:
+        pipe.shard(args.dp, args.tp)
+
+    prompts = (args.prompt if len(args.prompt) > 1
+               else [args.prompt[0]] * args.batch)
+    t0 = time.perf_counter()
+    common = dict(n_steps=args.n_diffusion_steps,
+                  guidance_scale=args.unconditional_guidance_scale,
+                  seed=args.seed)
+    if args.reference_img is not None:
+        ref = load_images([args.reference_img])
+        if len(prompts) > 1:
+            ref = np.repeat(ref, len(prompts), axis=0)
+        if args.img2img_strength is not None:
+            images = pipe.img2img(prompts, ref,
+                                  strength=args.img2img_strength, **common)
+        else:
+            images = pipe.inpaint(
+                prompts, ref, crop_left=args.crop_left,
+                crop_right=args.crop_right, crop_top=args.crop_top,
+                crop_bottom=args.crop_bottom, crop_out=args.crop_out,
+                **common)
+    else:
+        images = pipe.txt2img(
+            prompts, resolution=(args.height, args.width), **common)
+    total = time.perf_counter() - t0
+    paths = save_images(np.asarray(images), args.output_dir)
+    log(f"saved: {paths}")
+    log(pipe.timer.summary())
+    log(f"throughput: {60.0 * len(prompts) / total:.2f} images/min "
+        f"(p50-equivalent latency {total / len(prompts):.2f}s/image)")
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -351,6 +441,9 @@ def main(argv=None) -> int:
 
     if args.family == "sd3":
         return _run_sd3(args, dtype)
+
+    if args.family == "flux":
+        return _run_flux(args, dtype)
 
     if args.slg_scale or args.slg_layers is not None:
         print("error: --slg-scale/--slg-layers apply to --family sd3 only",

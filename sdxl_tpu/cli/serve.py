@@ -240,7 +240,11 @@ class GenerationServer:
             import numpy as np
 
             seeds = [r.seed for r in batch]
-            if not hasattr(self.pipe, "diffuser_cfg"):
+            if hasattr(self.pipe, "flux_cfg"):
+                # Flux family (pipeline/flux.py): guidance-distilled, no
+                # CFG; same fused-batch per-image-seed contract
+                images = self._generate_flux(batch, cfg, seeds)
+            elif not hasattr(self.pipe, "diffuser_cfg"):
                 # SD3 family (pipeline/sd3.py): narrower surface — flow
                 # matching is the only scheduler; same fused-batch
                 # per-image-seed contract as the UNet families
@@ -354,6 +358,46 @@ class GenerationServer:
             seed=seeds,
             negative_prompt=cfg.negative_prompt,
             slg_scale=cfg.slg_scale,
+        )
+
+    def _generate_flux(self, batch, cfg: GenConfig, seeds):
+        import numpy as np
+
+        if cfg.sampler != "ddim" or cfg.schedule != "linear":
+            raise ValueError("Flux uses flow-matching Euler; per-request "
+                             "sampler/schedule do not apply")
+        if cfg.guidance_rescale or cfg.pag_scale or cfg.slg_scale:
+            raise ValueError("guidance_rescale/pag_scale/slg_scale do not "
+                             "apply to the Flux family")
+        if cfg.negative_prompt:
+            raise ValueError("the Flux family has no CFG — "
+                             "negative_prompt does not apply (guidance is "
+                             "an embedded scale)")
+        r0 = batch[0]
+        if r0.control_image is not None or r0.ip_image is not None:
+            raise ValueError("controlnet/ip-adapter are not supported for "
+                             "--family flux")
+        common = dict(n_steps=cfg.steps,
+                      guidance_scale=cfg.guidance_scale, seed=r0.seed)
+        if r0.crop is not None or r0.mask_image is not None:  # solo
+            ref = np.asarray(r0.image)[None]
+            if r0.mask_image is not None:
+                return self.pipe.inpaint(
+                    [r0.prompt], ref, mask_image=np.asarray(r0.mask_image),
+                    **common)
+            left, right, top, bottom, crop_out = r0.crop
+            return self.pipe.inpaint(
+                [r0.prompt], ref, crop_left=left, crop_right=right,
+                crop_top=top, crop_bottom=bottom, crop_out=crop_out,
+                **common)
+        if r0.image is not None:  # solo img2img
+            return self.pipe.img2img(r0.prompt, np.asarray(r0.image)[None],
+                                     strength=r0.strength, **common)
+        return self.pipe.txt2img(
+            [r.prompt for r in batch],
+            resolution=(cfg.height, cfg.width),
+            n_steps=cfg.steps, guidance_scale=cfg.guidance_scale,
+            seed=seeds,
         )
 
     def _inpaint_one(self, r: GenRequest, cfg: GenConfig):
@@ -563,7 +607,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model-dir", type=str, default=None)
     p.add_argument("--random-weights", action="store_true")
     p.add_argument("--family", type=str, default="sdxl",
-                   choices=["sdxl", "sd1", "sd2", "sd3"])
+                   choices=["sdxl", "sd1", "sd2", "sd3", "flux"])
     p.add_argument("--tokenizer-dir", type=str, default=None)
     p.add_argument("--embedding", action="append", default=[],
                    help="Textual-inversion embedding file PATH[:word] "
@@ -659,6 +703,23 @@ def build_pipeline(args):
         return load_sd3_pipeline(args.model_dir,
                                  tokenizer_dir=args.tokenizer_dir,
                                  load_t5=not args.no_t5)
+    if args.family == "flux":
+        from ..pipeline.flux import load_flux_pipeline, random_flux_pipeline
+
+        bad = [name for name, hit in (
+            ("--lora", bool(loras)), ("--freeu", args.freeu is not None),
+            ("--controlnet", bool(args.controlnet)),
+            ("--ip-adapter", args.ip_adapter is not None),
+            ("--embedding", bool(args.embedding)),
+            ("--vae-bf16", args.vae_bf16), ("--no-t5", args.no_t5),
+        ) if hit]
+        if bad:
+            raise ValueError(
+                f"{', '.join(bad)} not supported with --family flux")
+        if args.random_weights:
+            return random_flux_pipeline(tokenizer_dir=args.tokenizer_dir)
+        return load_flux_pipeline(args.model_dir,
+                                  tokenizer_dir=args.tokenizer_dir)
     if args.random_weights:
         from ..pipeline.pipeline import random_pipeline
 

@@ -95,21 +95,37 @@ def flux_diffuse_latent(
     timesteps: jnp.ndarray,  # [n] sigma*1000
     sigmas: jnp.ndarray,     # [n+1]
     compute_dtype=jnp.bfloat16,
+    pin_reference: Optional[jnp.ndarray] = None,  # [B,h,w,C] clean latent
+    pin_mask: Optional[jnp.ndarray] = None,       # [1|B,h,w,1], 1 = generate
+    pin_noise: Optional[jnp.ndarray] = None,      # [B,h,w,C]
 ) -> jnp.ndarray:
     """The flow-matching Euler loop as one lax.scan — no CFG pair, the
-    guidance embedding replaces it (FLUX.1 is guidance-distilled)."""
+    guidance embedding replaces it (FLUX.1 is guidance-distilled).
+
+    The pin_* triple is the diffusers FluxInpaintPipeline blending: after
+    every Euler update the un-masked region is re-pinned to the clean
+    reference re-noised at the NEXT sigma (the final step's sigma = 0
+    collapses the formula to the reference exactly)."""
     latent = latent.astype(jnp.float32)
     ctx = context.astype(compute_dtype)
     pld = pooled.astype(compute_dtype)
     g = (guidance.astype(jnp.float32) * 1000.0
          if cfg.guidance_embeds else None)
+    if pin_reference is not None:
+        pin_ref = pin_reference.astype(jnp.float32)
+        pin_m = pin_mask.astype(jnp.float32)
+        pin_n = pin_noise.astype(jnp.float32)
 
     def step(lat, inp):
         t, s, s_next = inp
         t_vec = jnp.broadcast_to(t, (lat.shape[0],))
         v = flux_forward(flux_params, cfg, lat.astype(compute_dtype),
                          t_vec, ctx, pld, guidance=g).astype(jnp.float32)
-        return lat + (s_next - s) * v, None
+        lat = lat + (s_next - s) * v
+        if pin_reference is not None:
+            proper = (1.0 - s_next) * pin_ref + s_next * pin_n
+            lat = pin_m * lat + (1.0 - pin_m) * proper
+        return lat, None
 
     latent, _ = jax.lax.scan(step, latent,
                              (timesteps, sigmas[:-1], sigmas[1:]))
@@ -276,6 +292,62 @@ class FluxPipeline:
                 self.flux_params, self.flux_cfg, lat, ctx, pooled, g,
                 jnp.asarray(ts[start:]), jnp.asarray(sigmas[start:]),
                 compute_dtype=self.compute_dtype,
+            )
+        with self.timer.stage("vae_decode"):
+            images = self._decode(lat)
+            fence(images)
+        return images if device_output else np.asarray(images)
+
+    def inpaint(
+        self,
+        prompts,
+        reference_images: np.ndarray,  # [B, H, W, 3] uint8
+        mask_image: Optional[np.ndarray] = None,
+        crop_left: Optional[int] = None,
+        crop_right: Optional[int] = None,
+        crop_top: Optional[int] = None,
+        crop_bottom: Optional[int] = None,
+        crop_out: bool = False,
+        strength: float = 1.0,
+        n_steps: int = 28,
+        guidance_scale: float = 3.5,
+        seed: int = 0,
+        device_output: bool = False,
+    ) -> np.ndarray:
+        """Latent inpainting (diffusers FluxInpaintPipeline blending):
+        the un-masked region is re-pinned after every Euler step. Same
+        dual mask surface as the SD3/SDXL families (pipeline/masks.py)."""
+        from .masks import build_latent_mask
+
+        if not 0.0 < strength <= 1.0:
+            raise ValueError("strength must be in (0, 1]")
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        _, height, width, _ = np.asarray(reference_images).shape
+        if height % 16 or width % 16:
+            raise ValueError(f"reference image {height}x{width} must be a "
+                             "multiple of 16 (2x2-packed 16-ch latent)")
+        mask = build_latent_mask(height, width, mask_image, crop_left,
+                                 crop_right, crop_top, crop_bottom,
+                                 crop_out)
+        ctx, pooled = self.conditioning(prompts)
+        with self.timer.stage("vae_encode"):
+            x = (jnp.asarray(reference_images).astype(jnp.float32) / 255.0
+                 * 2.0 - 1.0)
+            z = encode_image(self.vae_params, self.vae_cfg, x)
+            lat0 = (z - self.shift_factor) * self.scale_factor
+        ts, sigmas = self._schedule(n_steps, height, width)
+        start = fm_window(n_steps, strength)
+        noise = jax.random.normal(jax.random.PRNGKey(seed), lat0.shape,
+                                  jnp.float32)
+        lat = fm_add_noise(lat0, noise, float(sigmas[start]))
+        g = jnp.full((len(prompts),), float(guidance_scale), jnp.float32)
+        with self.timer.stage("diffuser"):
+            lat = flux_diffuse_latent(
+                self.flux_params, self.flux_cfg, lat, ctx, pooled, g,
+                jnp.asarray(ts[start:]), jnp.asarray(sigmas[start:]),
+                compute_dtype=self.compute_dtype, pin_reference=lat0,
+                pin_mask=mask, pin_noise=noise,
             )
         with self.timer.stage("vae_decode"):
             images = self._decode(lat)

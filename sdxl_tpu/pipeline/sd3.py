@@ -333,6 +333,8 @@ class SD3Pipeline:
         like the SDXL crop-inpaint path); diffusers' pipeline default is
         0.6 — pass strength= for that behavior.
         """
+        from .masks import build_latent_mask
+
         if not 0.0 < strength <= 1.0:
             raise ValueError("strength must be in (0, 1]")
         if isinstance(prompts, str):
@@ -341,36 +343,9 @@ class SD3Pipeline:
         if height % 16 or width % 16:
             raise ValueError(f"reference image {height}x{width} must be a "
                              "multiple of 16 (patchified 16-ch latent)")
-        lh, lw = height // 8, width // 8
-        if mask_image is not None:
-            if any(v is not None
-                   for v in (crop_left, crop_right, crop_top, crop_bottom)):
-                raise ValueError("pass either mask_image or a crop window, "
-                                 "not both")
-            m = np.asarray(mask_image)
-            if m.shape[:2] != (height, width):
-                raise ValueError(f"mask {m.shape[:2]} does not match image "
-                                 f"{(height, width)}")
-            if m.ndim == 3:
-                m = m.max(axis=-1)
-            cells = (m[: lh * 8, : lw * 8].reshape(lh, 8, lw, 8)
-                     .max(axis=(1, 3)) > 127)
-            mask = cells[None, :, :, None]
-        else:
-            crop_left = 0 if crop_left is None else crop_left
-            crop_right = width if crop_right is None else crop_right
-            crop_top = 0 if crop_top is None else crop_top
-            crop_bottom = height if crop_bottom is None else crop_bottom
-            if not (crop_right <= width and crop_bottom <= height
-                    and (crop_left < crop_right or crop_top < crop_bottom)):
-                raise ValueError("Invalid crop parameters.")
-            l, r = crop_left // 8, crop_right // 8
-            t, b = crop_top // 8, crop_bottom // 8
-            mask = np.zeros((1, lh, lw, 1), dtype=bool)
-            mask[:, t:b, l:r, :] = True
-        if crop_out:
-            mask = ~mask
-        mask = jnp.asarray(mask, jnp.float32)
+        mask = build_latent_mask(height, width, mask_image, crop_left,
+                                 crop_right, crop_top, crop_bottom,
+                                 crop_out)
 
         use_cfg = not (no_cfg or guidance_scale == 1.0)
         ctx, pooled = self.conditioning(prompts, negative_prompt)

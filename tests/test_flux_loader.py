@@ -243,3 +243,34 @@ def test_flux_dir_load_and_generate(tmp_path, tokenizer_dir):
     img = pipe.txt2img(["a crab"], resolution=(64, 64), n_steps=2,
                        guidance_scale=3.5, seed=1)
     assert img.shape == (1, 64, 64, 3)
+
+
+def test_flux_inpaint_pipeline(tiny_flux_pipe):
+    pipe = tiny_flux_pipe
+    ref = np.full((1, 64, 64, 3), 128, np.uint8)
+    out = pipe.inpaint(["a crab"], ref, crop_left=16, crop_right=48,
+                       crop_top=16, crop_bottom=48, n_steps=2,
+                       guidance_scale=3.5, seed=3)
+    assert out.shape == (1, 64, 64, 3) and out.dtype == np.uint8
+    # mask image selecting the same cells -> identical program
+    mask = np.zeros((64, 64), np.uint8)
+    mask[16:48, 16:48] = 255
+    out_m = pipe.inpaint(["a crab"], ref, mask_image=mask, n_steps=2,
+                         guidance_scale=3.5, seed=3)
+    np.testing.assert_array_equal(out, out_m)
+    # full-window inpaint at strength 1.0 degenerates to txt2img
+    full = pipe.inpaint(["a crab"], ref, n_steps=2, guidance_scale=3.5,
+                        seed=3)
+    t2i = pipe.txt2img(["a crab"], resolution=(64, 64), n_steps=2,
+                       guidance_scale=3.5, seed=3)
+    d = np.abs(full.astype(int) - t2i.astype(int))
+    assert d.max() <= 1 and d.mean() < 0.01, (d.max(), d.mean())
+    # all-keep mask returns the VAE round trip of the reference exactly:
+    # the final step's sigma = 0 pins the un-masked region to the clean
+    # encoded latent
+    kept = pipe.inpaint(["a crab"], ref, crop_left=16, crop_right=48,
+                        crop_top=16, crop_bottom=48, crop_out=True,
+                        n_steps=2, guidance_scale=3.5, seed=3)
+    assert not np.array_equal(kept, out)
+    with pytest.raises(ValueError, match="not both"):
+        pipe.inpaint(["x"], ref, mask_image=mask, crop_left=0, n_steps=2)

@@ -488,3 +488,75 @@ def test_sd3_server_slg_and_unet_rejection(tiny_sd3_pipe, tiny_pipe):
     r2 = srv2.submit(GenRequest("a crab", cfg, seed=1), timeout=300)
     assert r2.error is not None and "SD3 family only" in r2.error
     srv2.stop()
+
+
+# ---------------------------------------------------------------------------
+# Flux family serving
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_flux_pipe_srv(tokenizer_dir):
+    from sdxl_tpu.pipeline.flux import random_flux_pipeline
+    from tests.test_flux_loader import (
+        TINY_CLIP_L as FLUX_CLIP,
+        TINY_FLUX_PIPE,
+        TINY_FLUX_VAE,
+        TINY_T5 as FLUX_T5,
+    )
+
+    return random_flux_pipeline(
+        flux_cfg=TINY_FLUX_PIPE, clip_cfg=FLUX_CLIP, vae_cfg=TINY_FLUX_VAE,
+        t5_cfg=FLUX_T5, t5_tokens=16, compute_dtype=jnp.float32,
+        tokenizer_dir=tokenizer_dir,
+    )
+
+
+def test_flux_server_fuses_and_keeps_per_image_seeds(tiny_flux_pipe_srv):
+    cfg = GenConfig(width=64, height=64, steps=2, guidance_scale=3.5)
+    srv = GenerationServer(tiny_flux_pipe_srv, max_batch=2,
+                           batch_window_ms=200, default_cfg=cfg)
+    a = GenRequest("a cat", cfg, seed=7)
+    b = GenRequest("a dog", cfg, seed=8)
+    for r in (a, b):
+        srv.queue.put(r)
+    srv.start(warmup=False)
+    for r in (a, b):
+        assert r.done.wait(300) and r.error is None, r.error
+    srv.stop()
+    assert srv.info()["batches"] == 1
+
+    srv2 = GenerationServer(tiny_flux_pipe_srv, max_batch=1,
+                            default_cfg=cfg)
+    srv2.start(warmup=False)
+    solo = srv2.submit(GenRequest("a cat", cfg, seed=7), timeout=300)
+    srv2.stop()
+    from PIL import Image
+
+    pa = np.asarray(Image.open(io.BytesIO(a.result[0])), dtype=int)
+    ps = np.asarray(Image.open(io.BytesIO(solo.result[0])), dtype=int)
+    d = np.abs(pa - ps)
+    assert d.max() <= 1 and d.mean() < 0.01, (d.max(), d.mean())
+
+
+def test_flux_server_img2img_inpaint_and_rejections(tiny_flux_pipe_srv):
+    cfg = GenConfig(width=64, height=64, steps=2, guidance_scale=3.5)
+    srv = GenerationServer(tiny_flux_pipe_srv, default_cfg=cfg)
+    srv.start(warmup=False)
+    ref = np.zeros((64, 64, 3), np.uint8)
+    ok = srv.submit(GenRequest("a crab", cfg, seed=1, image=ref,
+                               strength=0.5), timeout=300)
+    assert ok.error is None and _png_shape(ok.result[0]) == (64, 64, 3)
+    inp = srv.submit(GenRequest("a crab", cfg, seed=2, image=ref,
+                                crop=(16, 48, 16, 48, False)), timeout=300)
+    assert inp.error is None and _png_shape(inp.result[0]) == (64, 64, 3)
+
+    bad = srv.submit(GenRequest(
+        "x", GenConfig(width=64, height=64, steps=2,
+                       negative_prompt="ugly"), seed=0), timeout=300)
+    assert bad.error is not None and "no CFG" in bad.error
+    bad2 = srv.submit(GenRequest(
+        "x", GenConfig(width=64, height=64, steps=2, sampler="euler"),
+        seed=0), timeout=300)
+    assert bad2.error is not None and "flow-matching" in bad2.error
+    srv.stop()
