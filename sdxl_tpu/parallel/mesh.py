@@ -99,6 +99,14 @@ _TP_RULES: Sequence = (
     (re.compile(r"\.attn\.o\.w$"), P(MODEL_AXIS, None), "attn_row"),
     (re.compile(r"\.ffn\.wi_[01]\.w$"), P(None, MODEL_AXIS), None),
     (re.compile(r"\.ffn\.wo\.w$"), P(MODEL_AXIS, None), None),
+    # --- Flux single-stream blocks (models/flux.py): attn to_q/k/v match
+    # the MMDiT rule; the parallel MLP is column-parallel and the fusing
+    # projection of [attn ⧺ gelu(mlp)] is row-parallel (one all-reduce)
+    (re.compile(r"single_blocks\.\d+\.proj_mlp\.w$"),
+     P(None, MODEL_AXIS), None),
+    (re.compile(r"single_blocks\.\d+\.proj_mlp\.b$"), P(MODEL_AXIS), None),
+    (re.compile(r"single_blocks\.\d+\.proj_out\.w$"),
+     P(MODEL_AXIS, None), None),
 )
 
 

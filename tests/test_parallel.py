@@ -312,3 +312,33 @@ def test_sd3_pipeline_shard_end_to_end(tokenizer_dir):
     # uint8 after a 2-step scan: tolerate 1-level rounding differences
     assert np.mean(np.abs(single.astype(int) - sharded.astype(int))) < 0.5
     assert np.max(np.abs(single.astype(int) - sharded.astype(int))) <= 2
+
+
+def test_flux_pipeline_shard_end_to_end(tokenizer_dir):
+    """pipe.shard(dp, tp) on the Flux pipeline: sharded txt2img == the
+    single-device image (2x4 mesh; single-stream proj_mlp/proj_out rules
+    included)."""
+    from sdxl_tpu.pipeline.flux import random_flux_pipeline
+    from tests.test_flux_loader import (
+        TINY_CLIP_L,
+        TINY_FLUX_PIPE,
+        TINY_FLUX_VAE,
+        TINY_T5,
+    )
+
+    def build():
+        return random_flux_pipeline(
+            flux_cfg=TINY_FLUX_PIPE, clip_cfg=TINY_CLIP_L,
+            vae_cfg=TINY_FLUX_VAE, t5_cfg=TINY_T5, t5_tokens=16,
+            compute_dtype=jnp.float32, tokenizer_dir=tokenizer_dir,
+        )
+
+    prompts = ["a crab"] * 2
+    single = build().txt2img(prompts, resolution=(64, 64), n_steps=2,
+                             guidance_scale=3.5, seed=3)
+    pipe = build()
+    pipe.shard(2, 4)
+    sharded = pipe.txt2img(prompts, resolution=(64, 64), n_steps=2,
+                           guidance_scale=3.5, seed=3)
+    assert np.mean(np.abs(single.astype(int) - sharded.astype(int))) < 0.5
+    assert np.max(np.abs(single.astype(int) - sharded.astype(int))) <= 2
