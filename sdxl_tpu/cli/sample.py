@@ -237,7 +237,6 @@ def _run_sd3(args, dtype) -> int:
         ("--schedule", args.schedule != "linear"),
         ("--controlnet", bool(args.controlnet)),
         ("--ip-adapter", args.ip_adapter is not None),
-        ("--lora", bool(args.lora)),
         ("--freeu", args.freeu is not None),
         ("--deepcache", args.deepcache is not None),
         ("--pag-scale", bool(args.pag_scale)),
@@ -264,9 +263,12 @@ def _run_sd3(args, dtype) -> int:
                                    tokenizer_dir=args.tokenizer_dir)
     else:
         try:
+            from ..io.lora import parse_lora_specs
+
             pipe = load_sd3_pipeline(args.model_dir, dtype,
                                      args.tokenizer_dir,
-                                     load_t5=not args.no_t5)
+                                     load_t5=not args.no_t5,
+                                     loras=parse_lora_specs(args.lora))
         except (KeyError, FileNotFoundError, ValueError) as e:
             print(f"error: failed to load checkpoint from "
                   f"{args.model_dir}: {e}", file=sys.stderr)
@@ -340,7 +342,6 @@ def _run_flux(args, dtype) -> int:
         ("--no-cfg", args.no_cfg),
         ("--controlnet", bool(args.controlnet)),
         ("--ip-adapter", args.ip_adapter is not None),
-        ("--lora", bool(args.lora)),
         ("--freeu", args.freeu is not None),
         ("--deepcache", args.deepcache is not None),
         ("--pag-scale", bool(args.pag_scale)),
@@ -370,8 +371,11 @@ def _run_flux(args, dtype) -> int:
                                     tokenizer_dir=args.tokenizer_dir)
     else:
         try:
+            from ..io.lora import parse_lora_specs
+
             pipe = load_flux_pipeline(args.model_dir, dtype,
-                                      args.tokenizer_dir)
+                                      args.tokenizer_dir,
+                                      loras=parse_lora_specs(args.lora))
         except (KeyError, FileNotFoundError, ValueError) as e:
             print(f"error: failed to load checkpoint from "
                   f"{args.model_dir}: {e}", file=sys.stderr)

@@ -689,7 +689,7 @@ def build_pipeline(args):
         from ..pipeline.sd3 import load_sd3_pipeline, random_sd3_pipeline
 
         bad = [name for name, hit in (
-            ("--lora", bool(loras)), ("--freeu", args.freeu is not None),
+            ("--freeu", args.freeu is not None),
             ("--controlnet", bool(args.controlnet)),
             ("--ip-adapter", args.ip_adapter is not None),
             ("--embedding", bool(args.embedding)),
@@ -702,12 +702,12 @@ def build_pipeline(args):
             return random_sd3_pipeline(tokenizer_dir=args.tokenizer_dir)
         return load_sd3_pipeline(args.model_dir,
                                  tokenizer_dir=args.tokenizer_dir,
-                                 load_t5=not args.no_t5)
+                                 load_t5=not args.no_t5, loras=loras)
     if args.family == "flux":
         from ..pipeline.flux import load_flux_pipeline, random_flux_pipeline
 
         bad = [name for name, hit in (
-            ("--lora", bool(loras)), ("--freeu", args.freeu is not None),
+            ("--freeu", args.freeu is not None),
             ("--controlnet", bool(args.controlnet)),
             ("--ip-adapter", args.ip_adapter is not None),
             ("--embedding", bool(args.embedding)),
@@ -719,7 +719,8 @@ def build_pipeline(args):
         if args.random_weights:
             return random_flux_pipeline(tokenizer_dir=args.tokenizer_dir)
         return load_flux_pipeline(args.model_dir,
-                                  tokenizer_dir=args.tokenizer_dir)
+                                  tokenizer_dir=args.tokenizer_dir,
+                                  loras=loras)
     if args.random_weights:
         from ..pipeline.pipeline import random_pipeline
 

@@ -123,6 +123,8 @@ def _canonical_module(base: str) -> Optional[str]:
         ("lora_te1_", "te1"),
         ("lora_te2_", "te2"),
         ("lora_te_", "te1"),
+        ("lora_transformer_", "transformer"),
+        ("transformer_", "transformer"),
         ("unet_", "unet"),
         ("text_encoder_2_", "te2"),
         ("text_encoder_", "te1"),
@@ -247,6 +249,90 @@ def _resolve_te(module: str) -> Optional[tuple]:
     return _match_rest(module, _TE_RX)
 
 
+# --- SD3 (MMDiT) / Flux transformer towers -------------------------------
+# diffusers/peft naming: transformer.transformer_blocks.{i}.attn.to_q etc.
+# Our pytree keys mirror the diffusers module names, so resolution is a
+# near-identity walk (models/mmdit.py, models/flux.py).
+_TR_RX = [
+    (re.compile(r"^transformer_blocks_(\d+)_attn(2?)_"
+                r"(to_q|to_k|to_v|add_q_proj|add_k_proj|add_v_proj"
+                r"|to_add_out)$"),
+     lambda m: ("blocks", int(m.group(1)), f"attn{m.group(2)}", m.group(3))),
+    (re.compile(r"^transformer_blocks_(\d+)_attn(2?)_to_out_0$"),
+     lambda m: ("blocks", int(m.group(1)), f"attn{m.group(2)}", "to_out")),
+    (re.compile(r"^transformer_blocks_(\d+)_ff(_context)?_net_0_proj$"),
+     lambda m: ("blocks", int(m.group(1)),
+                f"mlp{m.group(2) or ''}", "in")),
+    (re.compile(r"^transformer_blocks_(\d+)_ff(_context)?_net_2$"),
+     lambda m: ("blocks", int(m.group(1)),
+                f"mlp{m.group(2) or ''}", "out")),
+    (re.compile(r"^transformer_blocks_(\d+)_norm1(_context)?_linear$"),
+     lambda m: ("blocks", int(m.group(1)),
+                f"norm1{m.group(2) or ''}", "mod")),
+    # Flux single-stream blocks
+    (re.compile(r"^single_transformer_blocks_(\d+)_attn_(to_q|to_k|to_v)$"),
+     lambda m: ("single_blocks", int(m.group(1)), "attn", m.group(2))),
+    (re.compile(r"^single_transformer_blocks_(\d+)_(proj_mlp|proj_out)$"),
+     lambda m: ("single_blocks", int(m.group(1)), m.group(2))),
+    (re.compile(r"^single_transformer_blocks_(\d+)_norm_linear$"),
+     lambda m: ("single_blocks", int(m.group(1)), "norm", "mod")),
+    # top-level projections (some trainers include them)
+    (re.compile(r"^proj_out$"), lambda m: ("proj_out",)),
+    (re.compile(r"^x_embedder$"), lambda m: ("x_embedder",)),
+    (re.compile(r"^context_embedder$"), lambda m: ("context_embedder",)),
+    (re.compile(r"^norm_out_linear$"), lambda m: ("norm_out", "mod")),
+]
+
+
+def _resolve_transformer(module: str):
+    return _match_rest(module, _TR_RX)
+
+
+# kohya/sd-scripts Flux naming uses the ORIGINAL BFL module layout, whose
+# qkv (double) and qkv+mlp (single linear1) are FUSED single linears; the
+# LoRA delta rows split exactly onto our separate projections
+# (delta = up@down — row slices of a matmul are independent). The
+# modulation linears map directly (the diffusers conversion applies no
+# reorder to the block modulations, only to the final norm — which no
+# trainer targets).
+def _resolve_bfl_flux(module: str, hidden: int):
+    def split3(paths):
+        return [(p, (i * hidden, (i + 1) * hidden))
+                for i, p in enumerate(paths)]
+
+    m = re.match(r"^double_blocks_(\d+)_(img|txt)_(.+)$", module)
+    if m:
+        i, stream, rest = int(m.group(1)), m.group(2), m.group(3)
+        if rest == "attn_qkv":
+            names = (("to_q", "to_k", "to_v") if stream == "img"
+                     else ("add_q_proj", "add_k_proj", "add_v_proj"))
+            return split3([("blocks", i, "attn", n) for n in names])
+        table = {
+            "attn_proj": ("attn", "to_out" if stream == "img"
+                          else "to_add_out"),
+            "mlp_0": ("mlp" if stream == "img" else "mlp_context", "in"),
+            "mlp_2": ("mlp" if stream == "img" else "mlp_context", "out"),
+            "mod_lin": ("norm1" if stream == "img" else "norm1_context",
+                        "mod"),
+        }
+        if rest in table:
+            return ("blocks", i) + table[rest]
+        return None
+    m = re.match(r"^single_blocks_(\d+)_(.+)$", module)
+    if m:
+        i, rest = int(m.group(1)), m.group(2)
+        if rest == "linear1":  # fused [q | k | v | mlp] rows
+            return (split3([("single_blocks", i, "attn", n)
+                            for n in ("to_q", "to_k", "to_v")])
+                    + [(("single_blocks", i, "proj_mlp"),
+                        (3 * hidden, None))])
+        if rest == "linear2":
+            return ("single_blocks", i, "proj_out")
+        if rest == "modulation_lin":
+            return ("single_blocks", i, "norm", "mod")
+    return None
+
+
 def _tree_leaf(tree, path: tuple):
     node = tree
     for p in path:
@@ -265,10 +351,17 @@ def _tree_leaf(tree, path: tuple):
 # merging
 # ---------------------------------------------------------------------------
 
-def _merge_into(leaf: dict, entry: LoRAEntry, scale: float, canon: str) -> None:
-    """Add the LoRA delta into a {'w': ...} leaf in place (f32 math)."""
+def _merge_into(leaf: dict, entry: LoRAEntry, scale: float, canon: str,
+                rows: Optional[tuple] = None) -> None:
+    """Add the LoRA delta into a {'w': ...} leaf in place (f32 math).
+
+    rows = (start, end) slices the delta's OUTPUT rows first — the
+    fused-projection formats (BFL Flux qkv / linear1) train one linear
+    whose row blocks land on our separate projections."""
     w = leaf["w"]
     delta = entry.delta(scale)  # [out, in] or OIHW
+    if rows is not None:
+        delta = delta[rows[0]:rows[1]]
     if delta.ndim == 2:
         if w.ndim == 4:  # 1x1-conv-stored linear (VAE-style HWIO)
             delta = delta.T[None, None]
@@ -290,27 +383,47 @@ def apply_lora(
     unet=None,
     te1=None,
     te2=None,
+    transformer=None,
     scale: float = 1.0,
 ) -> Dict[str, list]:
     """Merge parsed LoRA entries into parameter trees in place.
 
     unet/te1/te2 are the framework pytrees (te1 = CLIP ViT-L tree, te2 =
-    OpenCLIP bigG tree). Returns {'applied': [...], 'skipped': [...]}.
+    OpenCLIP bigG tree); transformer is the MMDiT (SD3) or Flux tree —
+    diffusers 'transformer.*' keys resolve into it, and kohya BFL-named
+    Flux keys (which arrive under the 'unet' prefix) fall through to it
+    when no UNet is loaded. Returns {'applied': [...], 'skipped': [...]}.
     """
+    hidden = 0
+    if transformer is not None:
+        hidden = int(np.shape(
+            transformer["blocks"][0]["attn"]["to_q"]["w"])[-1])
     applied, skipped = [], []
     for canon, entry in sorted(entries.items()):
         tower, module = canon.split("%", 1)
-        if tower == "unet":
-            tree, path = unet, _resolve_unet(module)
+        if tower == "transformer":
+            tree, path = transformer, _resolve_transformer(module)
+        elif tower == "unet":
+            if unet is None and transformer is not None:
+                tree, path = transformer, _resolve_bfl_flux(module, hidden)
+            else:
+                tree, path = unet, _resolve_unet(module)
         elif tower == "te1":
             tree, path = te1, _resolve_te(module)
         else:
             tree, path = te2, _resolve_te(module)
-        leaf = _tree_leaf(tree, path) if (tree is not None and path) else None
-        if leaf is None or not isinstance(leaf, dict) or "w" not in leaf:
+        if tree is None or path is None:
             skipped.append(canon)
             continue
-        _merge_into(leaf, entry, scale, canon)
+        # fused-projection formats resolve to [(path, (row0, row1)), ...]
+        targets = path if isinstance(path, list) else [(path, None)]
+        leaves = [(_tree_leaf(tree, p), rows) for p, rows in targets]
+        if any(lf is None or not isinstance(lf, dict) or "w" not in lf
+               for lf, _ in leaves):
+            skipped.append(canon)
+            continue
+        for leaf, rows in leaves:
+            _merge_into(leaf, entry, scale, canon, rows=rows)
         applied.append(canon)
     return {"applied": applied, "skipped": skipped}
 
@@ -357,11 +470,13 @@ def apply_lora_files(
     unet=None,
     te1=None,
     te2=None,
+    transformer=None,
 ) -> None:
     """Load and merge a list of (path, scale) LoRA files, logging a summary."""
     for path, scale in loras:
         entries = load_lora_file(path)
-        stats = apply_lora(entries, unet=unet, te1=te1, te2=te2, scale=scale)
+        stats = apply_lora(entries, unet=unet, te1=te1, te2=te2,
+                           transformer=transformer, scale=scale)
         log(
             f"lora {path} (scale {scale}): merged {len(stats['applied'])} "
             f"modules, skipped {len(stats['skipped'])}"

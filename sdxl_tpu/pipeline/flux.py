@@ -413,6 +413,7 @@ def load_flux_pipeline(
     compute_dtype=jnp.bfloat16,
     tokenizer_dir: Optional[str] = None,
     t5_tokenize=None,
+    loras=None,
 ) -> FluxPipeline:
     """Load a diffusers-layout FLUX.1 directory
     (black-forest-labs/FLUX.1-dev style: transformer/ text_encoder/
@@ -423,6 +424,10 @@ def load_flux_pipeline(
     (flux_cfg, flux_params, clip_cfg, clip_params, t5_cfg, t5_params,
      t5_tok, vae_cfg, vae_params, sched) = load_flux_diffusers_dir(
         model_dir, compute_dtype, t5_tokenize=t5_tokenize)
+    if loras:
+        from ..io.lora import apply_lora_files
+
+        apply_lora_files(loras, transformer=flux_params, te1=clip_params)
     return FluxPipeline(
         flux_cfg=flux_cfg, flux_params=flux_params,
         clip_cfg=clip_cfg, clip_params=clip_params,

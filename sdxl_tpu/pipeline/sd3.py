@@ -443,6 +443,7 @@ def load_sd3_pipeline(
     tokenizer_dir: Optional[str] = None,
     load_t5: bool = True,
     t5_tokenize: Optional[object] = None,
+    loras=None,
 ) -> SD3Pipeline:
     """Load a diffusers-layout SD3 directory
     (stabilityai/stable-diffusion-3-medium-diffusers style).
@@ -465,6 +466,10 @@ def load_sd3_pipeline(
             f"{model_dir}: text_encoder_3/ (T5) weights loaded but "
             "tokenizer_3/ is missing — add the tokenizer directory, pass "
             "t5_tokenize=, or drop the tower (load_t5=False / --no-t5)")
+    if loras:
+        from ..io.lora import apply_lora_files
+
+        apply_lora_files(loras, transformer=mmdit, te1=clip_l, te2=clip_g)
     return SD3Pipeline(
         mmdit_cfg=mmdit_cfg,
         mmdit_params=mmdit,

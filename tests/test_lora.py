@@ -355,3 +355,165 @@ def test_apply_lora_files_raises_when_nothing_matches(tmp_path):
     }, str(path))
     with pytest.raises(ValueError, match="no LoRA modules matched"):
         apply_lora_files([(str(path), 1.0)], unet=params)
+
+
+# ---------------------------------------------------------------------------
+# SD3 / Flux transformer LoRA
+# ---------------------------------------------------------------------------
+
+
+def _entry_pair(key, r, d_in, d_out, seed, alpha=None):
+    rng = np.random.default_rng(seed)
+    t = {
+        f"{key}.lora_A.weight": rng.standard_normal((r, d_in), np.float32),
+        f"{key}.lora_B.weight": rng.standard_normal((d_out, r), np.float32),
+    }
+    if alpha is not None:
+        t[f"{key}.alpha"] = np.asarray(alpha, np.float32)
+    return t
+
+
+def test_transformer_lora_diffusers_naming_sd3_and_flux():
+    from sdxl_tpu.io.lora import apply_lora, parse_lora_tensors
+    from sdxl_tpu.models.flux import init_flux
+    from sdxl_tpu.models.mmdit import init_mmdit
+    from tests.test_flux import TINY as TINY_FLUX
+    from tests.test_mmdit import TINY as TINY_MMDIT
+
+    h = TINY_MMDIT.hidden
+    params = init_mmdit(jax.random.PRNGKey(0), TINY_MMDIT, jnp.float32)
+    w0 = np.asarray(params["blocks"][0]["attn"]["to_q"]["w"]).copy()
+    n0 = np.asarray(params["blocks"][1]["norm1"]["mod"]["w"]).copy()
+    tensors = {}
+    tensors.update(_entry_pair(
+        "transformer.transformer_blocks.0.attn.to_q", 2, h, h, 1, alpha=4))
+    tensors.update(_entry_pair(
+        "transformer.transformer_blocks.1.norm1.linear", 2, h, 6 * h, 2))
+    entries, bad = parse_lora_tensors(tensors)
+    assert not bad and len(entries) == 2
+    stats = apply_lora(entries, transformer=params, scale=0.5)
+    assert len(stats["applied"]) == 2 and not stats["skipped"]
+    e = entries["transformer%transformer_blocks_0_attn_to_q"]
+    expect = w0 + 0.5 * (4 / 2) * (
+        e.up.astype(np.float32) @ e.down.astype(np.float32)).T
+    np.testing.assert_allclose(
+        np.asarray(params["blocks"][0]["attn"]["to_q"]["w"]), expect,
+        rtol=1e-6)
+    assert not np.array_equal(
+        np.asarray(params["blocks"][1]["norm1"]["mod"]["w"]), n0)
+
+    # Flux: single-stream block targets
+    fh = TINY_FLUX.hidden
+    fparams = init_flux(jax.random.PRNGKey(1), TINY_FLUX, jnp.float32)
+    tensors = {}
+    tensors.update(_entry_pair(
+        "transformer.single_transformer_blocks.1.attn.to_k", 2, fh, fh, 3))
+    tensors.update(_entry_pair(
+        "transformer.single_transformer_blocks.0.proj_out", 2,
+        5 * fh, fh, 4))
+    entries, bad = parse_lora_tensors(tensors)
+    assert not bad
+    stats = apply_lora(entries, transformer=fparams)
+    assert len(stats["applied"]) == 2 and not stats["skipped"]
+
+
+def test_flux_lora_bfl_fused_naming_splits_rows():
+    """kohya/BFL Flux naming: fused img_attn_qkv and single linear1 deltas
+    split EXACTLY onto our separate projections (row slices of up@down)."""
+    from sdxl_tpu.io.lora import apply_lora, parse_lora_tensors
+    from sdxl_tpu.models.flux import init_flux
+    from tests.test_flux import TINY as TINY_FLUX
+
+    h = TINY_FLUX.hidden
+    params = init_flux(jax.random.PRNGKey(2), TINY_FLUX, jnp.float32)
+    before = {
+        nm: np.asarray(params["blocks"][0]["attn"][nm]["w"]).copy()
+        for nm in ("to_q", "to_k", "to_v")
+    }
+    mlp0 = np.asarray(params["single_blocks"][0]["proj_mlp"]["w"]).copy()
+    sq0 = np.asarray(
+        params["single_blocks"][0]["attn"]["to_q"]["w"]).copy()
+
+    rng = np.random.default_rng(5)
+    r = 2
+    tensors = {
+        "lora_unet_double_blocks_0_img_attn_qkv.lora_down.weight":
+            rng.standard_normal((r, h), np.float32),
+        "lora_unet_double_blocks_0_img_attn_qkv.lora_up.weight":
+            rng.standard_normal((3 * h, r), np.float32),
+        "lora_unet_double_blocks_0_img_attn_qkv.alpha":
+            np.asarray(r, np.float32),
+        "lora_unet_single_blocks_0_linear1.lora_down.weight":
+            rng.standard_normal((r, h), np.float32),
+        "lora_unet_single_blocks_0_linear1.lora_up.weight":
+            rng.standard_normal((3 * h + 4 * h, r), np.float32),
+    }
+    entries, bad = parse_lora_tensors(tensors)
+    assert not bad and len(entries) == 2
+    stats = apply_lora(entries, transformer=params)  # no unet loaded
+    assert sorted(stats["applied"]) == [
+        "unet%double_blocks_0_img_attn_qkv",
+        "unet%single_blocks_0_linear1",
+    ] and not stats["skipped"]
+
+    e = entries["unet%double_blocks_0_img_attn_qkv"]
+    delta = e.up.astype(np.float32) @ e.down.astype(np.float32)  # [3h, h]
+    for j, nm in enumerate(("to_q", "to_k", "to_v")):
+        np.testing.assert_allclose(
+            np.asarray(params["blocks"][0]["attn"][nm]["w"]),
+            before[nm] + delta[j * h:(j + 1) * h].T, rtol=1e-6)
+    e1 = entries["unet%single_blocks_0_linear1"]
+    d1 = e1.up.astype(np.float32) @ e1.down.astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(params["single_blocks"][0]["proj_mlp"]["w"]),
+        mlp0 + d1[3 * h:].T, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(params["single_blocks"][0]["attn"]["to_q"]["w"]),
+        sq0 + d1[:h].T, rtol=1e-6)
+
+
+def test_flux_pipeline_lora_changes_output(tmp_path, tokenizer_dir):
+    from safetensors.numpy import save_file
+
+    from sdxl_tpu.io.lora import apply_lora_files
+    from sdxl_tpu.pipeline.flux import random_flux_pipeline
+    from tests.test_flux_loader import (
+        TINY_CLIP_L,
+        TINY_FLUX_PIPE,
+        TINY_FLUX_VAE,
+        TINY_T5,
+    )
+
+    pipe = random_flux_pipeline(
+        flux_cfg=TINY_FLUX_PIPE, clip_cfg=TINY_CLIP_L,
+        vae_cfg=TINY_FLUX_VAE, t5_cfg=TINY_T5, t5_tokens=16,
+        compute_dtype=jnp.float32, tokenizer_dir=tokenizer_dir)
+    base = pipe.txt2img(["a crab"], resolution=(64, 64), n_steps=2,
+                        guidance_scale=3.5, seed=1)
+
+    h = TINY_FLUX_PIPE.hidden
+    rng = np.random.default_rng(9)
+    tensors = {
+        "transformer.transformer_blocks.0.attn.to_q.lora_A.weight":
+            rng.standard_normal((2, h), np.float32) * 0.5,
+        "transformer.transformer_blocks.0.attn.to_q.lora_B.weight":
+            rng.standard_normal((h, 2), np.float32) * 0.5,
+        # proj_out delta acts directly on the velocity — guarantees a
+        # visible image change on the tiny random model
+        "transformer.proj_out.lora_A.weight":
+            rng.standard_normal((2, h), np.float32),
+        "transformer.proj_out.lora_B.weight":
+            rng.standard_normal((16, 2), np.float32),
+    }
+    f = tmp_path / "style.safetensors"
+    save_file(tensors, str(f))
+    w0 = np.asarray(pipe.flux_params["blocks"][0]["attn"]["to_q"]["w"],
+                    np.float32).copy()
+    apply_lora_files([(str(f), 1.0)], transformer=pipe.flux_params,
+                     te1=pipe.clip_params)
+    w1 = np.asarray(pipe.flux_params["blocks"][0]["attn"]["to_q"]["w"],
+                    np.float32)
+    assert np.abs(w1 - w0).max() > 0.1  # the merge really landed
+    out = pipe.txt2img(["a crab"], resolution=(64, 64), n_steps=2,
+                       guidance_scale=3.5, seed=1)
+    assert not np.array_equal(base, out)
