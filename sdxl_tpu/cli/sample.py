@@ -109,6 +109,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Transformer blocks the SLG perturbed branch "
                         "skips (default 7,8,9 — the SD3.5-medium "
                         "recommendation)")
+    p.add_argument("--true-cfg-scale", type=float, default=1.0,
+                   help="Flux: real pair-batched CFG over "
+                        "--negative-prompt on top of the embedded "
+                        "guidance (diffusers true_cfg_scale; try 4.0)")
     p.add_argument("--freeu", type=str, nargs="?", const="auto",
                    default=None, metavar="B1,B2,S1,S2",
                    help="FreeU decoder rebalancing (arXiv:2309.11497): "
@@ -245,6 +249,7 @@ def _run_sd3(args, dtype) -> int:
         ("--embedding", bool(args.embedding)),
         ("--guidance-rescale", bool(args.guidance_rescale)),
         ("--clip-skip", bool(args.clip_skip)),
+        ("--true-cfg-scale", args.true_cfg_scale != 1.0),
     ]
     bad = [name for name, hit in unsupported if hit]
     if bad:
@@ -338,7 +343,8 @@ def _run_flux(args, dtype) -> int:
         ("--use-refiner", args.use_refiner),
         ("--sampler", args.sampler != "ddim"),
         ("--schedule", args.schedule != "linear"),
-        ("--negative-prompt", bool(args.negative_prompt)),
+        ("--negative-prompt (needs --true-cfg-scale > 1)",
+         bool(args.negative_prompt) and args.true_cfg_scale <= 1.0),
         ("--no-cfg", args.no_cfg),
         ("--controlnet", bool(args.controlnet)),
         ("--ip-adapter", args.ip_adapter is not None),
@@ -389,6 +395,8 @@ def _run_flux(args, dtype) -> int:
     common = dict(n_steps=args.n_diffusion_steps,
                   guidance_scale=args.unconditional_guidance_scale,
                   seed=args.seed)
+    tc = dict(negative_prompt=args.negative_prompt,
+              true_cfg_scale=args.true_cfg_scale)
     if args.reference_img is not None:
         ref = load_images([args.reference_img])
         if len(prompts) > 1:
@@ -404,7 +412,7 @@ def _run_flux(args, dtype) -> int:
                 **common)
     else:
         images = pipe.txt2img(
-            prompts, resolution=(args.height, args.width), **common)
+            prompts, resolution=(args.height, args.width), **common, **tc)
     total = time.perf_counter() - t0
     paths = save_images(np.asarray(images), args.output_dir)
     log(f"saved: {paths}")
@@ -451,6 +459,11 @@ def main(argv=None) -> int:
 
     if args.slg_scale or args.slg_layers is not None:
         print("error: --slg-scale/--slg-layers apply to --family sd3 only",
+              file=sys.stderr)
+        return 1
+
+    if args.true_cfg_scale != 1.0:
+        print("error: --true-cfg-scale applies to --family flux only",
               file=sys.stderr)
         return 1
 

@@ -83,6 +83,9 @@ class GenConfig:
     # SD3.5 skip-layer guidance (--family sd3 only); one extra cond-only
     # MMDiT eval per early step when > 0
     slg_scale: float = 0.0
+    # Flux true-CFG (--family flux only): real pair-batched CFG over the
+    # negative prompt on top of the embedded guidance when > 1
+    true_cfg_scale: float = 1.0
 
 
 @dataclass
@@ -253,6 +256,9 @@ class GenerationServer:
                 raise ValueError(
                     "slg_scale applies to the SD3 family only (use "
                     "pag_scale for the UNet families)")
+            elif cfg.true_cfg_scale != 1.0:
+                raise ValueError(
+                    "true_cfg_scale applies to the Flux family only")
             elif batch[0].crop is not None or batch[0].mask_image is not None:
                 images = self._inpaint_one(batch[0], cfg)
             elif batch[0].image is not None:
@@ -323,6 +329,9 @@ class GenerationServer:
         if cfg.guidance_rescale or cfg.pag_scale:
             raise ValueError("guidance_rescale/pag_scale do not apply to "
                              "the SD3 family (use slg_scale)")
+        if cfg.true_cfg_scale != 1.0:
+            raise ValueError("true_cfg_scale applies to the Flux family "
+                             "only (SD3 has standard CFG)")
         r0 = batch[0]
         if r0.control_image is not None or r0.ip_image is not None:
             raise ValueError("controlnet/ip-adapter are not supported for "
@@ -369,10 +378,11 @@ class GenerationServer:
         if cfg.guidance_rescale or cfg.pag_scale or cfg.slg_scale:
             raise ValueError("guidance_rescale/pag_scale/slg_scale do not "
                              "apply to the Flux family")
-        if cfg.negative_prompt:
-            raise ValueError("the Flux family has no CFG — "
-                             "negative_prompt does not apply (guidance is "
-                             "an embedded scale)")
+        if cfg.negative_prompt and cfg.true_cfg_scale <= 1.0:
+            raise ValueError("the Flux family has no built-in CFG — a "
+                             "negative_prompt needs true_cfg_scale > 1 "
+                             "(real pair-batched CFG on top of the "
+                             "embedded guidance)")
         r0 = batch[0]
         if r0.control_image is not None or r0.ip_image is not None:
             raise ValueError("controlnet/ip-adapter are not supported for "
@@ -397,7 +407,8 @@ class GenerationServer:
             [r.prompt for r in batch],
             resolution=(cfg.height, cfg.width),
             n_steps=cfg.steps, guidance_scale=cfg.guidance_scale,
-            seed=seeds,
+            seed=seeds, negative_prompt=cfg.negative_prompt,
+            true_cfg_scale=cfg.true_cfg_scale,
         )
 
     def _inpaint_one(self, r: GenRequest, cfg: GenConfig):
@@ -527,6 +538,8 @@ def make_handler(server: GenerationServer):
                     ),
                     pag_scale=float(payload.get("pag_scale", d.pag_scale)),
                     slg_scale=float(payload.get("slg_scale", d.slg_scale)),
+                    true_cfg_scale=float(
+                        payload.get("true_cfg_scale", d.true_cfg_scale)),
                 )
                 seed = int(payload.get("seed", 0))
                 image = None

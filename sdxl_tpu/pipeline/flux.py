@@ -82,15 +82,15 @@ def flux_schedule(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "compute_dtype"),
+    static_argnames=("cfg", "compute_dtype", "true_cfg"),
     donate_argnames=("latent",),
 )
 def flux_diffuse_latent(
     flux_params,
     cfg: FluxConfig,
     latent: jnp.ndarray,    # [B, h, w, 16] — noise at sigmas[0]
-    context: jnp.ndarray,   # [B, T, joint_dim] T5 stream
-    pooled: jnp.ndarray,    # [B, pooled_dim] CLIP-L pooled
+    context: jnp.ndarray,   # [B or 2B, T, joint_dim] T5 stream
+    pooled: jnp.ndarray,    # [B or 2B, pooled_dim] CLIP-L pooled
     guidance: jnp.ndarray,  # [B] guidance_scale (dev; ignored by schnell)
     timesteps: jnp.ndarray,  # [n] sigma*1000
     sigmas: jnp.ndarray,     # [n+1]
@@ -98,9 +98,16 @@ def flux_diffuse_latent(
     pin_reference: Optional[jnp.ndarray] = None,  # [B,h,w,C] clean latent
     pin_mask: Optional[jnp.ndarray] = None,       # [1|B,h,w,1], 1 = generate
     pin_noise: Optional[jnp.ndarray] = None,      # [B,h,w,C]
+    true_cfg: bool = False,
+    true_cfg_scale: float = 1.0,
 ) -> jnp.ndarray:
-    """The flow-matching Euler loop as one lax.scan — no CFG pair, the
-    guidance embedding replaces it (FLUX.1 is guidance-distilled).
+    """The flow-matching Euler loop as one lax.scan. By default there is
+    no CFG pair — the guidance embedding replaces it (FLUX.1 is
+    guidance-distilled). true_cfg=True is the public pipeline's
+    true_cfg_scale path for negative prompts: context/pooled arrive as
+    [uncond | cond] and v = vu + (vc - vu) * true_cfg_scale, pair-batched
+    in one transformer call (the embedded guidance still applies to both
+    halves, matching FluxPipeline).
 
     The pin_* triple is the diffusers FluxInpaintPipeline blending: after
     every Euler update the un-masked region is re-pinned to the clean
@@ -111,16 +118,30 @@ def flux_diffuse_latent(
     pld = pooled.astype(compute_dtype)
     g = (guidance.astype(jnp.float32) * 1000.0
          if cfg.guidance_embeds else None)
+    if true_cfg and g is not None:
+        g = jnp.concatenate([g, g], axis=0)
     if pin_reference is not None:
         pin_ref = pin_reference.astype(jnp.float32)
         pin_m = pin_mask.astype(jnp.float32)
         pin_n = pin_noise.astype(jnp.float32)
 
+    def velocity(lat, t):
+        n_batch = lat.shape[0]
+        if not true_cfg:
+            t_vec = jnp.broadcast_to(t, (n_batch,))
+            return flux_forward(
+                flux_params, cfg, lat.astype(compute_dtype), t_vec, ctx,
+                pld, guidance=g).astype(jnp.float32)
+        x2 = jnp.concatenate([lat, lat], axis=0).astype(compute_dtype)
+        t2 = jnp.broadcast_to(t, (2 * n_batch,))
+        v2 = flux_forward(flux_params, cfg, x2, t2, ctx, pld,
+                          guidance=g).astype(jnp.float32)
+        vu, vc = jnp.split(v2, 2, axis=0)
+        return vu + (vc - vu) * true_cfg_scale
+
     def step(lat, inp):
         t, s, s_next = inp
-        t_vec = jnp.broadcast_to(t, (lat.shape[0],))
-        v = flux_forward(flux_params, cfg, lat.astype(compute_dtype),
-                         t_vec, ctx, pld, guidance=g).astype(jnp.float32)
+        v = velocity(lat, t)
         lat = lat + (s_next - s) * v
         if pin_reference is not None:
             proper = (1.0 - s_next) * pin_ref + s_next * pin_n
@@ -187,24 +208,34 @@ class FluxPipeline:
         return mesh
 
     # ------------------------------------------------------------------
-    def conditioning(self, prompts):
-        """([B, t5_tokens, 4096] T5 stream, [B, 768] CLIP-L pooled)."""
-        if isinstance(prompts, str):
-            prompts = [prompts]
+    def _encode(self, texts):
         from ..tokenizer.bpe import tokenize_text
 
+        ids = jnp.asarray(np.asarray(
+            [tokenize_text(p, self.clip_tokenizer, self.clip_cfg.n_ctx)
+             for p in texts], np.int32))
+        # pooled WITHOUT text_projection (FluxPipeline's CLIPTextModel
+        # pooler_output); project=False also ignores a projection
+        # shipped by a random-weight tower
+        _, pooled = clip_hidden_pooled(
+            self.clip_params, self.clip_cfg, ids,
+            self.clip_cfg.n_layer - 1, project=False)
+        t5_ids = jnp.asarray(self.t5_tokenize(list(texts)))
+        ctx = t5_encode(self.t5_params, self.t5_cfg, t5_ids)
+        return ctx, pooled
+
+    def conditioning(self, prompts, negative_prompt: Optional[str] = None):
+        """([B, t5_tokens, 4096] T5 stream, [B, 768] CLIP-L pooled); with
+        negative_prompt (true-CFG mode) both are [uncond | cond]."""
+        if isinstance(prompts, str):
+            prompts = [prompts]
         with self.timer.stage("embedder"):
-            ids = jnp.asarray(np.asarray(
-                [tokenize_text(p, self.clip_tokenizer, self.clip_cfg.n_ctx)
-                 for p in prompts], np.int32))
-            # pooled WITHOUT text_projection (FluxPipeline's CLIPTextModel
-            # pooler_output); project=False also ignores a projection
-            # shipped by a random-weight tower
-            _, pooled = clip_hidden_pooled(
-                self.clip_params, self.clip_cfg, ids,
-                self.clip_cfg.n_layer - 1, project=False)
-            t5_ids = jnp.asarray(self.t5_tokenize(list(prompts)))
-            ctx = t5_encode(self.t5_params, self.t5_cfg, t5_ids)
+            ctx, pooled = self._encode(prompts)
+            if negative_prompt is not None:
+                ctx_u, pool_u = self._encode(
+                    [negative_prompt] * len(prompts))
+                ctx = jnp.concatenate([ctx_u, ctx], axis=0)
+                pooled = jnp.concatenate([pool_u, pooled], axis=0)
             fence(ctx)
         return ctx, pooled
 
@@ -225,6 +256,8 @@ class FluxPipeline:
         n_steps: int = 28,
         guidance_scale: float = 3.5,
         seed: int = 0,
+        negative_prompt: str = "",
+        true_cfg_scale: float = 1.0,
         device_output: bool = False,
     ) -> np.ndarray:
         h, w = resolution
@@ -233,7 +266,11 @@ class FluxPipeline:
                              "16 (2x2-packed 16-ch latent)")
         if isinstance(prompts, str):
             prompts = [prompts]
-        ctx, pooled = self.conditioning(prompts)
+        # the public pipeline's true_cfg_scale path: real pair-batched CFG
+        # over a negative prompt ON TOP of the embedded guidance
+        use_tc = bool(negative_prompt) and true_cfg_scale > 1.0
+        ctx, pooled = self.conditioning(
+            prompts, negative_prompt if use_tc else None)
         shape = (h // 8, w // 8, self.vae_cfg.latent_channels)
         if isinstance(seed, (int, np.integer)):
             lat = jax.random.normal(jax.random.PRNGKey(seed),
@@ -254,6 +291,7 @@ class FluxPipeline:
                 self.flux_params, self.flux_cfg, lat, ctx, pooled, g,
                 jnp.asarray(ts), jnp.asarray(sigmas),
                 compute_dtype=self.compute_dtype,
+                true_cfg=use_tc, true_cfg_scale=float(true_cfg_scale),
             )
         with self.timer.stage("vae_decode"):
             images = self._decode(lat)

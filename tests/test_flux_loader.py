@@ -274,3 +274,26 @@ def test_flux_inpaint_pipeline(tiny_flux_pipe):
     assert not np.array_equal(kept, out)
     with pytest.raises(ValueError, match="not both"):
         pipe.inpaint(["x"], ref, mask_image=mask, crop_left=0, n_steps=2)
+
+
+def test_flux_true_cfg(tiny_flux_pipe):
+    """diffusers' true_cfg_scale path: scale<=1 or empty negative is the
+    exact plain run; negative == positive makes vu == vc so any scale is
+    ~the plain run; a real negative changes the image."""
+    pipe = tiny_flux_pipe
+    plain = pipe.txt2img(["a crab"], resolution=(64, 64), n_steps=2,
+                         guidance_scale=3.5, seed=5)
+    same = pipe.txt2img(["a crab"], resolution=(64, 64), n_steps=2,
+                        guidance_scale=3.5, seed=5,
+                        negative_prompt="ugly", true_cfg_scale=1.0)
+    np.testing.assert_array_equal(plain, same)
+    # vu == vc (same text both halves): v = vu + (vc-vu)*s == vc exactly
+    ident = pipe.txt2img(["a crab"], resolution=(64, 64), n_steps=2,
+                         guidance_scale=3.5, seed=5,
+                         negative_prompt="a crab", true_cfg_scale=4.0)
+    d = np.abs(plain.astype(int) - ident.astype(int))
+    assert d.max() <= 1 and d.mean() < 0.01, (d.max(), d.mean())
+    neg = pipe.txt2img(["a crab"], resolution=(64, 64), n_steps=2,
+                       guidance_scale=3.5, seed=5,
+                       negative_prompt="a dog", true_cfg_scale=4.0)
+    assert not np.array_equal(plain, neg)
