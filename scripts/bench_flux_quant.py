@@ -1,0 +1,143 @@
+"""On-chip bench: the FULL FLUX.1 transformer on ONE chip, quantized.
+
+bench_flux.py measures per-block cost and extrapolates, because the
+19+38-block model needs ~24 GB in bf16 — more than one v5e chip. This
+script runs the REAL full-depth model single-chip via weight-only
+quantization (io/quantize.py):
+
+  int8: per-output-channel, ~11.7 GB resident (may not fit next to a
+        co-tenant; attempted first, skipped on OOM)
+  int4: group-64 nibbles for the block linears, mods at int8, ~7.6 GB
+
+The params are materialized DIRECTLY in the quantized layout
+(random_quantized_like) — the bf16 form never exists. The measured
+step time is the real number the extrapolation in bench_flux.py
+estimates, plus the dequant overhead that only a real run can show.
+
+Also asserts the TPU-backend guarantee the whole feature rests on: the
+optimized HLO of the sampling scan carries the int8 weights (no hoisted
+full-precision copy).
+
+Adds flux_quant_int{8,4}_1024_step_ms to BENCH_CONFIGS.json.
+Run on the real chip: python scripts/bench_flux_quant.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+RESULTS = {}
+if os.path.isfile("BENCH_CONFIGS.json"):
+    with open("BENCH_CONFIGS.json") as _f:
+        RESULTS = json.load(_f)
+
+
+def record(tag, value):
+    RESULTS[tag] = value
+    with open("BENCH_CONFIGS.json", "w") as f:
+        json.dump(RESULTS, f, indent=2)
+
+
+def main():
+    from sdxl_tpu.utils.cache import init_compilation_cache
+
+    init_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sdxl_tpu.configs import FluxConfig
+    from sdxl_tpu.io.quantize import random_quantized_like
+    from sdxl_tpu.models.flux import init_flux
+    from sdxl_tpu.pipeline.flux import flux_diffuse_latent, flux_schedule
+    from sdxl_tpu.utils import fence, log
+
+    cfg = FluxConfig()  # the real 19+38 / 3072h / 24x128 dev config
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 512, 4096),
+                            jnp.bfloat16)
+    pooled = jax.random.normal(jax.random.PRNGKey(3), (1, 768),
+                               jnp.bfloat16)
+    lat = jax.random.normal(jax.random.PRNGKey(4), (1, 128, 128, 16),
+                            jnp.float32)
+    g = jnp.full((1,), 3.5, jnp.float32)
+    n_steps = 4
+    ts, sig = flux_schedule(n_steps, 64 * 64)
+    abstract = jax.eval_shape(
+        lambda k: init_flux(k, cfg, jnp.bfloat16), jax.random.PRNGKey(0))
+
+    # --- HLO guarantee: int8 weights ride the while carry un-dequantized
+    carry_checked = False
+
+    for bits in (4, 8):
+        tag = f"flux_quant_int{bits}_1024_step_ms"
+        try:
+            log(f"materializing FULL FLUX.1 (19+38 blocks) int{bits} "
+                f"random-quantized params on the chip...")
+            params = random_quantized_like(jax.random.PRNGKey(0), abstract,
+                                           bits=bits)
+            fence(params["proj_out"]["w"])
+
+            def run():
+                out = flux_diffuse_latent(
+                    params, cfg, lat.copy(), ctx, pooled, g,
+                    jnp.asarray(ts), jnp.asarray(sig),
+                    compute_dtype=jnp.bfloat16)
+                fence(out)
+                return out
+
+            if not carry_checked:
+                import re
+
+                txt = flux_diffuse_latent.lower(
+                    params, cfg, lat.copy(), ctx, pooled, g,
+                    jnp.asarray(ts), jnp.asarray(sig),
+                    compute_dtype=jnp.bfloat16).compile().as_text()
+                carry = [ln for ln in txt.splitlines() if " while(" in ln]
+                assert carry and ("s8[" in carry[0]
+                                  or "u8[" in carry[0]), carry[:1]
+                # the carry legitimately holds the UN-quantized leaves
+                # (embedder lin2s, norm_out.mod, ... ~120 MB of bf16) —
+                # hoisted dequants would add GBs. Bound total bf16 bytes.
+                bf16_bytes = sum(
+                    2 * int(np.prod([int(d) for d in m.split(",")]))
+                    for m in re.findall(r"bf16\[([\d,]+)\]", carry[0]))
+                assert bf16_bytes < 600 * 2**20, (
+                    f"{bf16_bytes / 2**30:.2f} GiB of bf16 in the scan "
+                    "carry — dequantized weights were hoisted")
+                log(f"scan carry: quantized weights ride as int; bf16 "
+                    f"residue {bf16_bytes / 2**20:.0f} MB (the "
+                    f"unquantized embedder/norm leaves) — asserted "
+                    f"on-device HLO")
+                carry_checked = True
+
+            t0 = time.perf_counter()
+            run()
+            log(f"  compile+first: {time.perf_counter() - t0:.1f}s")
+            best = min(
+                (lambda s: (run(), time.perf_counter() - s)[1])(
+                    time.perf_counter())
+                for _ in range(3))
+            step_ms = best / n_steps * 1000.0
+            log(f"  FULL FLUX.1 int{bits}: {step_ms:.1f} ms/step "
+                f"({step_ms * 28 / 1000.0:.2f} s at 28 steps)")
+            record(tag, round(step_ms, 1))
+            del params
+        except Exception as e:  # co-tenant OOM etc: record, keep going
+            log(f"  int{bits} attempt failed: {type(e).__name__}: "
+                f"{str(e)[:200]}")
+            record(tag, f"failed: {type(e).__name__}")
+            continue
+
+    record("flux_quant_bench_note",
+           "FULL 19+38-block FLUX.1 (3072h, 4608-token seq) executed on "
+           "ONE v5e chip via weight-only quantization; params built "
+           "directly in quantized layout (bf16 form never exists); "
+           "scan-carry HLO assertion included")
+
+
+if __name__ == "__main__":
+    main()

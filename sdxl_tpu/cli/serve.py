@@ -627,6 +627,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(repeatable), merged at boot")
     p.add_argument("--lora", action="append", default=[],
                    metavar="PATH[:SCALE]")
+    p.add_argument("--quantize", choices=["int8", "int4"], default=None,
+                   help="Weight-only quantized storage for sd3/flux "
+                        "transformers + T5 (see sample --quantize); the "
+                        "single-chip fit mode for FLUX.1")
     p.add_argument("--controlnet", action="append", default=None,
                    metavar="DIR",
                    help="diffusers-layout ControlNetModel directory "
@@ -677,6 +681,11 @@ def build_pipeline(args):
 
     loras = parse_lora_specs(args.lora)
 
+    if getattr(args, "quantize", None) and args.family not in ("sd3",
+                                                               "flux"):
+        raise ValueError("--quantize applies to the transformer families "
+                         "(--family sd3 | flux)")
+
     if args.family in ("sd1", "sd2"):
         from ..configs import (
             CLIP_VIT_L_CONFIG,
@@ -715,7 +724,8 @@ def build_pipeline(args):
             return random_sd3_pipeline(tokenizer_dir=args.tokenizer_dir)
         return load_sd3_pipeline(args.model_dir,
                                  tokenizer_dir=args.tokenizer_dir,
-                                 load_t5=not args.no_t5, loras=loras)
+                                 load_t5=not args.no_t5, loras=loras,
+                                 quantize=args.quantize)
     if args.family == "flux":
         from ..pipeline.flux import load_flux_pipeline, random_flux_pipeline
 
@@ -733,7 +743,7 @@ def build_pipeline(args):
             return random_flux_pipeline(tokenizer_dir=args.tokenizer_dir)
         return load_flux_pipeline(args.model_dir,
                                   tokenizer_dir=args.tokenizer_dir,
-                                  loras=loras)
+                                  loras=loras, quantize=args.quantize)
     if args.random_weights:
         from ..pipeline.pipeline import random_pipeline
 

@@ -96,9 +96,10 @@ def flux_config_from_dir(tdir: str, tensors: Dict[str, np.ndarray]
 
 
 def build_flux_from_diffusers(
-    tensors: Dict[str, np.ndarray], cfg: FluxConfig, dtype=jnp.bfloat16
+    tensors: Dict[str, np.ndarray], cfg: FluxConfig, dtype=jnp.bfloat16,
+    host: bool = False,
 ):
-    cast = _as(dtype)
+    cast = _as(dtype, host)
     ks = _KeyStore(tensors)
     te = {
         "timestep_lin1": ks.linear(
@@ -158,7 +159,7 @@ def build_flux_from_diffusers(
 
 
 def load_flux_diffusers_dir(model_dir: str, dtype=jnp.bfloat16,
-                            t5_tokenize=None):
+                            t5_tokenize=None, host: bool = False):
     """Returns (flux_cfg, flux_params, clip_cfg, clip_params, t5_cfg,
     t5_params, t5_tokenize, vae_cfg, vae_params, scheduler_config).
 
@@ -167,7 +168,8 @@ def load_flux_diffusers_dir(model_dir: str, dtype=jnp.bfloat16,
     tdir = os.path.join(model_dir, "transformer")
     tensors = _load_safetensors_dir(tdir)
     flux_cfg = flux_config_from_dir(tdir, tensors)
-    flux_params = build_flux_from_diffusers(tensors, flux_cfg, dtype)
+    flux_params = build_flux_from_diffusers(tensors, flux_cfg, dtype,
+                                            host=host)
 
     cdir = os.path.join(model_dir, "text_encoder")
     cj = {}
@@ -199,7 +201,7 @@ def load_flux_diffusers_dir(model_dir: str, dtype=jnp.bfloat16,
             "mode like SD3's)")
     t5_tensors = _load_safetensors_dir(t5_dir)
     t5_cfg = t5_config_from_dir(t5_dir, t5_tensors)
-    t5_params = build_t5_from_hf(t5_tensors, t5_cfg, dtype)
+    t5_params = build_t5_from_hf(t5_tensors, t5_cfg, dtype, host=host)
     if t5_tokenize is not None:
         t5_tok = t5_tokenize
     else:

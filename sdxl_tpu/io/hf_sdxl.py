@@ -27,7 +27,13 @@ from ..configs import AutoencoderConfig, CLIPConfig, DiffuserConfig, UNetConfig
 from ..models.unet import unet_block_plan
 
 
-def _as(dtype):
+def _as(dtype, host: bool = False):
+    """Tensor cast for the builders. host=True keeps weights as numpy
+    (ml_dtypes handles bf16) so a quantized load (io/quantize.py) never
+    materializes the full-precision model in HBM — FLUX.1's 23.8 GB bf16
+    transformer cannot even be STAGED on a 16 GB chip."""
+    if host:
+        return lambda a: np.ascontiguousarray(a).astype(np.dtype(dtype))
     return lambda a: jnp.asarray(np.ascontiguousarray(a), dtype=dtype)
 
 

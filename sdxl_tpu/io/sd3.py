@@ -103,9 +103,10 @@ def mmdit_config_from_dir(tdir: str, tensors: Dict[str, np.ndarray]
 
 
 def build_mmdit_from_diffusers(
-    tensors: Dict[str, np.ndarray], cfg: MMDiTConfig, dtype=jnp.bfloat16
+    tensors: Dict[str, np.ndarray], cfg: MMDiTConfig, dtype=jnp.bfloat16,
+    host: bool = False,
 ):
-    cast = _as(dtype)
+    cast = _as(dtype, host)
     ks = _KeyStore(tensors)
     p = cfg.patch_size
 
@@ -212,8 +213,8 @@ def t5_config_from_dir(tdir: str, tensors: Dict[str, np.ndarray]) -> T5Config:
 
 
 def build_t5_from_hf(tensors: Dict[str, np.ndarray], cfg: T5Config,
-                     dtype=jnp.bfloat16):
-    cast = _as(dtype)
+                     dtype=jnp.bfloat16, host: bool = False):
+    cast = _as(dtype, host)
     ks = _KeyStore(tensors)
     blocks = []
     for i in range(cfg.n_layers):
@@ -281,6 +282,7 @@ def load_sd3_diffusers_dir(
     model_dir: str,
     mmdit_dtype=jnp.bfloat16,
     load_t5: bool = True,
+    host: bool = False,
 ):
     """Returns (mmdit_cfg, mmdit_params, clip_l_cfg, clip_l, clip_g_cfg,
     clip_g, vae_params, t5_cfg | None, t5_params | None,
@@ -288,7 +290,8 @@ def load_sd3_diffusers_dir(
     tdir = os.path.join(model_dir, "transformer")
     tensors = _load_safetensors_dir(tdir)
     mmdit_cfg = mmdit_config_from_dir(tdir, tensors)
-    mmdit = build_mmdit_from_diffusers(tensors, mmdit_cfg, mmdit_dtype)
+    mmdit = build_mmdit_from_diffusers(tensors, mmdit_cfg, mmdit_dtype,
+                                       host=host)
 
     def clip_cfg_from(tdir2, default_layers):
         cj = {}
@@ -330,7 +333,8 @@ def load_sd3_diffusers_dir(
     ):
         t5_tensors = _load_safetensors_dir(t5_dir)
         t5_cfg = t5_config_from_dir(t5_dir, t5_tensors)
-        t5_params = build_t5_from_hf(t5_tensors, t5_cfg, mmdit_dtype)
+        t5_params = build_t5_from_hf(t5_tensors, t5_cfg, mmdit_dtype,
+                                     host=host)
         tok_dir = os.path.join(model_dir, "tokenizer_3")
         if os.path.isdir(tok_dir):
             from transformers import AutoTokenizer

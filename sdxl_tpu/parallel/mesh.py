@@ -110,6 +110,28 @@ _TP_RULES: Sequence = (
 )
 
 
+def _expand_quant_rules(rules: Sequence) -> Sequence:
+    """Extend every `.w` rule to the int8-quantized layout (io/quantize):
+    `qw` [d_in, d_out] shards exactly like `w`; the per-output-channel
+    scale `qs` [d_out] splits with the output axis in the column-parallel
+    case and replicates in the row-parallel one. Packed int4 (`qw4`) has
+    no rule — its packed input axis halves the row dimension, so it
+    replicates (int4 is the single-chip fit mode; TP is what it avoids)."""
+    out = list(rules)
+    for rx, spec, kind in rules:
+        pat = rx.pattern
+        if not pat.endswith(r"\.w$"):
+            continue
+        base = pat[: -len(r"\.w$")]
+        out.append((re.compile(base + r"\.qw$"), spec, kind))
+        qs_spec = P(MODEL_AXIS) if spec == P(None, MODEL_AXIS) else P()
+        out.append((re.compile(base + r"\.qs$"), qs_spec, None))
+    return tuple(out)
+
+
+_TP_RULES = _expand_quant_rules(_TP_RULES)
+
+
 def _path_str(path) -> str:
     parts = []
     for p in path:

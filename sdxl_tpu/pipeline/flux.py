@@ -407,6 +407,7 @@ def random_flux_pipeline(
     t5_tokens: int = 512,
     compute_dtype=jnp.bfloat16,
     tokenizer_dir: Optional[str] = None,
+    quantize: Optional[str] = None,
 ) -> FluxPipeline:
     """Flux pipeline with random weights (bring-up / tests / bench)."""
     from ..models.clip import init_clip
@@ -421,6 +422,12 @@ def random_flux_pipeline(
     ks = jax.random.split(jax.random.PRNGKey(seed), 4)
     flux_params = jax.jit(init_flux, static_argnums=(1, 2))(
         ks[0], flux_cfg, jnp.bfloat16)
+    if quantize is not None:
+        from ..io.quantize import parse_quantize_spec, quantize_tree
+
+        flux_params = jax.jit(
+            lambda t: quantize_tree(t, parse_quantize_spec(quantize))
+        )(flux_params)
     clip_params = jax.jit(init_clip, static_argnums=(1, 2))(
         ks[1], clip_cfg, jnp.float32)
     t5_params = jax.jit(init_t5, static_argnums=(1, 2))(ks[2], t5_cfg)
@@ -452,20 +459,35 @@ def load_flux_pipeline(
     tokenizer_dir: Optional[str] = None,
     t5_tokenize=None,
     loras=None,
+    quantize: Optional[str] = None,
 ) -> FluxPipeline:
     """Load a diffusers-layout FLUX.1 directory
     (black-forest-labs/FLUX.1-dev style: transformer/ text_encoder/
-    [CLIP-L] text_encoder_2/ [T5] tokenizer_2/ vae/ scheduler/)."""
-    from ..io.flux import load_flux_diffusers_dir
+    [CLIP-L] text_encoder_2/ [T5] tokenizer_2/ vae/ scheduler/).
 
+    quantize="int8"|"int4" stores the transformer's block linears
+    quantized (io/quantize.py) and the T5 encoder at int8 — the
+    single-chip deployment mode for the 12B dev/schnell transformers
+    (23.8 GB bf16 -> 11.9 / ~6.4 GB). The weights are staged on the
+    HOST, quantized there, and only the quantized form ever reaches
+    HBM. LoRAs merge BEFORE quantization (full precision)."""
+    from ..io.flux import load_flux_diffusers_dir
+    from ..io.quantize import parse_quantize_spec, quantize_tree
+    from ..utils.memory import tree_to_device
+
+    bits = parse_quantize_spec(quantize)
     log(f"loading Flux diffusers checkpoint from {model_dir}")
     (flux_cfg, flux_params, clip_cfg, clip_params, t5_cfg, t5_params,
      t5_tok, vae_cfg, vae_params, sched) = load_flux_diffusers_dir(
-        model_dir, compute_dtype, t5_tokenize=t5_tokenize)
+        model_dir, compute_dtype, t5_tokenize=t5_tokenize,
+        host=bits is not None)
     if loras:
         from ..io.lora import apply_lora_files
 
         apply_lora_files(loras, transformer=flux_params, te1=clip_params)
+    if bits is not None:
+        flux_params = tree_to_device(quantize_tree(flux_params, bits))
+        t5_params = tree_to_device(quantize_tree(t5_params, 8))
     return FluxPipeline(
         flux_cfg=flux_cfg, flux_params=flux_params,
         clip_cfg=clip_cfg, clip_params=clip_params,

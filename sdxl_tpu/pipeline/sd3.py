@@ -444,6 +444,7 @@ def load_sd3_pipeline(
     load_t5: bool = True,
     t5_tokenize: Optional[object] = None,
     loras=None,
+    quantize: Optional[str] = None,
 ) -> SD3Pipeline:
     """Load a diffusers-layout SD3 directory
     (stabilityai/stable-diffusion-3-medium-diffusers style).
@@ -452,13 +453,23 @@ def load_sd3_pipeline(
     memory-saving mode: its token block becomes zeros). A checkpoint
     whose text_encoder_3/ weights load but whose tokenizer_3/ is absent
     fails HERE (not on the first request) unless a `t5_tokenize`
-    callable is supplied."""
+    callable is supplied.
+
+    quantize="int8"|"int4" stores the MMDiT block linears quantized and
+    the T5 tower at int8 (io/quantize.py) — weights are staged on the
+    host and only the quantized form reaches HBM; LoRAs merge before
+    quantization."""
     from ..io.sd3 import load_sd3_diffusers_dir
 
     log(f"loading SD3 diffusers checkpoint from {model_dir}")
+    bits = None
+    if quantize is not None:
+        from ..io.quantize import parse_quantize_spec
+
+        bits = parse_quantize_spec(quantize)
     (mmdit_cfg, mmdit, clip_l_cfg, clip_l, clip_g_cfg, clip_g, vae_cfg,
      vae, t5_cfg, t5_params, t5_tok, flow_shift) = load_sd3_diffusers_dir(
-        model_dir, compute_dtype, load_t5)
+        model_dir, compute_dtype, load_t5, host=bits is not None)
     if t5_tok is None:
         t5_tok = t5_tokenize
     if t5_params is not None and t5_tok is None:
@@ -470,6 +481,13 @@ def load_sd3_pipeline(
         from ..io.lora import apply_lora_files
 
         apply_lora_files(loras, transformer=mmdit, te1=clip_l, te2=clip_g)
+    if bits is not None:
+        from ..io.quantize import quantize_tree
+        from ..utils.memory import tree_to_device
+
+        mmdit = tree_to_device(quantize_tree(mmdit, bits))
+        if t5_params is not None:
+            t5_params = tree_to_device(quantize_tree(t5_params, 8))
     return SD3Pipeline(
         mmdit_cfg=mmdit_cfg,
         mmdit_params=mmdit,
