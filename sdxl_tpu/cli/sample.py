@@ -140,6 +140,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Merge a LoRA safetensors file into the model at load "
                         "time (repeatable; kohya and diffusers/peft key "
                         "formats; default scale 1.0)")
+    p.add_argument("--edit-image", type=str, default=None, metavar="PNG",
+                   help="FLUX.1 Kontext in-context editing (--family "
+                        "flux): the image to edit rides the sequence as "
+                        "clean reference tokens (RoPE id axis 0 = 1); "
+                        "the prompt describes the edit. Use a "
+                        "Kontext-dev checkpoint; default -gs for this "
+                        "mode is the release's 2.5")
     p.add_argument("--quantize", choices=["int8", "int4"], default=None,
                    help="Weight-only quantized storage for the transformer "
                         "families (sd3/flux): block linears at int8 "
@@ -258,6 +265,7 @@ def _run_sd3(args, dtype) -> int:
         ("--guidance-rescale", bool(args.guidance_rescale)),
         ("--clip-skip", bool(args.clip_skip)),
         ("--true-cfg-scale", args.true_cfg_scale != 1.0),
+        ("--edit-image", args.edit_image is not None),
     ]
     bad = [name for name, hit in unsupported if hit]
     if bad:
@@ -407,7 +415,15 @@ def _run_flux(args, dtype) -> int:
                   seed=args.seed)
     tc = dict(negative_prompt=args.negative_prompt,
               true_cfg_scale=args.true_cfg_scale)
-    if args.reference_img is not None:
+    if args.edit_image is not None:
+        if args.reference_img is not None:
+            print("error: --edit-image (Kontext) and --reference-img "
+                  "(img2img/inpaint) are different conditioning modes — "
+                  "pass one", file=sys.stderr)
+            return 1
+        ref = load_images([args.edit_image])
+        images = pipe.kontext(prompts, ref, **common, **tc)
+    elif args.reference_img is not None:
         ref = load_images([args.reference_img])
         if len(prompts) > 1:
             ref = np.repeat(ref, len(prompts), axis=0)
@@ -475,6 +491,11 @@ def main(argv=None) -> int:
     if args.quantize is not None:
         print("error: --quantize applies to the transformer families "
               "(--family sd3 | flux)", file=sys.stderr)
+        return 1
+
+    if args.edit_image is not None:
+        print("error: --edit-image (Kontext) applies to --family flux",
+              file=sys.stderr)
         return 1
 
     if args.true_cfg_scale != 1.0:

@@ -28,6 +28,10 @@ Endpoints:
                        {"ip_image": "<base64 png>", "ip_scale": x}
   POST /v1/img2img  -> same + {"image": "<base64 png>", "strength": 0.3}
                        (runs unbatched; resolution follows the image)
+  POST /v1/edit     -> same + {"image": "<base64 png>"} — Flux Kontext
+                       in-context editing (--family flux; the prompt
+                       describes the edit; runs unbatched, output at the
+                       image's own size)
   POST /v1/inpaint  -> same + {"image": "<base64 png>"} and EITHER a
                        pixel-space crop window {"crop_left", "crop_right",
                        "crop_top", "crop_bottom", "crop_out"} OR a
@@ -110,6 +114,9 @@ class GenRequest:
     # --ip-adapter); also runs alone
     ip_image: Optional[object] = None
     ip_scale: float = 0.6
+    # Flux Kontext in-context editing: the image to edit (clean reference
+    # token stream); also runs alone
+    edit_image: Optional[object] = None
     # set when the submitter stopped waiting (timeout): the worker drops
     # the request at dequeue instead of burning a generation on a client
     # that left
@@ -127,7 +134,8 @@ class GenRequest:
         return (self.image is not None or self.crop is not None
                 or self.mask_image is not None
                 or self.control_image is not None
-                or self.ip_image is not None)
+                or self.ip_image is not None
+                or self.edit_image is not None)
 
 
 def _png_bytes(img_u8) -> bytes:
@@ -243,6 +251,9 @@ class GenerationServer:
             import numpy as np
 
             seeds = [r.seed for r in batch]
+            if (batch[0].edit_image is not None
+                    and not hasattr(self.pipe, "flux_cfg")):
+                raise ValueError("/v1/edit (Kontext) needs --family flux")
             if hasattr(self.pipe, "flux_cfg"):
                 # Flux family (pipeline/flux.py): guidance-distilled, no
                 # CFG; same fused-batch per-image-seed contract
@@ -400,6 +411,11 @@ class GenerationServer:
                 [r0.prompt], ref, crop_left=left, crop_right=right,
                 crop_top=top, crop_bottom=bottom, crop_out=crop_out,
                 **common)
+        if r0.edit_image is not None:  # solo Kontext edit
+            return self.pipe.kontext(
+                [r0.prompt], np.asarray(r0.edit_image)[None], **common,
+                negative_prompt=cfg.negative_prompt,
+                true_cfg_scale=cfg.true_cfg_scale)
         if r0.image is not None:  # solo img2img
             return self.pipe.img2img(r0.prompt, np.asarray(r0.image)[None],
                                      strength=r0.strength, **common)
@@ -513,7 +529,8 @@ def make_handler(server: GenerationServer):
             )
 
         def do_POST(self):
-            if self.path not in ("/v1/generate", "/v1/img2img", "/v1/inpaint"):
+            if self.path not in ("/v1/generate", "/v1/img2img",
+                                 "/v1/inpaint", "/v1/edit"):
                 self._json(404, {"error": f"unknown path {self.path}"})
                 return
             try:
@@ -550,6 +567,9 @@ def make_handler(server: GenerationServer):
                 control_scale = 1.0
                 ip_image = None
                 ip_scale = 0.6
+                edit_image = None
+                if self.path == "/v1/edit":
+                    edit_image = self._decode_image(payload)
                 if self.path == "/v1/generate" and "control_image" in payload:
                     control_image = self._decode_image(payload, "control_image")
                     control_scale = float(payload.get("control_scale", 1.0))
@@ -588,7 +608,8 @@ def make_handler(server: GenerationServer):
                            crop=crop, mask_image=mask_image,
                            control_image=control_image,
                            control_scale=control_scale,
-                           ip_image=ip_image, ip_scale=ip_scale)
+                           ip_image=ip_image, ip_scale=ip_scale,
+                           edit_image=edit_image)
             )
             if req.error:
                 self._json(req.status if req.status != 200 else 500,

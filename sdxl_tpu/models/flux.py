@@ -57,17 +57,29 @@ from .mmdit import _ln_nomod, _rms_head, _split_heads
 
 
 @functools.lru_cache(maxsize=8)
-def rope_tables(cfg: FluxConfig, gh: int, gw: int,
-                n_txt: int) -> Tuple[np.ndarray, np.ndarray]:
-    """(cos, sin) [n_txt + gh*gw, head_dim] f32 — the FluxPosEmbed tables
-    for text ids (all-zero rows) followed by image ids (axis 1 = row,
-    axis 2 = column), each axis d_i wide with frequencies
-    theta^(-2j/d_i) repeat-interleaved into cos/sin pairs."""
+def rope_tables(cfg: FluxConfig, gh: int, gw: int, n_txt: int,
+                cond_gh: int = 0,
+                cond_gw: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """(cos, sin) [n_txt + gh*gw (+ cond_gh*cond_gw), head_dim] f32 — the
+    FluxPosEmbed tables for text ids (all-zero rows) followed by image
+    ids (axis 1 = row, axis 2 = column), each axis d_i wide with
+    frequencies theta^(-2j/d_i) repeat-interleaved into cos/sin pairs.
+
+    cond_gh/cond_gw append a SECOND image grid whose first id axis is 1
+    instead of 0 — the Kontext in-context reference-image stream (the
+    public FluxKontextPipeline sets image_ids[..., 0] = 1 to separate
+    the clean reference tokens from the denoised target tokens)."""
     txt_ids = np.zeros((n_txt, 3), np.float64)
     img_ids = np.zeros((gh, gw, 3), np.float64)
     img_ids[..., 1] += np.arange(gh)[:, None]
     img_ids[..., 2] += np.arange(gw)[None, :]
     ids = np.concatenate([txt_ids, img_ids.reshape(-1, 3)], axis=0)
+    if cond_gh and cond_gw:
+        cond_ids = np.zeros((cond_gh, cond_gw, 3), np.float64)
+        cond_ids[..., 0] = 1.0
+        cond_ids[..., 1] += np.arange(cond_gh)[:, None]
+        cond_ids[..., 2] += np.arange(cond_gw)[None, :]
+        ids = np.concatenate([ids, cond_ids.reshape(-1, 3)], axis=0)
 
     cos_parts, sin_parts = [], []
     for axis, dim in enumerate(cfg.axes_dims):
@@ -185,19 +197,38 @@ def flux_forward(
     pooled: jnp.ndarray,     # [B, pooled_projection_dim] CLIP-L pooled
     guidance: Optional[jnp.ndarray] = None,  # [B] guidance_scale*1000
     skip_layers: tuple = (),  # double-block indices to omit (SLG-style)
+    cond_latent: Optional[jnp.ndarray] = None,  # [B, ch2, cw2, 16] Kontext
 ) -> jnp.ndarray:
     """Velocity prediction [B, h, w, 16].
 
     Packing (the pipeline's _pack_latents 2x2 grouping) and unpacking
     happen here so callers see the plain latent; the packed grid is
-    (h/2, w/2) and the RoPE row/col ids index that grid."""
+    (h/2, w/2) and the RoPE row/col ids index that grid.
+
+    cond_latent is the Kontext in-context editing stream (public
+    FluxKontextPipeline): the CLEAN reference image's latent, packed and
+    CONCATENATED after the target tokens in the image stream with its
+    RoPE ids offset on axis 0 (= 1); the velocity is returned for the
+    target tokens only (the pipeline discards the reference rows)."""
     dtype = latent.dtype
     b, h, w, ch = latent.shape
     gh, gw = h // 2, w // 2
-    # _pack_latents channel order: (C, 2, 2) — channel-major, then the
-    # 2x2 spatial offsets — so x_embedder weights load rename-free
-    xp = latent.reshape(b, gh, 2, gw, 2, ch)
-    xp = xp.transpose(0, 1, 3, 5, 2, 4).reshape(b, gh * gw, 4 * ch)
+
+    def pack(lat):
+        # _pack_latents channel order: (C, 2, 2) — channel-major, then
+        # the 2x2 spatial offsets — so x_embedder weights load rename-free
+        bb, hh, ww, cc = lat.shape
+        p = lat.reshape(bb, hh // 2, 2, ww // 2, 2, cc)
+        return p.transpose(0, 1, 3, 5, 2, 4).reshape(
+            bb, (hh // 2) * (ww // 2), 4 * cc)
+
+    xp = pack(latent)
+    n_target = xp.shape[1]
+    cond_gh = cond_gw = 0
+    if cond_latent is not None:
+        cond_gh = cond_latent.shape[1] // 2
+        cond_gw = cond_latent.shape[2] // 2
+        xp = jnp.concatenate([xp, pack(cond_latent.astype(dtype))], axis=1)
 
     x = linear(params["x_embedder"], xp)
     c = linear(params["context_embedder"], context.astype(dtype))
@@ -218,7 +249,8 @@ def flux_forward(
                          jax.nn.silu(linear(te["text_lin1"],
                                             pooled.astype(dtype))))
 
-    cos_np, sin_np = rope_tables(cfg, gh, gw, context.shape[1])
+    cos_np, sin_np = rope_tables(cfg, gh, gw, context.shape[1],
+                                 cond_gh, cond_gw)
     cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
 
     for i, blk in enumerate(params["blocks"]):
@@ -229,7 +261,8 @@ def flux_forward(
     xs = jnp.concatenate([c, x], axis=1)  # text first
     for blk in params["single_blocks"]:
         xs = _single_block(blk, xs, temb, cos, sin, cfg)
-    x = xs[:, c.shape[1]:]
+    # target tokens only (reference rows are conditioning, not output)
+    x = xs[:, c.shape[1]:c.shape[1] + n_target]
 
     m = linear(params["norm_out"]["mod"], jax.nn.silu(temb))
     sc, sh = jnp.split(m, 2, axis=-1)  # AdaLayerNormContinuous: scale first

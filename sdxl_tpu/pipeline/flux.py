@@ -100,6 +100,7 @@ def flux_diffuse_latent(
     pin_noise: Optional[jnp.ndarray] = None,      # [B,h,w,C]
     true_cfg: bool = False,
     true_cfg_scale: float = 1.0,
+    cond_latent: Optional[jnp.ndarray] = None,    # [B,ch,cw,C] Kontext ref
 ) -> jnp.ndarray:
     """The flow-matching Euler loop as one lax.scan. By default there is
     no CFG pair — the guidance embedding replaces it (FLUX.1 is
@@ -124,6 +125,8 @@ def flux_diffuse_latent(
         pin_ref = pin_reference.astype(jnp.float32)
         pin_m = pin_mask.astype(jnp.float32)
         pin_n = pin_noise.astype(jnp.float32)
+    cond = (cond_latent.astype(compute_dtype)
+            if cond_latent is not None else None)
 
     def velocity(lat, t):
         n_batch = lat.shape[0]
@@ -131,11 +134,13 @@ def flux_diffuse_latent(
             t_vec = jnp.broadcast_to(t, (n_batch,))
             return flux_forward(
                 flux_params, cfg, lat.astype(compute_dtype), t_vec, ctx,
-                pld, guidance=g).astype(jnp.float32)
+                pld, guidance=g, cond_latent=cond).astype(jnp.float32)
         x2 = jnp.concatenate([lat, lat], axis=0).astype(compute_dtype)
         t2 = jnp.broadcast_to(t, (2 * n_batch,))
+        c2 = (jnp.concatenate([cond, cond], axis=0)
+              if cond is not None else None)
         v2 = flux_forward(flux_params, cfg, x2, t2, ctx, pld,
-                          guidance=g).astype(jnp.float32)
+                          guidance=g, cond_latent=c2).astype(jnp.float32)
         vu, vc = jnp.split(v2, 2, axis=0)
         return vu + (vc - vu) * true_cfg_scale
 
@@ -292,6 +297,79 @@ class FluxPipeline:
                 jnp.asarray(ts), jnp.asarray(sigmas),
                 compute_dtype=self.compute_dtype,
                 true_cfg=use_tc, true_cfg_scale=float(true_cfg_scale),
+            )
+        with self.timer.stage("vae_decode"):
+            images = self._decode(lat)
+            fence(images)
+        return images if device_output else np.asarray(images)
+
+    def kontext(
+        self,
+        prompts,
+        edit_images: np.ndarray,  # [B, H, W, 3] uint8 — image to EDIT
+        resolution: Optional[Tuple[int, int]] = None,
+        n_steps: int = 28,
+        guidance_scale: float = 2.5,
+        seed: int = 0,
+        negative_prompt: str = "",
+        true_cfg_scale: float = 1.0,
+        device_output: bool = False,
+    ) -> np.ndarray:
+        """FLUX.1 Kontext in-context editing (public FluxKontextPipeline
+        semantics): the reference image's CLEAN latent tokens join the
+        sequence after the denoised target tokens with their RoPE ids
+        offset (axis 0 = 1) and stay fixed every step; generation starts
+        from pure noise at the target resolution (default: the reference
+        image's own size, the pipeline's in-place edit mode); the
+        velocity for the reference rows is discarded. Default guidance
+        2.5 (the Kontext release default; dev uses 3.5).
+
+        Use a FLUX.1-Kontext-dev checkpoint — the architecture is plain
+        Flux, so ordinary dev/schnell weights load too but were not
+        trained for the reference stream."""
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        eh, ew = edit_images.shape[1:3]
+        if eh % 16 or ew % 16:
+            raise ValueError(f"edit image {eh}x{ew} must be a multiple "
+                             "of 16 (2x2-packed 16-ch latent)")
+        h, w = resolution if resolution is not None else (eh, ew)
+        if h % 16 or w % 16:
+            raise ValueError(f"resolution {h}x{w} must be a multiple of "
+                             "16 (2x2-packed 16-ch latent)")
+        use_tc = bool(negative_prompt) and true_cfg_scale > 1.0
+        ctx, pooled = self.conditioning(
+            prompts, negative_prompt if use_tc else None)
+        with self.timer.stage("vae_encode"):
+            x = (jnp.asarray(edit_images).astype(jnp.float32) / 255.0
+                 * 2.0 - 1.0)
+            z = encode_image(self.vae_params, self.vae_cfg, x)
+            cond = (z - self.shift_factor) * self.scale_factor
+        shape = (h // 8, w // 8, self.vae_cfg.latent_channels)
+        if isinstance(seed, (int, np.integer)):
+            lat = jax.random.normal(jax.random.PRNGKey(seed),
+                                    (len(prompts),) + shape, jnp.float32)
+        else:
+            seeds = list(seed)
+            if len(seeds) != len(prompts):
+                raise ValueError(f"{len(seeds)} seeds for "
+                                 f"{len(prompts)} prompts")
+            keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
+            lat = jax.vmap(
+                lambda k: jax.random.normal(k, shape, jnp.float32))(keys)
+        if cond.shape[0] == 1 and len(prompts) > 1:
+            cond = jnp.broadcast_to(cond, (len(prompts),) + cond.shape[1:])
+        # mu follows the TARGET token count (FluxKontextPipeline passes
+        # image_seq_len = latents.shape[1], the denoised stream)
+        ts, sigmas = self._schedule(n_steps, h, w)
+        g = jnp.full((len(prompts),), float(guidance_scale), jnp.float32)
+        with self.timer.stage("diffuser"):
+            lat = flux_diffuse_latent(
+                self.flux_params, self.flux_cfg, lat, ctx, pooled, g,
+                jnp.asarray(ts), jnp.asarray(sigmas),
+                compute_dtype=self.compute_dtype,
+                true_cfg=use_tc, true_cfg_scale=float(true_cfg_scale),
+                cond_latent=cond,
             )
         with self.timer.stage("vae_decode"):
             images = self._decode(lat)

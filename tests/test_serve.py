@@ -554,9 +554,33 @@ def test_flux_server_img2img_inpaint_and_rejections(tiny_flux_pipe_srv):
     bad = srv.submit(GenRequest(
         "x", GenConfig(width=64, height=64, steps=2,
                        negative_prompt="ugly"), seed=0), timeout=300)
-    assert bad.error is not None and "no CFG" in bad.error
+    assert bad.error is not None and "no built-in CFG" in bad.error
     bad2 = srv.submit(GenRequest(
         "x", GenConfig(width=64, height=64, steps=2, sampler="euler"),
         seed=0), timeout=300)
     assert bad2.error is not None and "flow-matching" in bad2.error
+    srv.stop()
+
+
+def test_flux_server_kontext_edit(tiny_flux_pipe_srv):
+    """/v1/edit: the Kontext request runs solo, output at the image's own
+    size; non-flux pipelines reject it."""
+    cfg = GenConfig(width=64, height=64, steps=2, guidance_scale=2.5)
+    srv = GenerationServer(tiny_flux_pipe_srv, default_cfg=cfg)
+    srv.start(warmup=False)
+    edit = np.full((64, 64, 3), 128, np.uint8)
+    ok = srv.submit(GenRequest("make it a crab", cfg, seed=1,
+                               edit_image=edit), timeout=300)
+    assert ok.error is None and _png_shape(ok.result[0]) == (64, 64, 3)
+    srv.stop()
+
+
+def test_non_flux_server_rejects_edit(tiny_pipe):
+    cfg = GenConfig(width=64, height=64, steps=2)
+    srv = GenerationServer(tiny_pipe, default_cfg=cfg)
+    srv.start(warmup=False)
+    bad = srv.submit(GenRequest("x", cfg, seed=0,
+                                edit_image=np.zeros((64, 64, 3), np.uint8)),
+                     timeout=300)
+    assert bad.error is not None and "flux" in bad.error
     srv.stop()
