@@ -45,7 +45,8 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "goldens", "full_scal
 # fidelity target is 1e-2 end-to-end; per-module one-forward diffs must be
 # far tighter for that to hold over 31 sampler steps.
 TOLERANCES = {"clip": 2e-4, "unet": 2e-3, "vae_decode": 4e-3, "vae_encode": 2e-3,
-              "sd2_clip": 2e-4, "sd1_unet": 2e-3}
+              "sd2_clip": 2e-4, "sd1_unet": 2e-3,
+              "clip_l_hf": 2e-4, "clip_g_hf": 2e-4}
 # vae_decode: measured 2.0e-3 abs (3.5e-4 rel) — f32 reduction-order noise
 # through the deepest conv stack at 1024^2. 4e-3 in the [-1,1] output space
 # is half a u8 quantization level; the e2e 1e-2 fidelity budget is safe.
@@ -148,6 +149,68 @@ def run_clip():
         pooled=pooled.astype(np.float32),
     )
     return {"clip": rec_h}
+
+
+def run_clip_hf():
+    """BOTH SDXL text towers at REAL scale vs transformers' REFERENCE
+    CLIPTextModelWithProjection executing identical weights through the
+    production diffusers loader (io/hf_sdxl.build_clip_from_hf) — a true
+    external reference, not a self-written mirror (the torch-mirror
+    parts above remain for the sgm/open_clip key layouts). ViT-L:
+    12L/768/12h quick_gelu; bigG-as-HF (the SDXL text_encoder_2 export):
+    32L/1280/20h gelu, projection 1280."""
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+    from transformers import CLIPTextConfig, CLIPTextModelWithProjection
+
+    from sdxl_tpu.configs import CLIPConfig
+    from sdxl_tpu.io.hf_sdxl import build_clip_from_hf
+    from sdxl_tpu.models.clip import clip_hidden, clip_hidden_pooled
+    from sdxl_tpu.tokenizer import ClipTokenizer, tokenize_text
+
+    out = {}
+    tok = ClipTokenizer()
+    prompt = "a photograph of an astronaut riding a horse"
+    for part, (hidden, heads, layers, act, proj) in (
+        ("clip_l_hf", (768, 12, 12, "quick_gelu", 768)),
+        ("clip_g_hf", (1280, 20, 32, "gelu", 1280)),
+    ):
+        torch.manual_seed(0)
+        tcfg = CLIPTextConfig(
+            vocab_size=49408, hidden_size=hidden,
+            intermediate_size=hidden * 4, num_hidden_layers=layers,
+            num_attention_heads=heads, max_position_embeddings=77,
+            hidden_act=act, projection_dim=proj, eos_token_id=49407,
+        )
+        model = CLIPTextModelWithProjection(tcfg).eval()
+        sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+        tensors = {(k if k.startswith("text_model")
+                    else f"text_model.{k}"): v for k, v in sd.items()}
+        cfg = CLIPConfig(n_vocab=49408, n_state=hidden, embed_dim=proj,
+                         n_head=heads, n_ctx=77, n_layer=layers,
+                         quick_gelu=(act == "quick_gelu"))
+        params = build_clip_from_hf(tensors, cfg, prefix="text_model")
+        ids = np.asarray([tokenize_text(prompt, tok, 77)], np.int64)
+
+        t0 = time.time()
+        idx = layers - 1
+        ours_h = np.asarray(clip_hidden(params, cfg, jnp.asarray(ids), idx))
+        _, ours_p = clip_hidden_pooled(params, cfg, jnp.asarray(ids), idx)
+        t_jax = time.time() - t0
+        t0 = time.time()
+        with torch.no_grad():
+            ref = model(input_ids=torch.from_numpy(ids),
+                        output_hidden_states=True)
+        t_torch = time.time() - t0
+        both = np.concatenate(
+            [ours_h.reshape(-1), np.asarray(ours_p).reshape(-1)])
+        theirs = np.concatenate(
+            [ref.hidden_states[idx].numpy().reshape(-1),
+             ref.text_embeds.numpy().reshape(-1)])
+        out[part] = _report(part, both, theirs, t_jax, t_torch)
+        del model, params
+    return out
 
 
 def run_sd2_clip():
@@ -382,7 +445,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--part",
                    choices=["clip", "unet", "vae", "sd2_clip", "sd1_unet",
-                            "all"],
+                            "clip_hf", "all"],
                    default="all")
     args = p.parse_args()
 
@@ -403,6 +466,8 @@ def main():
         report.update(run_sd2_clip())
     if args.part in ("sd1_unet", "all"):
         report.update(run_sd1_unet())
+    if args.part in ("clip_hf", "all"):
+        report.update(run_clip_hf())
 
     with open(report_path, "w") as f:
         json.dump(report, f, indent=2)

@@ -181,6 +181,13 @@ class FluxPipeline:
     compute_dtype: jnp.dtype = jnp.bfloat16
     timer: StageTimer = field(default_factory=StageTimer)
 
+    # T5 stays parked in HOST memory and is shipped to the device only
+    # for the conditioning call, then dropped — the single-chip fit mode
+    # when transformer + T5 exceed the HBM budget together (set
+    # automatically by load_flux_pipeline(quantize=...); the reference's
+    # scoped-loading pattern, sample/main.rs:217-278, made per-request)
+    t5_offload: bool = False
+
     # (data, model) mesh set by .shard(); None = single device
     mesh: Optional[object] = None
 
@@ -226,7 +233,15 @@ class FluxPipeline:
             self.clip_params, self.clip_cfg, ids,
             self.clip_cfg.n_layer - 1, project=False)
         t5_ids = jnp.asarray(self.t5_tokenize(list(texts)))
-        ctx = t5_encode(self.t5_params, self.t5_cfg, t5_ids)
+        t5_params = self.t5_params
+        if self.t5_offload:
+            from ..utils.memory import tree_is_on_host, tree_to_device
+
+            if tree_is_on_host(t5_params):
+                t5_params = tree_to_device(t5_params)
+        ctx = t5_encode(t5_params, self.t5_cfg, t5_ids)
+        if self.t5_offload:
+            fence(ctx)  # the device copy frees once the encode completes
         return ctx, pooled
 
     def conditioning(self, prompts, negative_prompt: Optional[str] = None):
@@ -563,9 +578,26 @@ def load_flux_pipeline(
         from ..io.lora import apply_lora_files
 
         apply_lora_files(loras, transformer=flux_params, te1=clip_params)
+    t5_offload = False
     if bits is not None:
-        flux_params = tree_to_device(quantize_tree(flux_params, bits))
-        t5_params = tree_to_device(quantize_tree(t5_params, 8))
+        from ..utils.memory import hbm_budget_bytes, param_bytes
+
+        flux_params = quantize_tree(flux_params, bits)
+        t5_params = quantize_tree(t5_params, 8)
+        need = (param_bytes(flux_params) + param_bytes(t5_params)
+                + param_bytes(vae_params) + param_bytes(clip_params))
+        budget = hbm_budget_bytes()
+        flux_params = tree_to_device(flux_params)
+        if need > budget:
+            # transformer + T5 don't fit together: park T5 on the host
+            # and ship it per conditioning call (scoped loading,
+            # reference sample/main.rs:217-278 — made per-request)
+            t5_offload = True
+            log(f"quantized towers need {need / 2**30:.1f} GiB > budget "
+                f"{budget / 2**30:.1f} GiB: T5 stays host-parked and is "
+                "shipped per conditioning call (t5_offload)")
+        else:
+            t5_params = tree_to_device(t5_params)
     return FluxPipeline(
         flux_cfg=flux_cfg, flux_params=flux_params,
         clip_cfg=clip_cfg, clip_params=clip_params,
@@ -579,4 +611,5 @@ def load_flux_pipeline(
         dynamic_shifting=sched.get("use_dynamic_shifting", True),
         static_shift=sched.get("shift", 1.0),
         compute_dtype=compute_dtype,
+        t5_offload=t5_offload,
     )

@@ -312,3 +312,35 @@ def test_host_staged_build_quantizes_like_device():
     np.testing.assert_array_equal(np.asarray(a["qw"]), np.asarray(b["qw"]))
     np.testing.assert_allclose(np.asarray(a["qs"]), np.asarray(b["qs"]),
                                rtol=0, atol=0)
+
+
+def test_t5_offload_conditioning_matches_resident():
+    """t5_offload parks T5 on the host and ships it per conditioning
+    call — same values as resident (the single-chip fit mode that
+    load_flux_pipeline enables when transformer + T5 exceed the HBM
+    budget)."""
+    from sdxl_tpu.pipeline.flux import random_flux_pipeline
+    from sdxl_tpu.utils.memory import tree_to_host
+    from tests.test_flux_loader import (
+        TINY_CLIP_L,
+        TINY_FLUX_PIPE,
+        TINY_FLUX_VAE,
+        TINY_T5,
+    )
+
+    pipe = random_flux_pipeline(
+        flux_cfg=TINY_FLUX_PIPE, clip_cfg=TINY_CLIP_L,
+        vae_cfg=TINY_FLUX_VAE, t5_cfg=TINY_T5, t5_tokens=16,
+        compute_dtype=jnp.float32)
+    ctx_a, pooled_a = pipe.conditioning(["a crab"])
+    pipe.t5_params = tree_to_host(pipe.t5_params)
+    pipe.t5_offload = True
+    assert isinstance(
+        jax.tree_util.tree_leaves(pipe.t5_params)[0], np.ndarray)
+    ctx_b, pooled_b = pipe.conditioning(["a crab"])
+    np.testing.assert_array_equal(np.asarray(ctx_a), np.asarray(ctx_b))
+    np.testing.assert_array_equal(np.asarray(pooled_a),
+                                  np.asarray(pooled_b))
+    # the parked copy is still host-side after the call
+    assert isinstance(
+        jax.tree_util.tree_leaves(pipe.t5_params)[0], np.ndarray)
