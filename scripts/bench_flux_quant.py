@@ -72,7 +72,8 @@ def main():
     # --- HLO guarantee: int8 weights ride the while carry un-dequantized
     carry_checked = False
 
-    for bits in (4, 8):
+    wanted = tuple(int(a) for a in sys.argv[1:]) or (4, 8)
+    for bits in wanted:
         tag = f"flux_quant_int{bits}_1024_step_ms"
         try:
             log(f"materializing FULL FLUX.1 (19+38 blocks) int{bits} "

@@ -422,6 +422,19 @@ def _run_flux(args, dtype) -> int:
                   "pass one", file=sys.stderr)
             return 1
         ref = load_images([args.edit_image])
+        eh, ew = ref.shape[1:3]
+        if eh % 16 or ew % 16:
+            # Kontext preprocessing: scale toward ~1MP area, dims to
+            # multiples of 16 (the packed 2x2 latent grid), aspect kept
+            from PIL import Image
+
+            scale = (1024.0 * 1024.0 / (eh * ew)) ** 0.5
+            nh = max(16, round(eh * scale / 16) * 16)
+            nw = max(16, round(ew * scale / 16) * 16)
+            log(f"--edit-image {ew}x{eh} resized to {nw}x{nh} "
+                "(multiple-of-16 grid, ~1MP)")
+            ref = np.asarray([np.asarray(Image.fromarray(ref[0]).resize(
+                (nw, nh), Image.LANCZOS))])
         images = pipe.kontext(prompts, ref, **common, **tc)
     elif args.reference_img is not None:
         ref = load_images([args.reference_img])

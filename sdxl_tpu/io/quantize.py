@@ -116,7 +116,8 @@ def quantize_tree(
                 b = bits
                 if path and path[-1] in keep8:
                     b = max(bits, 8)
-                if b == 4 and (w.shape[0] % group or w.shape[0] % 2):
+                if b == 4 and (w.shape[0] % 2
+                               or (w.shape[0] // 2) % group):
                     b = 8  # ragged input dim: fall back to per-channel int8
                 if min(w.shape) >= min_dim:
                     q = _quantize_linear_dict(node, b, group)
