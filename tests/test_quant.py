@@ -288,6 +288,18 @@ def test_shard_quantized_tree():
         sharded, cfg, lat, ts, ctx, pld))
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
 
+    # packed int4: qw4 has no TP rule (replicates), but its 2-D qs [ng,
+    # d_out] DOES match the expanded qs rules — GSPMD must still compose
+    # them into the replicated-correct result
+    q4 = quantize_tree(params, bits=4, min_dim=8, group=8)
+    ref4 = np.asarray(jax.jit(flux_forward, static_argnums=(1,))(
+        q4, cfg, lat, ts, ctx, pld))
+    sharded4 = shard_params(q4, mesh, True, head_channels=cfg.head_dim,
+                            fixed_heads=cfg.n_heads)
+    got4 = np.asarray(jax.jit(flux_forward, static_argnums=(1,))(
+        sharded4, cfg, lat, ts, ctx, pld))
+    np.testing.assert_allclose(got4, ref4, atol=2e-5, rtol=1e-5)
+
 
 def test_host_staged_build_quantizes_like_device():
     """The real-weights path: build_flux_from_diffusers(host=True) keeps
