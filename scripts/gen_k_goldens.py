@@ -158,6 +158,169 @@ def sample_dpmpp_2m_sde(model, x, sigmas, noises, eta=1.0, solver_type="midpoint
     return x, torch.stack(traj)
 
 
+class UniPCTranscription:
+    """Literal transcription of diffusers' UniPCMultistepScheduler
+    (predict_x0=True, solver_type='bh2', solver_order=2,
+    lower_order_final=True, disable_corrector=[], final_sigmas_type='zero'),
+    reproducing the published step() control flow verbatim: the
+    convert_model_output x0 recovery, the UniC corrector applied from
+    last_sample with the PREVIOUS step's this_order, the model-output /
+    timestep shift registers, the lower_order_nums warmup, and the UniP
+    predictor with the hardcoded rhos_p=[0.5] at order 2.
+
+    Works in diffusers' VP sample space (x = alpha_t*x0 + sigma_t*eps); the
+    driver converts to/from the k-diffusion sigma space the sdxl_tpu scan
+    uses (x_kd = x_vp / alpha_t).
+    """
+
+    def __init__(self, sigmas, order=2):
+        self.sigmas = sigmas  # n+1 entries, trailing 0
+        self.order = order
+        self.model_outputs = [None] * order
+        self.sigma_list = [None] * order  # stands in for timestep_list
+        self.lower_order_nums = 0
+        self.last_sample = None
+        self.this_order = None
+
+    @staticmethod
+    def _alpha_sigma(s):
+        # _sigma_to_alpha_sigma_t: alpha_t = 1/sqrt(1+s^2), sigma_t = s*alpha_t
+        alpha_t = 1.0 / (1.0 + s**2) ** 0.5
+        return alpha_t, s * alpha_t
+
+    @classmethod
+    def _lam(cls, s):
+        alpha_t, sigma_t = cls._alpha_sigma(s)
+        return torch.log(alpha_t / sigma_t)
+
+    def _coeffs(self, rks, hh, B_h, order):
+        """The shared R/b construction loop of uni_p/uni_c, verbatim."""
+        R, b = [], []
+        h_phi_1 = torch.expm1(hh)
+        h_phi_k = h_phi_1 / hh - 1
+        factorial_i = 1
+        for j in range(1, order + 1):
+            R.append(torch.pow(rks, j - 1))
+            b.append(h_phi_k * factorial_i / B_h)
+            factorial_i *= j + 1
+            h_phi_k = h_phi_k / hh - 1 / factorial_i
+        b = torch.stack([torch.as_tensor(v, dtype=torch.float32) for v in b])
+        return torch.stack(R), b, h_phi_1
+
+    def uni_c(self, this_model_output, last_sample, order, i):
+        """multistep_uni_c_bh_update: corrector at sigma[i] from
+        last_sample (the sample at sigma[i-1])."""
+        s0, t = self.sigmas[i - 1], self.sigmas[i]
+        m0 = self.model_outputs[-1]
+        x = last_sample
+        lambda_t, lambda_s0 = self._lam(t), self._lam(s0)
+        alpha_t, sigma_t = self._alpha_sigma(t)
+        _, sigma_s0 = self._alpha_sigma(s0)
+        h = lambda_t - lambda_s0
+        rks, D1s = [], []
+        for j in range(1, order):
+            si = self.sigma_list[-(j + 1)]
+            mi = self.model_outputs[-(j + 1)]
+            rk = (self._lam(si) - lambda_s0) / h
+            rks.append(rk)
+            D1s.append((mi - m0) / rk)
+        rks.append(torch.tensor(1.0))
+        rks = torch.stack(rks)
+        hh = -h  # predict_x0
+        B_h = torch.expm1(hh)  # bh2
+        R, b, h_phi_1 = self._coeffs(rks, hh, B_h, order)
+        if order == 1:
+            rhos_c = torch.tensor([0.5])
+        else:
+            rhos_c = torch.linalg.solve(R, b)
+        x_t_ = sigma_t / sigma_s0 * x - alpha_t * h_phi_1 * m0
+        if D1s:
+            D1s = torch.stack(D1s, dim=0)  # [K, ...]
+            corr_res = torch.einsum("k,k...->...", rhos_c[:-1], D1s)
+        else:
+            corr_res = 0
+        D1_t = this_model_output - m0
+        return x_t_ - alpha_t * B_h * (corr_res + rhos_c[-1] * D1_t)
+
+    def uni_p(self, sample, order, i):
+        """multistep_uni_p_bh_update: predictor sigma[i] -> sigma[i+1]."""
+        s0, t = self.sigmas[i], self.sigmas[i + 1]
+        m0 = self.model_outputs[-1]
+        x = sample
+        lambda_t, lambda_s0 = self._lam(t), self._lam(s0)
+        alpha_t, sigma_t = self._alpha_sigma(t)
+        _, sigma_s0 = self._alpha_sigma(s0)
+        h = lambda_t - lambda_s0
+        rks, D1s = [], []
+        for j in range(1, order):
+            si = self.sigma_list[-(j + 1)]
+            mi = self.model_outputs[-(j + 1)]
+            rk = (self._lam(si) - lambda_s0) / h
+            rks.append(rk)
+            D1s.append((mi - m0) / rk)
+        rks.append(torch.tensor(1.0))
+        rks = torch.stack(rks)
+        hh = -h  # predict_x0
+        B_h = torch.expm1(hh)  # bh2
+        R, b, h_phi_1 = self._coeffs(rks, hh, B_h, order)
+        if D1s:
+            D1s = torch.stack(D1s, dim=0)
+            if order == 2:
+                rhos_p = torch.tensor([0.5])  # diffusers hardcodes order 2
+            else:
+                rhos_p = torch.linalg.solve(R[:-1, :-1], b[:-1])
+            pred_res = torch.einsum("k,k...->...", rhos_p, D1s)
+        else:
+            pred_res = 0
+        x_t_ = sigma_t / sigma_s0 * x - alpha_t * h_phi_1 * m0
+        return x_t_ - alpha_t * B_h * pred_res
+
+    def step(self, model_output, i, sample):
+        """UniPCMultistepScheduler.step, verbatim control flow."""
+        sigma = self.sigmas[i]
+        alpha_t, sigma_t = self._alpha_sigma(sigma)
+        # convert_model_output, prediction_type='epsilon', predict_x0
+        x0_pred = (sample - sigma_t * model_output) / alpha_t
+        use_corrector = i > 0 and self.last_sample is not None
+        if use_corrector:
+            sample = self.uni_c(x0_pred, self.last_sample, self.this_order, i)
+        for k in range(self.order - 1):
+            self.model_outputs[k] = self.model_outputs[k + 1]
+            self.sigma_list[k] = self.sigma_list[k + 1]
+        self.model_outputs[-1] = x0_pred
+        self.sigma_list[-1] = sigma
+        n = len(self.sigmas) - 1
+        this_order = min(self.order, n - i)  # lower_order_final
+        self.this_order = min(this_order, self.lower_order_nums + 1)  # warmup
+        self.last_sample = sample
+        prev_sample = self.uni_p(sample, self.this_order, i)
+        if self.lower_order_nums < self.order:
+            self.lower_order_nums += 1
+        return prev_sample
+
+
+def sample_unipc(model, x_kd, sigmas, order=2):
+    """Drive the UniPC transcription with a k-space x0-model.
+
+    `model(x_kd, sigma)` is the synthetic denoised predictor; the epsilon
+    fed to step() is recovered so convert_model_output reproduces exactly
+    that x0 (the literal diffusers input convention). The trajectory is
+    recorded in k-diffusion sigma space (x_vp / alpha_t) — the space the
+    sdxl_tpu scan carries."""
+    sched = UniPCTranscription(sigmas, order=order)
+    alpha0, _ = UniPCTranscription._alpha_sigma(sigmas[0])
+    x = alpha0 * x_kd
+    traj = [x_kd.clone()]
+    for i in range(len(sigmas) - 1):
+        alpha_t, sigma_t = UniPCTranscription._alpha_sigma(sigmas[i])
+        denoised = model(x / alpha_t, sigmas[i])
+        eps = (x - alpha_t * denoised) / sigma_t
+        x = sched.step(eps, i, x)
+        alpha_n, _ = UniPCTranscription._alpha_sigma(sigmas[i + 1])
+        traj.append((x / alpha_n).clone())
+    return traj[-1], torch.stack(traj)
+
+
 def synth_model(x, sigma):
     """Synthetic 'denoised' model: smooth, nonlinear in x AND sigma, so a
     trajectory match is a strong fingerprint of the update rule."""
@@ -198,6 +361,15 @@ def main():
         synth_model, x0.clone(), sig8, noises
     )
 
+    # 4. UniPC (bh2, order 2): n=8 exercises warmup order-1, steady order-2
+    # predictor+corrector, and the lower_order_final order-1 tail; n=3 and
+    # n=2 pin the degenerate order schedules
+    upc_x, upc_traj = sample_unipc(synth_model, x0.clone(), sig8)
+    sig3 = get_sigmas_karras(3, sigma_min, sigma_max)
+    sig2 = get_sigmas_karras(2, sigma_min, sigma_max)
+    upc3_x, upc3_traj = sample_unipc(synth_model, x0.clone(), sig3)
+    upc2_x, upc2_traj = sample_unipc(synth_model, x0.clone(), sig2)
+
     np.savez(
         OUT / "k_goldens.npz",
         sigma_min=np.float32(sigma_min),
@@ -215,6 +387,14 @@ def main():
         euler_a_traj=eua_traj.numpy(),
         dpmpp_sde_final=sde_x.numpy(),
         dpmpp_sde_traj=sde_traj.numpy(),
+        unipc_final=upc_x.numpy(),
+        unipc_traj=upc_traj.numpy(),
+        sigmas_3=sig3.numpy(),
+        unipc3_final=upc3_x.numpy(),
+        unipc3_traj=upc3_traj.numpy(),
+        sigmas_2=sig2.numpy(),
+        unipc2_final=upc2_x.numpy(),
+        unipc2_traj=upc2_traj.numpy(),
     )
     print(f"wrote {OUT / 'k_goldens.npz'}")
     print("sigma_min/max:", sigma_min, sigma_max)

@@ -78,7 +78,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Decode in bfloat16: 1.16x faster VAE at ~1 u8 level "
                         "mean pixel cost (reference decodes f32)")
     p.add_argument("--sampler", type=str, default="ddim",
-                   choices=["ddim", "euler", "dpmpp", "euler_a", "dpmpp_sde", "lcm"],
+                   choices=["ddim", "euler", "dpmpp", "euler_a", "dpmpp_sde", "unipc", "lcm"],
                    help="Sampler: deterministic DDIM (reference), Euler, "
                         "DPM-Solver++ 2M (best quality at low step counts), "
                         "or the stochastic ancestral Euler / DPM++ 2M SDE; "

@@ -669,7 +669,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--guidance-scale", type=float, default=7.5)
     p.add_argument("--sampler", type=str, default="ddim",
-                   choices=["ddim", "euler", "dpmpp", "euler_a", "dpmpp_sde", "lcm"])
+                   choices=["ddim", "euler", "dpmpp", "euler_a", "dpmpp_sde", "unipc", "lcm"])
     p.add_argument("--vae-bf16", action="store_true")
     p.add_argument("--freeu", type=str, nargs="?", const="auto",
                    default=None, metavar="B1,B2,S1,S2",

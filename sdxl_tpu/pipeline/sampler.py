@@ -48,7 +48,7 @@ N_STEPS_TOTAL = 1000  # DDPM table length (stablediffusion/mod.rs:282)
 
 # k-diffusion sampler surface (capability extension; the reference ships
 # only DDIM). Stochastic methods draw per-step noise inside the scan.
-K_SAMPLERS = ("euler", "dpmpp", "euler_a", "dpmpp_sde")
+K_SAMPLERS = ("euler", "dpmpp", "euler_a", "dpmpp_sde", "unipc")
 K_STOCHASTIC = ("euler_a", "dpmpp_sde")
 
 
@@ -828,6 +828,98 @@ def k_step_update(method: str, lat, denoised, old_denoised, sigma, sigma_next,
     return ratio * lat + em1 * d_eff
 
 
+def unipc_scan_extras(sig: jnp.ndarray):
+    """Static per-step inputs for the UniPC scan: sig_prev2[i] = sig[i-2]
+    (dummy sig[0] for i < 2) plus the order masks of diffusers'
+    UniPCMultistepScheduler state machine (solver_order=2,
+    lower_order_final=True, disable_corrector=[]):
+
+    - use_corr[i]: the UniC corrector runs from step 1 on (last_sample
+      exists).
+    - corr_o2[i]: corrector order is the PREVIOUS step's predictor order
+      (step() assigns this_order after the corrector) — order 2 from step
+      2 on.
+    - pred_o2[i]: predictor order min(solver_order, n-i, i+1) == 2, i.e.
+      order 1 on the first step (multistep warmup) and on the final step
+      (lower_order_final).
+    """
+    n = sig.shape[0]
+    idx = jnp.arange(n)
+    sig_prev2 = jnp.concatenate([sig[:1], sig[:1], sig[:-2]])[:n]
+    use_corr = idx >= 1
+    corr_o2 = idx >= 2
+    pred_o2 = jnp.logical_and(idx >= 1, idx <= n - 2)
+    return sig_prev2, use_corr, corr_o2, pred_o2
+
+
+def unipc_step_update(lat, denoised, m_prev, m_prev2, last_sample,
+                      sigma, sigma_next, sigma_prev, sigma_prev2,
+                      use_corr, corr_o2, pred_o2):
+    """One UniPC step (Zhao et al. 2023, arXiv:2302.04867): UniC-2
+    corrector at the current point, then UniP-2 predictor to sigma_next.
+
+    Follows diffusers' UniPCMultistepScheduler exactly (predict_x0=True,
+    solver_type='bh2', solver_order=2, lower_order_final=True), pinned
+    against a literal transcription in tests/test_k_goldens.py. The math
+    is carried in k-diffusion sigma space (x_kd = x_vp / alpha_t), where
+    every alpha_t factor of the published VP-space update cancels:
+    lambda = log(alpha_t/sigma_t) = -log(sigma_kd), and the x0-coefficient
+    alpha_t*phi and the sample-coefficient sigma_t/sigma_s0 both lose
+    their alphas after dividing the whole update by alpha_t.
+
+    The corrector refines THIS step's input from `last_sample` (the
+    corrected sample of the previous step) using the fresh model output
+    `denoised` — one model eval per step, like DPM++ 2M, but with the
+    B_h = expm1(hh) corrector stage that buys UniPC its accuracy edge at
+    5-10 steps. m_prev/m_prev2 are the two previous x0 predictions (zeros
+    before they exist; the masks gate them out). Returns
+    (new_lat, corrected_sample) — the corrected sample becomes the next
+    step's last_sample.
+
+    Dummy-step guards (jnp.where on h/r before any division) keep every
+    lane finite so jax.debug_nans stays clean.
+    """
+    f32 = jnp.float32
+    lam = -jnp.log(sigma).astype(f32)
+    lam_prev = -jnp.log(sigma_prev).astype(f32)
+    lam_prev2 = -jnp.log(sigma_prev2).astype(f32)
+
+    # --- UniC (bh2) corrector at (sigma, .) from last_sample @ sigma_prev
+    h_c = jnp.where(use_corr, lam - lam_prev, 1.0)
+    hh_c = -h_c
+    h_phi_1_c = jnp.expm1(hh_c)
+    B_h_c = h_phi_1_c  # bh2: B_h = expm1(hh)
+    b1_c = (h_phi_1_c / hh_c - 1.0) / B_h_c
+    h_phi_2_c = (h_phi_1_c / hh_c - 1.0) / hh_c - 0.5
+    b2_c = h_phi_2_c * 2.0 / B_h_c
+    # rks[0] for order 2: (lambda(t_{i-2}) - lambda(t_{i-1})) / h < 0, so
+    # the dummy 2.0 (also != 1) only protects the masked-out lanes
+    r0_c = jnp.where(corr_o2, (lam_prev2 - lam_prev) / h_c, 2.0)
+    # solve [[1,1],[r0,1]] @ rhos = [b1,b2] in closed form
+    rho0_c = (b2_c - b1_c) / (r0_c - 1.0)
+    rho1_c = b1_c - rho0_c
+    d1_0_c = (m_prev2 - m_prev) / r0_c
+    d1_t = denoised - m_prev
+    x_t_c = (sigma / sigma_prev) * last_sample - h_phi_1_c * m_prev
+    corr = x_t_c - B_h_c * jnp.where(
+        corr_o2, rho0_c * d1_0_c + rho1_c * d1_t, 0.5 * d1_t
+    )
+    x_c = jnp.where(use_corr, corr, lat)
+
+    # --- UniP (bh2) predictor from (sigma, x_c) to sigma_next
+    lam_next = -jnp.log(jnp.maximum(sigma_next, 1e-10)).astype(f32)
+    h = lam_next - lam
+    h_phi_1 = jnp.expm1(-h)
+    B_h = h_phi_1  # bh2
+    r0_p = jnp.where(pred_o2, (lam_prev - lam) / h, 1.0)
+    d1_0_p = (m_prev - denoised) / r0_p
+    x_t_p = (sigma_next / sigma) * x_c - h_phi_1 * denoised
+    # order 2: rhos_p = [0.5] (diffusers hardcodes the 2-step case)
+    pred = x_t_p - jnp.where(pred_o2, B_h * 0.5, 0.0) * d1_0_p
+    new_lat = jnp.where(sigma_next > 0, pred, denoised)
+    return new_lat, x_c
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -896,6 +988,12 @@ def k_diffuse_latent(
     with PER-IMAGE keys (k_step_keys_per_seed): image i's step noise then
     depends only on its own seed, extending the per-image-seed contract
     to the stochastic samplers (fused serving).
+
+    method="unipc": UniPC predictor-corrector (arXiv:2302.04867,
+    diffusers UniPCMultistepScheduler semantics: bh2 / predict_x0 /
+    order 2 / lower_order_final), deterministic, one UNet eval per step;
+    the scan carry extends to (lat, m_prev, m_prev2, last_sample) — see
+    unipc_step_update.
     """
     if method not in K_SAMPLERS:
         raise ValueError(
@@ -936,6 +1034,13 @@ def k_diffuse_latent(
     sig, sig_next = sigmas[:-1], sigmas[1:]
     sig_prev = jnp.concatenate([sigmas[:1], sigmas[:-2]])  # sig[i-1]; dummy @0
     first = jnp.arange(ts.shape[0]) == 0
+    unipc = method == "unipc"
+    if unipc:
+        # per-step order masks + sig[i-2] for the predictor-corrector
+        sig_prev2, u_corr, c_o2, p_o2 = unipc_scan_extras(sig)
+        extras = (sig_prev2, u_corr, c_o2, p_o2)
+    else:
+        extras = ()
 
     if deepcache is not None:
         interval, branch = _deepcache_validate(deepcache, control_params,
@@ -945,8 +1050,13 @@ def k_diffuse_latent(
                                  compute_dtype, cross_kv, use_cfg, branch)
 
         def dc_step(carry, inp):
-            lat, old_denoised, cache = carry
-            t, sigma, sigma_next, sigma_prev, is_first, k, is_full = inp
+            if unipc:
+                lat, m_prev, m_prev2, last_sample, cache = carry
+                (t, sigma, sigma_next, sigma_prev, is_first, k,
+                 sigma_prev2, uc, c2, p2, is_full) = inp
+            else:
+                lat, old_denoised, cache = carry
+                t, sigma, sigma_next, sigma_prev, is_first, k, is_full = inp
             if inpaint:
                 noise = _scan_normal(k, lat.shape)
                 lat = jnp.where(mask, lat, reference + sigma * noise)
@@ -957,6 +1067,11 @@ def k_diffuse_latent(
                 guidance_rescale, cache, is_full, branch,
             )
             denoised = lat - sigma * eps
+            if unipc:
+                new_lat, x_c = unipc_step_update(
+                    lat, denoised, m_prev, m_prev2, last_sample,
+                    sigma, sigma_next, sigma_prev, sigma_prev2, uc, c2, p2)
+                return (new_lat, denoised, m_prev, x_c, cache), None
             snoise = (_scan_normal(_scan_fold(k, 1), lat.shape)
                       if stochastic else None)
             new_lat = k_step_update(method, lat, denoised, old_denoised,
@@ -964,17 +1079,25 @@ def k_diffuse_latent(
                                     noise=snoise)
             return (new_lat, denoised, cache), None
 
-        (latent, _, _), _ = jax.lax.scan(
+        z = jnp.zeros_like(latent)
+        carry0 = ((latent, z, z, latent, cache0) if unipc
+                  else (latent, z, cache0))
+        carry, _ = jax.lax.scan(
             dc_step,
-            (latent, jnp.zeros_like(latent), cache0),
-            (jnp.asarray(ts), sig, sig_next, sig_prev, first, keys,
-             full_flags),
+            carry0,
+            (jnp.asarray(ts), sig, sig_next, sig_prev, first, keys)
+            + extras + (full_flags,),
         )
-        return latent
+        return carry[0]
 
     def step(carry, inp):
-        lat, old_denoised = carry
-        t, sigma, sigma_next, sigma_prev, is_first, k, cs = inp
+        if unipc:
+            lat, m_prev, m_prev2, last_sample = carry
+            (t, sigma, sigma_next, sigma_prev, is_first, k,
+             sigma_prev2, uc, c2, p2, cs) = inp
+        else:
+            lat, old_denoised = carry
+            t, sigma, sigma_next, sigma_prev, is_first, k, cs = inp
         if inpaint:
             noise = _scan_normal(k, lat.shape)
             lat = jnp.where(mask, lat, reference + sigma * noise)
@@ -988,6 +1111,11 @@ def k_diffuse_latent(
                        control_kv=ctrl_kv, control_scale=cs,
                        pag_scale=pag_scale)
         denoised = lat - sigma * eps
+        if unipc:
+            new_lat, x_c = unipc_step_update(
+                lat, denoised, m_prev, m_prev2, last_sample,
+                sigma, sigma_next, sigma_prev, sigma_prev2, uc, c2, p2)
+            return (new_lat, denoised, m_prev, x_c), None
         snoise = (_scan_normal(_scan_fold(k, 1), lat.shape)
                   if stochastic else None)
         new_lat = k_step_update(method, lat, denoised, old_denoised,
@@ -995,12 +1123,15 @@ def k_diffuse_latent(
                                 noise=snoise)
         return (new_lat, denoised), None
 
-    (latent, _), _ = jax.lax.scan(
+    z = jnp.zeros_like(latent)
+    carry0 = (latent, z, z, latent) if unipc else (latent, z)
+    carry, _ = jax.lax.scan(
         step,
-        (latent, jnp.zeros_like(latent)),
-        (jnp.asarray(ts), sig, sig_next, sig_prev, first, keys, cscales),
+        carry0,
+        (jnp.asarray(ts), sig, sig_next, sig_prev, first, keys)
+        + extras + (cscales,),
     )
-    return latent  # noqa: RET504 — symmetry with diffuse_latent
+    return carry[0]
 
 
 def k_sigma_at(alphas_cumprod, t: int) -> jnp.ndarray:
@@ -1045,13 +1176,21 @@ def _k_segment(
     control_scales: Optional[jnp.ndarray] = None,
     control_cfg=None,
     ip=None,
+    m_prev2: Optional[jnp.ndarray] = None,
+    last_sample: Optional[jnp.ndarray] = None,
+    seg_extras=None,
 ):
     """A slice of the k-sampler scan with explicit (lat, old_denoised)
     carry — the segmented twin of k_diffuse_latent's loop, step math
     identical (k_step_update), so chaining segments reproduces the
     unsegmented trajectory exactly (incl. the DPM++ 2M multistep history
     across a segment boundary). control_scales: per-step ControlNet scale
-    slice aligned with ts (the preview driver pre-applies the window)."""
+    slice aligned with ts (the preview driver pre-applies the window).
+
+    method="unipc" extends the carry with (m_prev2, last_sample) and takes
+    seg_extras = this segment's (sig_prev2, use_corr, corr_o2, pred_o2)
+    slices (unipc_scan_extras over the FULL schedule, sliced by the
+    driver, so segmented == unsegmented bitwise); returns the 4-carry."""
     ctx2, ch2 = _cfg_contexts(cfg, cond, compute_dtype, use_cfg)
     cross_kv = precompute_cross_kv(unet_params, cfg.unet_config(), ctx2)
     cross_kv = _merge_ip(cross_kv, ip, cfg, cond, compute_dtype, use_cfg)
@@ -1063,9 +1202,16 @@ def _k_segment(
     if control_scales is None:
         control_scales = jnp.zeros(ts.shape, jnp.float32)
 
+    unipc = method == "unipc"
+
     def step(carry, inp):
-        lat, old_denoised = carry
-        t, sigma, sigma_next, sigma_prev, is_first, k, cs = inp
+        if unipc:
+            lat, old_denoised, m_p2, last_s = carry
+            (t, sigma, sigma_next, sigma_prev, is_first, k,
+             sigma_prev2, uc, c2, p2, cs) = inp
+        else:
+            lat, old_denoised = carry
+            t, sigma, sigma_next, sigma_prev, is_first, k, cs = inp
         if inpaint:
             noise = _scan_normal(k, lat.shape)
             lat = jnp.where(mask, lat, reference + sigma * noise)
@@ -1076,6 +1222,11 @@ def _k_segment(
                        concat=cc, control=ctrl, control_cfg=control_cfg,
                        control_kv=ctrl_kv, control_scale=cs)
         denoised = lat - sigma * eps
+        if unipc:
+            new_lat, x_c = unipc_step_update(
+                lat, denoised, old_denoised, m_p2, last_s,
+                sigma, sigma_next, sigma_prev, sigma_prev2, uc, c2, p2)
+            return (new_lat, denoised, old_denoised, x_c), None
         snoise = (_scan_normal(_scan_fold(k, 1), lat.shape)
                   if method in K_STOCHASTIC else None)
         new_lat = k_step_update(method, lat, denoised, old_denoised,
@@ -1083,10 +1234,14 @@ def _k_segment(
                                 noise=snoise)
         return (new_lat, denoised), None
 
-    return jax.lax.scan(
-        step, (lat, old_denoised),
-        (ts, sig, sig_next, sig_prev, first, keys, control_scales),
-    )[0]
+    if unipc:
+        carry0 = (lat, old_denoised, m_prev2, last_sample)
+        inputs = (ts, sig, sig_next, sig_prev, first, keys) + tuple(
+            seg_extras) + (control_scales,)
+    else:
+        carry0 = (lat, old_denoised)
+        inputs = (ts, sig, sig_next, sig_prev, first, keys, control_scales)
+    return jax.lax.scan(step, carry0, inputs)[0]
 
 
 def k_diffuse_latent_preview(
@@ -1151,10 +1306,19 @@ def k_diffuse_latent_preview(
 
     lat = latent.astype(jnp.float32)
     old = jnp.zeros_like(lat)
+    unipc = method == "unipc"
+    if unipc:
+        # FULL-schedule extras, sliced per segment below, so segment
+        # boundaries don't reset the order masks / sig[i-2] history
+        full_extras = unipc_scan_extras(jnp.asarray(sig))
+        old2, last = jnp.zeros_like(lat), lat
     done = 0
     while done < total:
         end = min(done + preview_every, total)
-        lat, old = _k_segment(
+        seg = dict(m_prev2=old2, last_sample=last,
+                   seg_extras=tuple(e[done:end] for e in full_extras)
+                   ) if unipc else {}
+        carry = _k_segment(
             unet_params, cfg, lat, old, cond, guidance_scale,
             jnp.asarray(ts[done:end]), jnp.asarray(sig[done:end]),
             jnp.asarray(sig_next[done:end]), jnp.asarray(sig_prev[done:end]),
@@ -1165,7 +1329,12 @@ def k_diffuse_latent_preview(
             concat_channels=concat_channels,
             control_params=control_params, control_image=control_image,
             control_scales=cscales[done:end], control_cfg=control_cfg,
+            **seg,
         )
+        if unipc:
+            lat, old, old2, last = carry
+        else:
+            lat, old = carry
         done = end
         if preview_callback is not None and done < total:
             vp = lat / np.sqrt(float(sig_next[done - 1]) ** 2 + 1.0)

