@@ -7,9 +7,16 @@ comparison against base_1024_dpmpp20_s. Random weights, same harness as
 scripts/bench_configs.py.
 """
 
+import pathlib
 import sys
 
-sys.path.insert(0, ".")
+_ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_ROOT / "scripts"))
+sys.path.insert(0, str(_ROOT))
+
+import os  # noqa: E402
+
+os.chdir(_ROOT)  # record() writes BENCH_CONFIGS.json at the repo root
 
 from bench_configs import record, timed  # noqa: E402
 
