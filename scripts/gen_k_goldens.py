@@ -81,6 +81,27 @@ def sample_dpmpp_2m(model, x, sigmas):
     return x, torch.stack(traj)
 
 
+def sample_heun(model, x, sigmas):
+    """k-diffusion sample_heun, s_churn=0 (gamma=0) path, verbatim:
+    Euler proposal, second model eval at (x_2, sigma_next), averaged
+    derivative; plain Euler on the final (sigma_next == 0) step."""
+    traj = [x.clone()]
+    for i in range(len(sigmas) - 1):
+        denoised = model(x, sigmas[i])
+        d = to_d(x, sigmas[i], denoised)
+        dt = sigmas[i + 1] - sigmas[i]
+        if sigmas[i + 1] == 0:
+            x = x + d * dt
+        else:
+            x_2 = x + d * dt
+            denoised_2 = model(x_2, sigmas[i + 1])
+            d_2 = to_d(x_2, sigmas[i + 1], denoised_2)
+            d_prime = (d + d_2) / 2
+            x = x + d_prime * dt
+        traj.append(x.clone())
+    return x, torch.stack(traj)
+
+
 def get_ancestral_step(sigma_from, sigma_to, eta=1.0):
     """k-diffusion sampling.get_ancestral_step, verbatim."""
     if not eta:
@@ -349,6 +370,7 @@ def main():
     sig8 = get_sigmas_karras(8, sigma_min, sigma_max)
     eul_x, eul_traj = sample_euler(synth_model, x0.clone(), sig8)
     dpm_x, dpm_traj = sample_dpmpp_2m(synth_model, x0.clone(), sig8)
+    heu_x, heu_traj = sample_heun(synth_model, x0.clone(), sig8)
 
     # 3. stochastic samplers: fixed per-step noise draws (committed with
     # the goldens; sdxl_tpu's scan is driven with the same arrays)
@@ -382,6 +404,8 @@ def main():
         euler_traj=eul_traj.numpy(),
         dpmpp_final=dpm_x.numpy(),
         dpmpp_traj=dpm_traj.numpy(),
+        heun_final=heu_x.numpy(),
+        heun_traj=heu_traj.numpy(),
         step_noises=noises.numpy(),
         euler_a_final=eua_x.numpy(),
         euler_a_traj=eua_traj.numpy(),

@@ -78,9 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Decode in bfloat16: 1.16x faster VAE at ~1 u8 level "
                         "mean pixel cost (reference decodes f32)")
     p.add_argument("--sampler", type=str, default="ddim",
-                   choices=["ddim", "euler", "dpmpp", "euler_a", "dpmpp_sde", "unipc", "lcm"],
+                   choices=["ddim", "euler", "dpmpp", "euler_a", "dpmpp_sde", "unipc", "heun", "lcm"],
                    help="Sampler: deterministic DDIM (reference), Euler, "
                         "DPM-Solver++ 2M (best quality at low step counts), "
+                        "UniPC, Heun (2nd-order, two UNet evals/step), "
                         "or the stochastic ancestral Euler / DPM++ 2M SDE; "
                         "valid on every path (txt2img/inpaint/img2img/refiner). "
                         "lcm (4-8 steps) is for LCM-distilled checkpoints / "
@@ -148,13 +149,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "Kontext-dev checkpoint; default -gs for this "
                         "mode is the release's 2.5")
     p.add_argument("--quantize", choices=["int8", "int4"], default=None,
-                   help="Weight-only quantized storage for the transformer "
-                        "families (sd3/flux): block linears at int8 "
-                        "(per-channel) or int4 (group-wise; modulation "
-                        "linears stay int8), T5 at int8, dequantized "
-                        "on the fly inside the sampling scan. The "
-                        "single-chip fit mode for FLUX.1's 12B "
-                        "transformer (23.8 GB bf16 -> 11.9 / ~6.4 GB)")
+                   help="Weight-only quantized storage: block linears at "
+                        "int8 (per-channel) or int4 (group-wise; modulation "
+                        "linears stay int8), dequantized on the fly inside "
+                        "the sampling scan. sd3/flux: transformer blocks + "
+                        "T5 at int8 — the single-chip fit mode for FLUX.1's "
+                        "12B transformer (23.8 GB bf16 -> 11.9 / ~6.4 GB). "
+                        "sdxl/sd1/sd2: the UNet transformer linears (~2.0B "
+                        "of SDXL's 2.6B UNet params) — frees HBM for "
+                        "resident base+refiner and larger serving batches")
     p.add_argument("--controlnet", action="append", default=None,
                    metavar="DIR",
                    help="diffusers-layout ControlNetModel directory for this "
@@ -227,6 +230,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug-nans", action="store_true",
                    help="Enable jax.config.debug_nans for bring-up")
     return p
+
+
+def _quantize_unet_inplace(pipe, spec) -> None:
+    """Apply --quantize to a random-weights UNet-family pipeline (loaders
+    quantize checkpoints themselves; random_pipeline params are unstacked
+    so the post-hoc walk sees the 2-D linears)."""
+    if spec is None:
+        return
+    from ..io.quantize import (
+        UNET_KEEP8, UNET_WITHIN, parse_quantize_spec, quantize_tree,
+    )
+
+    bits = parse_quantize_spec(spec)
+    pipe.unet_params = quantize_tree(pipe.unet_params, bits,
+                                     within=UNET_WITHIN, keep8=UNET_KEEP8)
+    if getattr(pipe, "refiner_params", None) is not None:
+        pipe.refiner_params = quantize_tree(pipe.refiner_params, bits,
+                                            within=UNET_WITHIN,
+                                            keep8=UNET_KEEP8)
 
 
 def pipe_min_layers(pipe) -> int:
@@ -501,11 +523,6 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 1
 
-    if args.quantize is not None:
-        print("error: --quantize applies to the transformer families "
-              "(--family sd3 | flux)", file=sys.stderr)
-        return 1
-
     if args.edit_image is not None:
         print("error: --edit-image (Kontext) applies to --family flux",
               file=sys.stderr)
@@ -540,12 +557,13 @@ def main(argv=None) -> int:
                 clip_cfg=clip_cfg, diffuser_cfg=d_cfg, compute_dtype=dtype,
                 tokenizer_dir=args.tokenizer_dir, penultimate_hidden=sd2,
             )
+            _quantize_unet_inplace(pipe, args.quantize)
         else:
             try:
                 pipe = load_sd1_pipeline(
                     args.model_dir, clip_cfg, d_cfg, dtype,
                     args.tokenizer_dir, penultimate_hidden=sd2,
-                    loras=loras,
+                    loras=loras, quantize=args.quantize,
                 )
             except (KeyError, FileNotFoundError, ValueError) as e:
                 print(f"error: failed to load checkpoint from "
@@ -563,6 +581,7 @@ def main(argv=None) -> int:
             compute_dtype=dtype,
             tokenizer_dir=args.tokenizer_dir,
         )
+        _quantize_unet_inplace(pipe, args.quantize)
     else:
         from ..io.burn_mpk import MpkParseError
         from ..pipeline.loader import load_pipeline
@@ -570,7 +589,7 @@ def main(argv=None) -> int:
         try:
             pipe = load_pipeline(
                 args.model_dir, args.use_refiner, dtype, args.tokenizer_dir,
-                loras=loras,
+                loras=loras, quantize=args.quantize,
             )
         except (MpkParseError, KeyError, FileNotFoundError, ValueError) as e:
             # checkpoint problems are user input problems: print the

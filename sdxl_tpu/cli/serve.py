@@ -649,8 +649,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lora", action="append", default=[],
                    metavar="PATH[:SCALE]")
     p.add_argument("--quantize", choices=["int8", "int4"], default=None,
-                   help="Weight-only quantized storage for sd3/flux "
-                        "transformers + T5 (see sample --quantize); the "
+                   help="Weight-only quantized storage (see sample "
+                        "--quantize): sd3/flux transformers + T5, or the "
+                        "UNet-family block linears; the "
                         "single-chip fit mode for FLUX.1")
     p.add_argument("--controlnet", action="append", default=None,
                    metavar="DIR",
@@ -669,7 +670,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--guidance-scale", type=float, default=7.5)
     p.add_argument("--sampler", type=str, default="ddim",
-                   choices=["ddim", "euler", "dpmpp", "euler_a", "dpmpp_sde", "unipc", "lcm"])
+                   choices=["ddim", "euler", "dpmpp", "euler_a", "dpmpp_sde", "unipc", "heun", "lcm"])
     p.add_argument("--vae-bf16", action="store_true")
     p.add_argument("--freeu", type=str, nargs="?", const="auto",
                    default=None, metavar="B1,B2,S1,S2",
@@ -702,10 +703,11 @@ def build_pipeline(args):
 
     loras = parse_lora_specs(args.lora)
 
-    if getattr(args, "quantize", None) and args.family not in ("sd3",
-                                                               "flux"):
-        raise ValueError("--quantize applies to the transformer families "
-                         "(--family sd3 | flux)")
+    def _quant_unet(pipe):
+        from ..cli.sample import _quantize_unet_inplace
+
+        _quantize_unet_inplace(pipe, getattr(args, "quantize", None))
+        return pipe
 
     if args.family in ("sd1", "sd2"):
         from ..configs import (
@@ -720,13 +722,14 @@ def build_pipeline(args):
         clip_cfg = OPEN_CLIP_VITH_CONFIG if sd2 else CLIP_VIT_L_CONFIG
         d_cfg = SD2_DIFFUSER if sd2 else SD15_DIFFUSER
         if args.random_weights:
-            return random_sd1_pipeline(
+            return _quant_unet(random_sd1_pipeline(
                 clip_cfg=clip_cfg, diffuser_cfg=d_cfg,
                 tokenizer_dir=args.tokenizer_dir, penultimate_hidden=sd2,
-            )
+            ))
         return load_sd1_pipeline(
             args.model_dir, clip_cfg, d_cfg, jnp.bfloat16,
             args.tokenizer_dir, penultimate_hidden=sd2, loras=loras,
+            quantize=args.quantize,
         )
     if args.family == "sd3":
         from ..pipeline.sd3 import load_sd3_pipeline, random_sd3_pipeline
@@ -768,11 +771,11 @@ def build_pipeline(args):
     if args.random_weights:
         from ..pipeline.pipeline import random_pipeline
 
-        return random_pipeline(tokenizer_dir=args.tokenizer_dir)
+        return _quant_unet(random_pipeline(tokenizer_dir=args.tokenizer_dir))
     from ..pipeline.loader import load_pipeline
 
     return load_pipeline(args.model_dir, tokenizer_dir=args.tokenizer_dir,
-                         loras=loras)
+                         loras=loras, quantize=args.quantize)
 
 
 def main(argv=None) -> int:

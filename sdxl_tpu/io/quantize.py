@@ -43,6 +43,16 @@ DEFAULT_WITHIN = ("blocks", "single_blocks")
 # dict keys kept at >= 8 bits even when int4 is requested
 DEFAULT_KEEP8 = ("mod",)
 
+# UNet families (SDXL/SD1/SD2): quantize only inside the block stacks —
+# the transformer linears there are ~2.0B of the base UNet's 2.6B params
+# (the depth-10 1280-ch sites); convs (4-D) and norms pass through the
+# structural rules untouched. lin_embed (the per-resblock timestep-emb
+# projection) joins "mod" in the int8 clamp: like Flux's modulation
+# linears it feeds a whole activation stream, so it gets the gentler
+# quantizer in int4 mode.
+UNET_WITHIN = ("input_blocks", "middle_block", "output_blocks")
+UNET_KEEP8 = ("mod", "lin_embed")
+
 
 def parse_quantize_spec(spec: Optional[str]) -> Optional[int]:
     """CLI '--quantize int8|int4' -> bits (None passes through)."""

@@ -70,21 +70,34 @@ def _refiner_load_ctx(base_cfg, unet, e_params, vae=None):
     return contextlib.nullcontext()
 
 
-def _maybe_stack(params, flag: bool):
+def _maybe_stack(params, flag: bool, quantize_bits=None):
     """Run-time UNet param prep: fuse self-attn qkv (math-identical, one
-    [C,3C] MXU dot instead of three) and optionally stack deep transformer
-    lists for lax.scan compilation."""
+    [C,3C] MXU dot instead of three), optionally quantize the block
+    linears (int8/int4 weight-only, io/quantize.py — dequant happens at
+    the linear() use site inside the sampling scan), and optionally stack
+    deep transformer lists for lax.scan compilation.
+
+    Order matters: quantize AFTER the qkv fuse (the fuse concatenates
+    full-precision "w" columns) and BEFORE stacking (stacking tree-maps
+    jnp.stack over the block dicts, which stacks the int8 qw/qs leaves —
+    the scan body then slices them back to the 2-D layout dequant
+    expects)."""
     if params is None:
         return params
     from ..models.unet import fuse_unet_qkv
 
     params = fuse_unet_qkv(params)
+    if quantize_bits is not None:
+        from ..io.quantize import UNET_KEEP8, UNET_WITHIN, quantize_tree
+
+        params = quantize_tree(params, quantize_bits, within=UNET_WITHIN,
+                               keep8=UNET_KEEP8)
     if not flag:
         return params
     return stack_unet_transformers(params)
 
 
-def _prep_refiner(r_params, stack: bool):
+def _prep_refiner(r_params, stack: bool, quantize_bits=None):
     """_maybe_stack for the refiner, keeping host-parked weights on the
     host: commit the tree to the cpu device first so the fuse/stack ops
     run (and their results stay) there instead of migrating 4+ GB to the
@@ -102,8 +115,8 @@ def _prep_refiner(r_params, stack: bool):
             r_params, is_leaf=lambda x: x is None,
         )
         with jax.default_device(cpu):
-            return _maybe_stack(r_params, stack)
-    return _maybe_stack(r_params, stack)
+            return _maybe_stack(r_params, stack, quantize_bits)
+    return _maybe_stack(r_params, stack, quantize_bits)
 
 
 def _apply_loras(loras, unet, e_params) -> None:
@@ -150,14 +163,21 @@ def load_pipeline(
     tokenizer_dir: Optional[str] = None,
     stack_transformers: bool = True,
     loras=None,
+    quantize: Optional[str] = None,
 ) -> SDXLPipeline:
     """stack_transformers scans the deep transformer stacks instead of
     unrolling them (~9x faster UNet compile, ~3% slower steps) — the right
     default for interactive use. loras is a list of (path, scale) LoRA
     safetensors files merged into the UNet + text towers at load time
-    (io/lora.py)."""
+    (io/lora.py). quantize="int8"|"int4" stores the UNet block linears
+    weight-quantized (io/quantize.py, ~2.0B of the base UNet's 2.6B
+    params) — a memory lever (base+refiner resident, larger serving
+    fusion batches), merged AFTER LoRAs so adapters see full precision."""
     fmt = detect_format(model_dir)
     log(f"loading checkpoint ({fmt}) from {model_dir}")
+    from ..io.quantize import parse_quantize_spec
+
+    qbits = parse_quantize_spec(quantize)
 
     if fmt == "diffusers":
         from ..io.diffusers_sdxl import load_sdxl_diffusers_dir
@@ -182,7 +202,7 @@ def load_pipeline(
             embedder_cfg=e_cfg,
             embedder_params=e_params,
             diffuser_cfg=d_cfg,
-            unet_params=_maybe_stack(unet, stack_transformers),
+            unet_params=_maybe_stack(unet, stack_transformers, qbits),
             alphas_cumprod=alphas,
             vae_cfg=AutoencoderConfig(),
             vae_params=vae,
@@ -227,12 +247,12 @@ def load_pipeline(
             embedder_cfg=e_cfg,
             embedder_params=e_params,
             diffuser_cfg=d_cfg,
-            unet_params=_maybe_stack(unet, stack_transformers),
+            unet_params=_maybe_stack(unet, stack_transformers, qbits),
             alphas_cumprod=alphas,
             vae_cfg=AutoencoderConfig(),
             vae_params=vae,
             refiner_cfg=r_cfg,
-            refiner_params=_prep_refiner(r_params, stack_transformers),
+            refiner_params=_prep_refiner(r_params, stack_transformers, qbits),
             refiner_alphas=alphas if r_params is not None else None,
             clip_tokenizer=ClipTokenizer(tokenizer_dir),
             open_clip_tokenizer=OpenClipTokenizer(tokenizer_dir),
@@ -293,13 +313,13 @@ def load_pipeline(
         embedder_cfg=e_cfg,
         embedder_params=e_params,
         diffuser_cfg=d_cfg,
-        unet_params=_maybe_stack(unet, stack_transformers),
+        unet_params=_maybe_stack(unet, stack_transformers, qbits),
         alphas_cumprod=alphas,
         vae_cfg=AutoencoderConfig(),
         vae_params=vae,
         scale_factor=scale,
         refiner_cfg=r_cfg,
-        refiner_params=_prep_refiner(r_params, stack_transformers),
+        refiner_params=_prep_refiner(r_params, stack_transformers, qbits),
         refiner_alphas=r_alphas,
         clip_tokenizer=ClipTokenizer(tokenizer_dir),
         open_clip_tokenizer=OpenClipTokenizer(tokenizer_dir),

@@ -48,7 +48,8 @@ N_STEPS_TOTAL = 1000  # DDPM table length (stablediffusion/mod.rs:282)
 
 # k-diffusion sampler surface (capability extension; the reference ships
 # only DDIM). Stochastic methods draw per-step noise inside the scan.
-K_SAMPLERS = ("euler", "dpmpp", "euler_a", "dpmpp_sde", "unipc")
+# "heun" runs TWO model evals per step (the public 2nd-order scheme).
+K_SAMPLERS = ("euler", "dpmpp", "euler_a", "dpmpp_sde", "unipc", "heun")
 K_STOCHASTIC = ("euler_a", "dpmpp_sde")
 
 
@@ -828,6 +829,27 @@ def k_step_update(method: str, lat, denoised, old_denoised, sigma, sigma_next,
     return ratio * lat + em1 * d_eff
 
 
+def heun_proposal(lat, denoised, sigma, sigma_next):
+    """Heun's Euler proposal x_2 = x + d*dt (k-diffusion sample_heun) —
+    the point where the SECOND model eval happens, at sigma_next."""
+    d = (lat - denoised) / sigma
+    return lat + d * (sigma_next - sigma)
+
+
+def heun_combine(lat, denoised, x_2, denoised_2, sigma, sigma_next):
+    """k-diffusion sample_heun's 2nd-order combine (s_churn=0 path):
+    average the derivative at (x, sigma) with the derivative at the Euler
+    proposal (x_2, sigma_next); the final (sigma_next = 0) step is plain
+    Euler, exactly as in the public loop (the masked lane keeps sigma_next
+    clamped so every intermediate stays finite for jax.debug_nans).
+    Pinned against a literal transcription in tests/test_k_goldens.py."""
+    d = (lat - denoised) / sigma
+    dt = sigma_next - sigma
+    sn = jnp.maximum(sigma_next, 1e-10)
+    d_2 = (x_2 - denoised_2) / sn
+    return jnp.where(sigma_next > 0, lat + 0.5 * (d + d_2) * dt, x_2)
+
+
 def unipc_scan_extras(sig: jnp.ndarray):
     """Static per-step inputs for the UniPC scan: sig_prev2[i] = sig[i-2]
     (dummy sig[0] for i < 2) plus the order masks of diffusers'
@@ -1035,12 +1057,22 @@ def k_diffuse_latent(
     sig_prev = jnp.concatenate([sigmas[:1], sigmas[:-2]])  # sig[i-1]; dummy @0
     first = jnp.arange(ts.shape[0]) == 0
     unipc = method == "unipc"
+    heun = method == "heun"
     if unipc:
         # per-step order masks + sig[i-2] for the predictor-corrector
         sig_prev2, u_corr, c_o2, p_o2 = unipc_scan_extras(sig)
         extras = (sig_prev2, u_corr, c_o2, p_o2)
+    elif heun:
+        # the 2nd model eval is conditioned at the NEXT step's timestep;
+        # the final entry is a masked dummy (sigma_next = 0 -> plain Euler)
+        tsj = jnp.asarray(ts)
+        extras = (jnp.concatenate([tsj[1:], tsj[-1:]]),)
     else:
         extras = ()
+
+    if heun and deepcache is not None:
+        raise ValueError("heun (two UNet evals per step) is not combinable "
+                         "with deepcache")
 
     if deepcache is not None:
         interval, branch = _deepcache_validate(deepcache, control_params,
@@ -1095,6 +1127,9 @@ def k_diffuse_latent(
             lat, m_prev, m_prev2, last_sample = carry
             (t, sigma, sigma_next, sigma_prev, is_first, k,
              sigma_prev2, uc, c2, p2, cs) = inp
+        elif heun:
+            lat, old_denoised = carry
+            t, sigma, sigma_next, sigma_prev, is_first, k, t_nx, cs = inp
         else:
             lat, old_denoised = carry
             t, sigma, sigma_next, sigma_prev, is_first, k, cs = inp
@@ -1116,6 +1151,21 @@ def k_diffuse_latent(
                 lat, denoised, m_prev, m_prev2, last_sample,
                 sigma, sigma_next, sigma_prev, sigma_prev2, uc, c2, p2)
             return (new_lat, denoised, m_prev, x_c), None
+        if heun:
+            x_2 = heun_proposal(lat, denoised, sigma, sigma_next)
+            sn = jnp.maximum(sigma_next, 1e-10)
+            scaled_2 = x_2 / jnp.sqrt(sn**2 + 1.0)
+            eps_2 = _cfg_eps(unet_params, cfg, scaled_2, t_nx, ctx2, ch2,
+                             guidance_scale, compute_dtype, cross_kv,
+                             1.0 / (sn**2 + 1.0), use_cfg=use_cfg,
+                             guidance_rescale=guidance_rescale, concat=cc,
+                             control=ctrl, control_cfg=control_cfg,
+                             control_kv=ctrl_kv, control_scale=cs,
+                             pag_scale=pag_scale)
+            denoised_2 = x_2 - sn * eps_2
+            new_lat = heun_combine(lat, denoised, x_2, denoised_2,
+                                   sigma, sigma_next)
+            return (new_lat, denoised), None
         snoise = (_scan_normal(_scan_fold(k, 1), lat.shape)
                   if stochastic else None)
         new_lat = k_step_update(method, lat, denoised, old_denoised,
@@ -1190,7 +1240,11 @@ def _k_segment(
     method="unipc" extends the carry with (m_prev2, last_sample) and takes
     seg_extras = this segment's (sig_prev2, use_corr, corr_o2, pred_o2)
     slices (unipc_scan_extras over the FULL schedule, sliced by the
-    driver, so segmented == unsegmented bitwise); returns the 4-carry."""
+    driver, so segmented == unsegmented bitwise); returns the 4-carry.
+
+    method="heun" takes seg_extras = (ts_next,) — this segment's slice of
+    the FULL next-timestep array, so the 2nd model eval at a segment's
+    last step is conditioned exactly like the unsegmented scan's."""
     ctx2, ch2 = _cfg_contexts(cfg, cond, compute_dtype, use_cfg)
     cross_kv = precompute_cross_kv(unet_params, cfg.unet_config(), ctx2)
     cross_kv = _merge_ip(cross_kv, ip, cfg, cond, compute_dtype, use_cfg)
@@ -1203,12 +1257,16 @@ def _k_segment(
         control_scales = jnp.zeros(ts.shape, jnp.float32)
 
     unipc = method == "unipc"
+    heun = method == "heun"
 
     def step(carry, inp):
         if unipc:
             lat, old_denoised, m_p2, last_s = carry
             (t, sigma, sigma_next, sigma_prev, is_first, k,
              sigma_prev2, uc, c2, p2, cs) = inp
+        elif heun:
+            lat, old_denoised = carry
+            t, sigma, sigma_next, sigma_prev, is_first, k, t_nx, cs = inp
         else:
             lat, old_denoised = carry
             t, sigma, sigma_next, sigma_prev, is_first, k, cs = inp
@@ -1227,6 +1285,20 @@ def _k_segment(
                 lat, denoised, old_denoised, m_p2, last_s,
                 sigma, sigma_next, sigma_prev, sigma_prev2, uc, c2, p2)
             return (new_lat, denoised, old_denoised, x_c), None
+        if heun:
+            x_2 = heun_proposal(lat, denoised, sigma, sigma_next)
+            sn = jnp.maximum(sigma_next, 1e-10)
+            scaled_2 = x_2 / jnp.sqrt(sn**2 + 1.0)
+            eps_2 = _cfg_eps(unet_params, cfg, scaled_2, t_nx, ctx2, ch2,
+                             guidance_scale, compute_dtype, cross_kv,
+                             1.0 / (sn**2 + 1.0), use_cfg=use_cfg,
+                             guidance_rescale=guidance_rescale, concat=cc,
+                             control=ctrl, control_cfg=control_cfg,
+                             control_kv=ctrl_kv, control_scale=cs)
+            denoised_2 = x_2 - sn * eps_2
+            new_lat = heun_combine(lat, denoised, x_2, denoised_2,
+                                   sigma, sigma_next)
+            return (new_lat, denoised), None
         snoise = (_scan_normal(_scan_fold(k, 1), lat.shape)
                   if method in K_STOCHASTIC else None)
         new_lat = k_step_update(method, lat, denoised, old_denoised,
@@ -1236,6 +1308,10 @@ def _k_segment(
 
     if unipc:
         carry0 = (lat, old_denoised, m_prev2, last_sample)
+        inputs = (ts, sig, sig_next, sig_prev, first, keys) + tuple(
+            seg_extras) + (control_scales,)
+    elif heun:
+        carry0 = (lat, old_denoised)
         inputs = (ts, sig, sig_next, sig_prev, first, keys) + tuple(
             seg_extras) + (control_scales,)
     else:
@@ -1307,17 +1383,26 @@ def k_diffuse_latent_preview(
     lat = latent.astype(jnp.float32)
     old = jnp.zeros_like(lat)
     unipc = method == "unipc"
+    heun = method == "heun"
     if unipc:
         # FULL-schedule extras, sliced per segment below, so segment
         # boundaries don't reset the order masks / sig[i-2] history
         full_extras = unipc_scan_extras(jnp.asarray(sig))
         old2, last = jnp.zeros_like(lat), lat
+    elif heun:
+        # full next-timestep array, sliced per segment (a segment's last
+        # step conditions its 2nd eval exactly like the unsegmented scan)
+        full_extras = (jnp.asarray(np.concatenate([ts[1:], ts[-1:]])),)
     done = 0
     while done < total:
         end = min(done + preview_every, total)
-        seg = dict(m_prev2=old2, last_sample=last,
-                   seg_extras=tuple(e[done:end] for e in full_extras)
-                   ) if unipc else {}
+        if unipc:
+            seg = dict(m_prev2=old2, last_sample=last,
+                       seg_extras=tuple(e[done:end] for e in full_extras))
+        elif heun:
+            seg = dict(seg_extras=tuple(e[done:end] for e in full_extras))
+        else:
+            seg = {}
         carry = _k_segment(
             unet_params, cfg, lat, old, cond, guidance_scale,
             jnp.asarray(ts[done:end]), jnp.asarray(sig[done:end]),

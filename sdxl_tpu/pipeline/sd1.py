@@ -173,10 +173,13 @@ def load_sd1_pipeline(
     tokenizer_dir: Optional[str] = None,
     penultimate_hidden: bool = False,
     loras=None,
+    quantize: Optional[str] = None,
 ) -> SD1Pipeline:
     """Load a diffusers-layout SD 1.x/2.x directory (runwayml/
     stable-diffusion-v1-5 style: unet/ vae/ text_encoder/ scheduler/).
-    loras: list of (path, scale) LoRA files merged at load time."""
+    loras: list of (path, scale) LoRA files merged at load time;
+    quantize="int8"|"int4" stores the UNet block linears weight-quantized
+    (io/quantize.py), merged after LoRAs."""
     from ..io.diffusers_sdxl import load_sd1_diffusers_dir
     from ..models.unet import fuse_unet_qkv
 
@@ -190,11 +193,19 @@ def load_sd1_pipeline(
         from ..io.lora import apply_lora_files
 
         apply_lora_files(loras, unet=unet, te1=clip)
+    unet = fuse_unet_qkv(unet)
+    if quantize is not None:
+        from ..io.quantize import (
+            UNET_KEEP8, UNET_WITHIN, parse_quantize_spec, quantize_tree,
+        )
+
+        unet = quantize_tree(unet, parse_quantize_spec(quantize),
+                             within=UNET_WITHIN, keep8=UNET_KEEP8)
     return SD1Pipeline(
         embedder_cfg=clip_cfg,
         embedder_params=clip,
         diffuser_cfg=diffuser_cfg,
-        unet_params=fuse_unet_qkv(unet),
+        unet_params=unet,
         alphas_cumprod=jnp.asarray(
             alphas
             if alphas is not None

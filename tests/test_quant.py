@@ -356,3 +356,138 @@ def test_t5_offload_conditioning_matches_resident():
     # the parked copy is still host-side after the call
     assert isinstance(
         jax.tree_util.tree_leaves(pipe.t5_params)[0], np.ndarray)
+
+
+# ---------------------------------------------------------------------------
+# UNet families (SDXL/SD1/SD2): quantized block linears
+# ---------------------------------------------------------------------------
+
+from sdxl_tpu.io.quantize import UNET_KEEP8, UNET_WITHIN  # noqa: E402
+from sdxl_tpu.models.unet import (  # noqa: E402
+    fuse_unet_qkv,
+    init_unet,
+    stack_unet_transformers,
+    unet_forward,
+)
+from tests.test_unet import TINY as TINY_UNET  # noqa: E402
+
+
+def _tiny_unet_params():
+    return fuse_unet_qkv(
+        init_unet(jax.random.PRNGKey(0), TINY_UNET, jnp.float32))
+
+
+def _unet_inputs(batch=1):
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((batch, 16, 16, 4)), jnp.float32)
+    t = jnp.full((batch,), 321, jnp.int32)
+    ctx = jnp.asarray(
+        rng.standard_normal((batch, 7, TINY_UNET.context_dim)), jnp.float32)
+    label = jnp.asarray(
+        rng.standard_normal((batch, TINY_UNET.adm_in_channels)), jnp.float32)
+    return x, t, ctx, label
+
+
+def _host_dequant(node):
+    if isinstance(node, dict):
+        if "qw" in node or "qw4" in node:
+            out = {k: v for k, v in node.items()
+                   if k not in ("qw", "qw4", "qs")}
+            out["w"] = dequant_weight(node, jnp.float32)
+            return out
+        return {k: _host_dequant(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_host_dequant(v) for v in node]
+    return node
+
+
+def test_unet_quantize_scoping():
+    """Only block linears quantize; embed MLPs and convs stay bf16/f32."""
+    params = _tiny_unet_params()
+    q = quantize_tree(params, bits=8, min_dim=8,
+                      within=UNET_WITHIN, keep8=UNET_KEEP8)
+    # middle-block transformer (depth 2) fused qkv is quantized
+    mid = q["middle_block"]["transformer"]["blocks"][0]
+    assert mid["attn1"]["qkv"]["qw"].dtype == jnp.int8
+    assert "w" not in mid["attn1"]["qkv"]
+    # the top-level timestep/label MLPs are OUTSIDE the block scope
+    assert q["time_embed"]["lin1"]["w"].dtype == jnp.float32
+    assert q["label_embed"]["lin1"]["w"].dtype == jnp.float32
+    # convs (4-D) pass through untouched inside the scope
+    assert q["input_blocks"][0]["conv"]["w"].ndim == 4
+    # resblock lin_embed quantizes (int8 mode: same as everything)
+    rb = q["input_blocks"][1]["res"]
+    assert rb["lin_embed"]["qw"].dtype == jnp.int8
+
+
+def test_unet_quantize_int4_keep8_lin_embed():
+    """int4 mode clamps lin_embed (timestep-emb projection) to int8,
+    like Flux's modulation linears; GEGLU/attention linears go int4."""
+    params = _tiny_unet_params()
+    q = quantize_tree(params, bits=4, min_dim=8, group=8,
+                      within=UNET_WITHIN, keep8=UNET_KEEP8)
+    mid = q["middle_block"]["transformer"]["blocks"][0]
+    assert mid["attn1"]["qkv"]["qw4"].dtype == jnp.uint8
+    assert mid["mlp"]["proj"]["qw4"].dtype == jnp.uint8
+    rb = q["input_blocks"][1]["res"]
+    assert rb["lin_embed"]["qw"].dtype == jnp.int8
+    assert "qw4" not in rb["lin_embed"]
+
+
+def test_unet_forward_quantized_bitexact_vs_dequantized():
+    """Quantized-tree forward == forward of the same tree dequantized
+    ahead of time: in-graph dequant changes WHERE the conversion runs,
+    not the numbers (mirror of the Flux equivalence test)."""
+    params = _tiny_unet_params()
+    q = quantize_tree(params, bits=8, min_dim=8,
+                      within=UNET_WITHIN, keep8=UNET_KEEP8)
+    ref_params = _host_dequant(q)
+    x, t, ctx, label = _unet_inputs()
+    fwd = jax.jit(unet_forward, static_argnums=(1,))
+    out_q = fwd(q, TINY_UNET, x, t, ctx, label)
+    out_ref = fwd(ref_params, TINY_UNET, x, t, ctx, label)
+    np.testing.assert_array_equal(np.asarray(out_q), np.asarray(out_ref))
+
+
+def test_unet_quantized_then_stacked_matches_unstacked():
+    """loader._maybe_stack order (fuse -> quantize -> stack): stacking
+    the quantized dicts (int8 qw/qs get a leading depth axis, the scan
+    slices them back) must not change the forward."""
+    params = _tiny_unet_params()
+    q = quantize_tree(params, bits=8, min_dim=8,
+                      within=UNET_WITHIN, keep8=UNET_KEEP8)
+    stacked = stack_unet_transformers(q, min_depth=2)
+    mid = stacked["middle_block"]["transformer"]["blocks"]
+    assert isinstance(mid, dict)  # stacked
+    assert mid["attn1"]["qkv"]["qw"].shape[0] == 2  # depth axis
+    assert mid["attn1"]["qkv"]["qw"].dtype == jnp.int8
+    x, t, ctx, label = _unet_inputs()
+    fwd = jax.jit(unet_forward, static_argnums=(1,))
+    ref = fwd(q, TINY_UNET, x, t, ctx, label)
+    got = fwd(stacked, TINY_UNET, x, t, ctx, label)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_sdxl_pipeline_quantized_txt2img(tokenizer_dir, monkeypatch):
+    """--quantize int8 end to end on the UNet family: the tiny SDXL
+    pipeline produces a finite image through the quantized sampling
+    scan (covers the CLI helper the random-weights path uses)."""
+    from sdxl_tpu.cli.sample import _quantize_unet_inplace
+    from tests.test_pipeline_e2e import (
+        TINY_DIFFUSER, TINY_EMBEDDER, TINY_VAE,
+    )
+    from sdxl_tpu.pipeline.pipeline import random_pipeline
+
+    monkeypatch.setenv("SDXL_TPU_QUANT_MIN_DIM", "8")
+    pipe = random_pipeline(
+        embedder_cfg=TINY_EMBEDDER, diffuser_cfg=TINY_DIFFUSER,
+        vae_cfg=TINY_VAE, compute_dtype=jnp.float32,
+        param_dtype_unet=jnp.float32, tokenizer_dir=tokenizer_dir,
+    )
+    _quantize_unet_inplace(pipe, "int8")
+    mid = pipe.unet_params["middle_block"]["transformer"]["blocks"][0]
+    assert mid["attn1"]["qkv"]["qw"].dtype == jnp.int8
+    imgs = pipe.txt2img("a cat", resolution=(64, 64), n_steps=2, seed=3)
+    assert imgs.shape == (1, 64, 64, 3)
+    assert np.isfinite(imgs.astype(np.float64)).all()
+    assert imgs.std() > 0
