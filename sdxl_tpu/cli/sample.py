@@ -88,12 +88,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "LCM-LoRA (use gs 1-2, or the baked-in guidance "
                         "embedding for distilled models)")
     p.add_argument("--schedule", type=str, default="linear",
-                   choices=["linear", "karras", "ays"],
+                   choices=["linear", "karras", "ays", "trailing", "leading"],
                    help="Sigma spacing for the euler/dpmpp samplers: karras "
                         "(rho=7) improves low-step-count quality; ays uses "
                         "the published Align-Your-Steps optimized schedule "
                         "(arXiv:2404.14507; 10 steps native, other counts "
-                        "log-linearly retargeted, family table auto-picked)")
+                        "log-linearly retargeted, family table auto-picked); "
+                        "trailing/leading are diffusers' other "
+                        "timestep_spacing grids — trailing anchors the last "
+                        "step at t=0 and is required by SDXL-Lightning / "
+                        "zero-terminal-SNR checkpoints")
+    p.add_argument("--zsnr", action="store_true",
+                   help="Rescale the alpha-bar table to zero terminal SNR "
+                        "(arXiv:2305.08891) — for v-prediction ZSNR "
+                        "finetunes; pair with --schedule trailing and "
+                        "--guidance-rescale as their model cards prescribe")
     p.add_argument("--pag-scale", type=float, default=0.0,
                    help="Perturbed-Attention Guidance scale "
                         "(arXiv:2403.17377, 'mid' layers; try 3.0): one "
@@ -288,6 +297,7 @@ def _run_sd3(args, dtype) -> int:
         ("--clip-skip", bool(args.clip_skip)),
         ("--true-cfg-scale", args.true_cfg_scale != 1.0),
         ("--edit-image", args.edit_image is not None),
+        ("--zsnr", args.zsnr),
     ]
     bad = [name for name, hit in unsupported if hit]
     if bad:
@@ -398,6 +408,7 @@ def _run_flux(args, dtype) -> int:
         ("--clip-skip", bool(args.clip_skip)),
         ("--no-t5", args.no_t5),
         ("--vae-bf16", args.vae_bf16),
+        ("--zsnr", args.zsnr),
     ]
     bad = [name for name, hit in unsupported if hit]
     if bad:
@@ -601,6 +612,10 @@ def main(argv=None) -> int:
         pipe.vae_dtype = jnp.bfloat16
     if args.vae_tile:
         pipe.vae_tile = args.vae_tile
+    if args.zsnr:
+        pipe.rescale_zsnr()
+        log("zsnr: alpha-bar table rescaled to zero terminal SNR "
+            "(arXiv:2305.08891)")
     if args.freeu is not None:
         import dataclasses
 

@@ -172,6 +172,22 @@ class SDXLPipeline:
     def _resolve_schedule(self, schedule: str) -> str:
         return self._ays_variant if schedule == "ays" else schedule
 
+    def rescale_zsnr(self):
+        """Rescale the ᾱ table(s) to zero terminal SNR in place
+        (sampler.rescale_zero_terminal_snr) — for checkpoints finetuned
+        with the Lin et al. 2023 fix (v-prediction ZSNR models). Pair
+        with schedule="trailing" and guidance_rescale > 0 as their model
+        cards prescribe. Returns self for chaining."""
+        from .sampler import rescale_zero_terminal_snr
+
+        self.alphas_cumprod = jnp.asarray(
+            rescale_zero_terminal_snr(np.asarray(self.alphas_cumprod)))
+        if getattr(self, "refiner_alphas", None) is not None:
+            self.refiner_alphas = jnp.asarray(
+                rescale_zero_terminal_snr(np.asarray(self.refiner_alphas)))
+        self._uncond_cache.clear()
+        return self
+
     def _shard_cond(self, cond):
         if self.mesh is None:
             return cond
@@ -526,7 +542,10 @@ class SDXLPipeline:
 
         schedule="karras" applies the Karras rho=7 sigma spacing to the
         euler/dpmpp samplers (invalid with ddim, whose schedule is fixed
-        by reference semantics).
+        by reference semantics); schedule="trailing"/"leading" pick
+        diffusers' other timestep_spacing grids — trailing anchors the
+        last step at t=0 and is required by SDXL-Lightning /
+        zero-terminal-SNR checkpoints.
 
         guidance_rescale>0 applies the Lin et al. 2023 std-matching CFG
         correction. no_cfg=True drops the unconditional branch (half the
@@ -796,6 +815,8 @@ class SDXLPipeline:
                     n_tail = len(k_timesteps(
                         refiner_step_start, n_steps,
                         int(refiner_alphas.shape[0]),
+                        spacing=(schedule if schedule in
+                                 ("trailing", "leading") else "linspace"),
                     ))
                     refiner_step_keys = k_step_keys_per_seed(
                         seeds, n_tail, stream=3

@@ -64,6 +64,30 @@ def scaled_linear_alphas_cumprod(n_steps: int = N_STEPS_TOTAL) -> np.ndarray:
     return np.cumprod(1.0 - betas).astype(np.float32)
 
 
+def rescale_zero_terminal_snr(alphas_cumprod: np.ndarray) -> np.ndarray:
+    """Rescale an ᾱ table so the terminal SNR is exactly zero.
+
+    Lin et al. 2023 (arXiv:2305.08891, alg. 1), the fix for the
+    signal-leak mismatch at t=T; diffusers' rescale_zero_terminal_snr
+    works on sqrt(ᾱ): shift so the last entry is 0, rescale so the first
+    keeps its value, square. Checkpoints trained with it (v-prediction +
+    zero-terminal-SNR finetunes) need this table plus
+    schedule="trailing" and usually guidance_rescale > 0.
+
+    The exact-zero terminal entry would make sigma = sqrt((1-ᾱ)/ᾱ)
+    infinite, so it is clamped to 2**-24 — the same sentinel diffusers'
+    EulerDiscreteScheduler stores for rescale_betas_zero_snr=True.
+    Pinned against a literal transcription of the diffusers function in
+    tests/test_k_goldens.py.
+    """
+    s = np.sqrt(np.asarray(alphas_cumprod, np.float64))
+    s0, sT = s[0], s[-1]
+    s = (s - sT) * (s0 / (s0 - sT))
+    out = (s**2).astype(np.float32)
+    out[-1] = 2.0**-24
+    return out
+
+
 def cosine_schedule(n_steps: int = N_STEPS_TOTAL) -> np.ndarray:
     """Signal-rate cosine schedule (stablediffusion/mod.rs:805-810).
 
@@ -597,8 +621,20 @@ def karras_sigmas(sigma_min: float, sigma_max: float, n: int,
             ).astype(np.float32)
 
 
-def k_timesteps(step_start: int, n_steps: int, n_train: int) -> np.ndarray:
-    """diffusers-style linearly spaced timesteps, high -> low (static).
+def k_timesteps(step_start: int, n_steps: int, n_train: int,
+                spacing: str = "linspace") -> np.ndarray:
+    """diffusers-style spaced timesteps, high -> low (static).
+
+    spacing follows diffusers' `timestep_spacing` scheduler config
+    (transcribed from EulerDiscreteScheduler.set_timesteps):
+      - "linspace": linspace(0, n_train-1, n) — the diffusers default for
+        EulerDiscrete and the grid every schedule here used before.
+      - "trailing": arange(n_train, 0, -n_train/n).round() - 1 — anchors
+        the LAST step at t=0 exactly; required by SDXL-Lightning /
+        zero-terminal-SNR checkpoints (their README mandates
+        timestep_spacing="trailing").
+      - "leading": arange(n)*(n_train//n) + 1, reversed — the legacy
+        SD1 grid (steps_offset=1 per the SD scheduler configs).
 
     step_start > 0 keeps the GLOBAL n_steps spacing and slices the tail
     below the handoff — the refiner/img2img runs ~n_steps*(tail/n_train)
@@ -609,7 +645,21 @@ def k_timesteps(step_start: int, n_steps: int, n_train: int) -> np.ndarray:
     behavior squeezed all n_steps into the tail, 3-5x the UNet evals for
     the same nominal step count.
     """
-    ts_full = np.linspace(0, n_train - 1, n_steps).round()[::-1].astype(np.int32)
+    if spacing == "trailing":
+        ts_full = (
+            np.arange(n_train, 0, -n_train / n_steps).round().astype(np.int32)
+            - 1
+        )
+    elif spacing == "leading":
+        step_ratio = n_train // n_steps
+        ts_full = (
+            (np.arange(0, n_steps) * step_ratio).round().astype(np.int32)[::-1]
+            + 1
+        )
+    else:
+        ts_full = (
+            np.linspace(0, n_train - 1, n_steps).round()[::-1].astype(np.int32)
+        )
     if step_start <= 0:
         return ts_full
     ts = ts_full[ts_full < n_train - step_start]
@@ -667,12 +717,19 @@ def k_schedule(alphas_cumprod, step_start: int, n_steps: int,
     sigmas at or below the handoff noise level (img2img/refiner tails),
     keeping at least one step. Fractional timesteps from log-sigma like
     karras.
+
+    schedule="trailing" / "leading" are the linear sigma grid over the
+    other diffusers timestep_spacing choices (k_timesteps); "trailing"
+    anchors the last step at t=0 exactly and is REQUIRED by
+    SDXL-Lightning / zero-terminal-SNR checkpoints.
     """
     n_train = alphas_cumprod.shape[0]
     sigmas_full = jnp.sqrt(
         (1.0 - alphas_cumprod.astype(jnp.float32)) / alphas_cumprod
     )
-    lin_ts = k_timesteps(step_start, n_steps, n_train)
+    spacing = (schedule if schedule in ("trailing", "leading")
+               else "linspace")
+    lin_ts = k_timesteps(step_start, n_steps, n_train, spacing)
     if schedule in ("ays", "ays_sd15"):
         sig_np = ays_sigmas(n_steps, "sdxl" if schedule == "ays" else "sd15")
         if step_start > 0:
@@ -1021,9 +1078,11 @@ def k_diffuse_latent(
         raise ValueError(
             f"unknown k-sampler {method!r} ({'|'.join(K_SAMPLERS)})"
         )
-    if schedule not in ("linear", "karras", "ays", "ays_sd15"):
+    if schedule not in ("linear", "karras", "ays", "ays_sd15",
+                        "trailing", "leading"):
         raise ValueError(
-            f"unknown schedule {schedule!r} (linear|karras|ays|ays_sd15)")
+            f"unknown schedule {schedule!r} "
+            "(linear|karras|ays|ays_sd15|trailing|leading)")
     if pag_scale and (control_params is not None or deepcache is not None):
         raise ValueError("pag_scale is not combinable with ControlNet or "
                          "deepcache")

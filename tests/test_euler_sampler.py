@@ -175,6 +175,53 @@ def test_karras_schedule_runs_and_differs_from_linear():
     np.testing.assert_array_equal(np.asarray(kar), np.asarray(kar2))
 
 
+def test_trailing_schedule_runs_and_differs_from_linspace():
+    """schedule="trailing" (SDXL-Lightning's mandated timestep_spacing)
+    through the full sampling scan: runs, deterministic, and distinct
+    from the linspace grid; the refiner tail slices the trailing grid."""
+    params, alphas, cond = _setup()
+    k = jax.random.PRNGKey(7)
+    lin = euler_sample_latent(params, TINY_BASE, alphas, cond, k, 7.5, 6,
+                              jnp.float32, method="euler")
+    tra = euler_sample_latent(params, TINY_BASE, alphas, cond, k, 7.5, 6,
+                              jnp.float32, method="euler",
+                              schedule="trailing")
+    assert np.isfinite(np.asarray(tra)).all()
+    assert not np.allclose(np.asarray(lin), np.asarray(tra))
+    tra2 = euler_sample_latent(params, TINY_BASE, alphas, cond, k, 7.5, 6,
+                               jnp.float32, method="euler",
+                               schedule="trailing")
+    np.testing.assert_array_equal(np.asarray(tra), np.asarray(tra2))
+
+    from sdxl_tpu.pipeline.sampler import k_refine_latent
+
+    lat = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 4), jnp.float32)
+    out = k_refine_latent(params, TINY_BASE, alphas, lat, cond,
+                          jax.random.PRNGKey(1), 7.5, 800, 6, jnp.float32,
+                          method="euler", schedule="trailing")
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_zsnr_trailing_pipeline_runs_finite():
+    """The ZSNR checkpoint recipe end to end at tiny scale: rescaled
+    alpha-bar table + trailing spacing through the sampling scan stays
+    finite and differs from the unrescaled run (the terminal sigma is
+    ~4096 vs 14.6, so the initial noise scale alone separates them)."""
+    from sdxl_tpu.pipeline.sampler import rescale_zero_terminal_snr
+
+    params, alphas, cond = _setup()
+    k = jax.random.PRNGKey(11)
+    za = jnp.asarray(rescale_zero_terminal_snr(np.asarray(alphas)))
+    out = euler_sample_latent(params, TINY_BASE, za, cond, k, 7.5, 4,
+                              jnp.float32, method="euler",
+                              schedule="trailing")
+    assert np.isfinite(np.asarray(out)).all()
+    base = euler_sample_latent(params, TINY_BASE, alphas, cond, k, 7.5, 4,
+                               jnp.float32, method="euler",
+                               schedule="trailing")
+    assert not np.allclose(np.asarray(out), np.asarray(base))
+
+
 def test_karras_refine_tail_and_ddim_rejection():
     import pytest
 
