@@ -78,10 +78,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Decode in bfloat16: 1.16x faster VAE at ~1 u8 level "
                         "mean pixel cost (reference decodes f32)")
     p.add_argument("--sampler", type=str, default="ddim",
-                   choices=["ddim", "euler", "dpmpp", "euler_a", "dpmpp_sde", "unipc", "heun", "lcm"],
+                   choices=["ddim", "euler", "dpmpp", "euler_a", "dpmpp_sde",
+                            "unipc", "heun", "euler_cfgpp", "lcm"],
                    help="Sampler: deterministic DDIM (reference), Euler, "
                         "DPM-Solver++ 2M (best quality at low step counts), "
                         "UniPC, Heun (2nd-order, two UNet evals/step), "
+                        "euler_cfgpp (CFG++, arXiv:2406.08070 — re-noises "
+                        "along the uncond direction; use small scales ~1-2), "
                         "or the stochastic ancestral Euler / DPM++ 2M SDE; "
                         "valid on every path (txt2img/inpaint/img2img/refiner). "
                         "lcm (4-8 steps) is for LCM-distilled checkpoints / "

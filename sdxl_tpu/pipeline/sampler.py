@@ -49,7 +49,8 @@ N_STEPS_TOTAL = 1000  # DDPM table length (stablediffusion/mod.rs:282)
 # k-diffusion sampler surface (capability extension; the reference ships
 # only DDIM). Stochastic methods draw per-step noise inside the scan.
 # "heun" runs TWO model evals per step (the public 2nd-order scheme).
-K_SAMPLERS = ("euler", "dpmpp", "euler_a", "dpmpp_sde", "unipc", "heun")
+K_SAMPLERS = ("euler", "dpmpp", "euler_a", "dpmpp_sde", "unipc", "heun",
+              "euler_cfgpp")
 K_STOCHASTIC = ("euler_a", "dpmpp_sde")
 
 
@@ -158,7 +159,8 @@ def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
              guidance_scale, compute_dtype, cross_kv=None, alpha_t=None,
              use_cfg: bool = True, guidance_rescale: float = 0.0,
              concat=None, control=None, control_cfg=None, control_kv=None,
-             control_scale=None, t_add=None, pag_scale: float = 0.0):
+             control_scale=None, t_add=None, pag_scale: float = 0.0,
+             return_uncond: bool = False):
     """One guided epsilon prediction (forward_diffuser, mod.rs:494-541).
 
     For prediction_type="v" (SD 2.x-768) the raw output is converted to
@@ -188,12 +190,20 @@ def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
     middle block's self-attention replaced by the identity map, then
     eps += pag_scale * (eps_cond - eps_perturbed) — diffusers'
     "mid"-layer PAG. Composes with CFG or the no-CFG path; costs one
-    extra conditional forward per step."""
+    extra conditional forward per step.
+
+    return_uncond=True additionally returns the raw UNCONDITIONAL
+    epsilon as (eps, eps_uncond) — the CFG++ samplers re-noise along the
+    uncond direction (arXiv:2406.08070). Requires the pair-batched CFG
+    path (use_cfg=True, not the refiner)."""
     n_batch = latent.shape[0]
     ucfg = cfg.unet_config()
     if pag_scale and cfg.is_refiner:
         raise ValueError("PAG applies to the base/family UNets, not the "
                          "refiner (its stage runs unguided)")
+    if return_uncond and (cfg.is_refiner or not use_cfg):
+        raise ValueError("CFG++ needs the pair-batched CFG path (a guided "
+                         "base/family UNet, not the refiner or --no-cfg)")
 
     def to_eps(raw, x_vp):
         if cfg.prediction_type == "v":
@@ -292,6 +302,8 @@ def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
         std_g = jnp.std(eps, axis=axes, keepdims=True)
         rescaled = eps * (std_c / jnp.maximum(std_g, 1e-12))
         eps = guidance_rescale * rescaled + (1.0 - guidance_rescale) * eps
+    if return_uncond:
+        return eps, eps_u
     return eps
 
 
@@ -1073,6 +1085,14 @@ def k_diffuse_latent(
     order 2 / lower_order_final), deterministic, one UNet eval per step;
     the scan carry extends to (lat, m_prev, m_prev2, last_sample) — see
     unipc_step_update.
+
+    method="euler_cfgpp": CFG++ (Chung et al. 2024, arXiv:2406.08070;
+    the k-diffusion/ComfyUI sample_euler_cfg_pp loop): the Euler step
+    targets the GUIDED denoised but re-noises along the UNCONDITIONAL
+    epsilon — x_next = denoised + sigma_next * eps_uncond — taming the
+    off-manifold drift of large guidance scales (intended scales ~1-2).
+    Unguided (refiner tail / no-CFG) eps_uncond == eps, so the method
+    degrades to plain Euler exactly and is handled as such.
     """
     if method not in K_SAMPLERS:
         raise ValueError(
@@ -1087,6 +1107,16 @@ def k_diffuse_latent(
         raise ValueError("pag_scale is not combinable with ControlNet or "
                          "deepcache")
     ts, sigmas = k_schedule(alphas_cumprod, step_start, n_steps, schedule)
+
+    if method == "euler_cfgpp" and (cfg.is_refiner or not use_cfg):
+        # unguided there is no cond/uncond split and eps_u == eps, so
+        # CFG++ IS plain Euler — take that path exactly (refiner tails,
+        # --no-cfg / guidance_scale == 1)
+        method = "euler"
+    cfgpp = method == "euler_cfgpp"
+    if cfgpp and deepcache is not None:
+        raise ValueError("euler_cfgpp is not combinable with deepcache "
+                         "(the cached-step eps path has no uncond split)")
 
     stochastic = method in K_STOCHASTIC
     latent = latent.astype(jnp.float32)
@@ -1203,8 +1233,17 @@ def k_diffuse_latent(
                        use_cfg=use_cfg, guidance_rescale=guidance_rescale,
                        concat=cc, control=ctrl, control_cfg=control_cfg,
                        control_kv=ctrl_kv, control_scale=cs,
-                       pag_scale=pag_scale)
+                       pag_scale=pag_scale, return_uncond=cfgpp)
+        if cfgpp:
+            eps, eps_u = eps
         denoised = lat - sigma * eps
+        if cfgpp:
+            # CFG++ (arXiv:2406.08070; k-diffusion sample_euler_cfg_pp):
+            # Euler step toward the GUIDED denoised along the UNCOND
+            # noise direction — x_next = denoised + sigma_next * eps_u
+            # (to_d(x, sigma, uncond_denoised) == eps_u exactly)
+            new_lat = denoised + sigma_next * eps_u
+            return (new_lat, denoised), None
         if unipc:
             new_lat, x_c = unipc_step_update(
                 lat, denoised, m_prev, m_prev2, last_sample,
@@ -1317,6 +1356,9 @@ def _k_segment(
 
     unipc = method == "unipc"
     heun = method == "heun"
+    cfgpp = method == "euler_cfgpp" and use_cfg and not cfg.is_refiner
+    if method == "euler_cfgpp" and not cfgpp:
+        method = "euler"  # unguided CFG++ IS Euler (k_diffuse_latent)
 
     def step(carry, inp):
         if unipc:
@@ -1337,8 +1379,14 @@ def _k_segment(
                        compute_dtype, cross_kv, 1.0 / (sigma**2 + 1.0),
                        use_cfg=use_cfg, guidance_rescale=guidance_rescale,
                        concat=cc, control=ctrl, control_cfg=control_cfg,
-                       control_kv=ctrl_kv, control_scale=cs)
+                       control_kv=ctrl_kv, control_scale=cs,
+                       return_uncond=cfgpp)
+        if cfgpp:
+            eps, eps_u = eps
         denoised = lat - sigma * eps
+        if cfgpp:
+            # same CFG++ update as k_diffuse_latent's scan
+            return (denoised + sigma_next * eps_u, denoised), None
         if unipc:
             new_lat, x_c = unipc_step_update(
                 lat, denoised, old_denoised, m_p2, last_s,

@@ -299,6 +299,72 @@ def test_stochastic_samplers_scan_matches_sequential_transcription():
         )
 
 
+def test_cfgpp_scan_matches_sequential_transcription():
+    """euler_cfgpp vs a literal transcription of the public
+    sample_euler_cfg_pp loop (k-diffusion/ComfyUI):
+        denoised  = guided model output (x0-space)
+        d         = to_d(x, sigma, uncond_denoised) == eps_uncond
+        x         = denoised + d * sigma_next
+    written with independent _cfg_eps calls per step (uncond via
+    guidance_scale=0: u + (c-u)*0 == eps_u exactly)."""
+    from sdxl_tpu.pipeline.sampler import (
+        _cfg_contexts,
+        _cfg_eps,
+        k_diffuse_latent,
+        k_schedule,
+    )
+
+    params, alphas, cond = _setup()
+    gs = 2.0
+    n_steps = 5
+    sigma_max = float(jnp.sqrt((1 - alphas[-1]) / alphas[-1]))
+    x0 = sigma_max * jax.random.normal(
+        jax.random.PRNGKey(4), (1, 8, 8, 4), jnp.float32
+    )
+
+    got = k_diffuse_latent(
+        params, TINY_BASE, alphas, jnp.array(x0, copy=True), cond, gs,
+        "euler_cfgpp", 0, n_steps, jnp.float32,
+    )
+    ts, sigmas = k_schedule(alphas, 0, n_steps, "linear")
+    ts = np.asarray(ts, np.float32)
+    sigmas = np.asarray(sigmas, np.float32)
+    ctx2, ch2 = _cfg_contexts(TINY_BASE, cond, jnp.float32)
+    x = x0
+    for i in range(len(ts)):
+        sigma = float(sigmas[i])
+        scaled = x / np.sqrt(sigma**2 + 1.0)
+        eps = _cfg_eps(params, TINY_BASE, scaled, jnp.float32(ts[i]),
+                       ctx2, ch2, gs, jnp.float32, None,
+                       1.0 / (sigma**2 + 1.0))
+        eps_u = _cfg_eps(params, TINY_BASE, scaled, jnp.float32(ts[i]),
+                         ctx2, ch2, 0.0, jnp.float32, None,
+                         1.0 / (sigma**2 + 1.0))
+        denoised = x - sigma * eps
+        uncond_denoised = x - sigma * eps_u
+        d = (x - uncond_denoised) / sigma  # k-diffusion to_d
+        x = denoised + d * float(sigmas[i + 1])
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(x), rtol=2e-4, atol=2e-4,
+        err_msg="euler_cfgpp scan vs sequential CFG++ transcription",
+    )
+    # final step: sigma_next == 0 -> the scan must land on the guided
+    # denoised exactly (the uncond direction vanishes)
+    assert np.isfinite(np.asarray(got)).all()
+
+
+def test_cfgpp_unguided_degrades_to_euler_exactly():
+    """Refiner tails / --no-cfg: CFG++ with no guidance split IS Euler
+    (eps_u == eps); the sampler must take that path bit-exactly."""
+    params, alphas, cond = _setup()
+    k = jax.random.PRNGKey(9)
+    a = euler_sample_latent(params, TINY_BASE, alphas, cond, k, 1.0, 4,
+                            jnp.float32, method="euler_cfgpp", use_cfg=False)
+    b = euler_sample_latent(params, TINY_BASE, alphas, cond, k, 1.0, 4,
+                            jnp.float32, method="euler", use_cfg=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_stochastic_samplers_determinism_and_key_sensitivity():
     params, alphas, cond = _setup()
     k = jax.random.PRNGKey(7)
