@@ -670,7 +670,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--guidance-scale", type=float, default=7.5)
     p.add_argument("--sampler", type=str, default="ddim",
-                   choices=["ddim", "euler", "dpmpp", "euler_a", "dpmpp_sde", "unipc", "heun", "lcm"])
+                   choices=["ddim", "euler", "dpmpp", "euler_a", "dpmpp_sde",
+                            "unipc", "heun", "euler_cfgpp", "lcm"])
+    p.add_argument("--zsnr", action="store_true",
+                   help="Rescale the alpha-bar table(s) to zero terminal "
+                        "SNR at boot (UNet families; see sample --zsnr)")
     p.add_argument("--vae-bf16", action="store_true")
     p.add_argument("--freeu", type=str, nargs="?", const="auto",
                    default=None, metavar="B1,B2,S1,S2",
@@ -740,6 +744,7 @@ def build_pipeline(args):
             ("--ip-adapter", args.ip_adapter is not None),
             ("--embedding", bool(args.embedding)),
             ("--vae-bf16", args.vae_bf16),
+            ("--zsnr", args.zsnr),
         ) if hit]
         if bad:
             raise ValueError(
@@ -759,6 +764,7 @@ def build_pipeline(args):
             ("--ip-adapter", args.ip_adapter is not None),
             ("--embedding", bool(args.embedding)),
             ("--vae-bf16", args.vae_bf16), ("--no-t5", args.no_t5),
+            ("--zsnr", args.zsnr),
         ) if hit]
         if bad:
             raise ValueError(
@@ -798,6 +804,9 @@ def main(argv=None) -> int:
         print(f"error: failed to load checkpoint from "
               f"{args.model_dir}: {e}", file=sys.stderr)
         return 1
+    if args.zsnr:
+        pipe.rescale_zsnr()
+        log("zsnr: alpha-bar table rescaled to zero terminal SNR")
     if args.vae_bf16:
         import jax.numpy as jnp
 
