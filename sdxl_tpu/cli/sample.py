@@ -98,8 +98,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(arXiv:2404.14507; 10 steps native, other counts "
                         "log-linearly retargeted, family table auto-picked); "
                         "trailing/leading are diffusers' other "
-                        "timestep_spacing grids — trailing anchors the last "
-                        "step at t=0 and is required by SDXL-Lightning / "
+                        "timestep_spacing grids — trailing anchors the "
+                        "first step at the terminal t=999 (leading never "
+                        "samples it) and is required by SDXL-Lightning / "
                         "zero-terminal-SNR checkpoints")
     p.add_argument("--zsnr", action="store_true",
                    help="Rescale the alpha-bar table to zero terminal SNR "

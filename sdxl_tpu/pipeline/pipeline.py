@@ -183,8 +183,13 @@ class SDXLPipeline:
         self.alphas_cumprod = jnp.asarray(
             rescale_zero_terminal_snr(np.asarray(self.alphas_cumprod)))
         if getattr(self, "refiner_alphas", None) is not None:
-            self.refiner_alphas = jnp.asarray(
-                rescale_zero_terminal_snr(np.asarray(self.refiner_alphas)))
+            # The SDXL refiner is NOT a ZSNR finetune (ZSNR checkpoints
+            # don't ship refiners); rescaling its table would miscondition
+            # the refiner tail with a ~4096 terminal sigma. Leave it
+            # untouched and tell the user the combination is suspect.
+            log("warning: --zsnr leaves the refiner's alpha-bar table "
+                "unrescaled (the refiner is not a ZSNR finetune); "
+                "combining --zsnr with a refiner is not a published recipe")
         self._uncond_cache.clear()
         return self
 
@@ -544,8 +549,9 @@ class SDXLPipeline:
         euler/dpmpp samplers (invalid with ddim, whose schedule is fixed
         by reference semantics); schedule="trailing"/"leading" pick
         diffusers' other timestep_spacing grids — trailing anchors the
-        last step at t=0 and is required by SDXL-Lightning /
-        zero-terminal-SNR checkpoints.
+        first step at the terminal t=n_train-1 with uniform n_train/n
+        spacing (leading never samples the terminal timestep) and is
+        required by SDXL-Lightning / zero-terminal-SNR checkpoints.
 
         guidance_rescale>0 applies the Lin et al. 2023 std-matching CFG
         correction. no_cfg=True drops the unconditional branch (half the

@@ -641,10 +641,18 @@ def k_timesteps(step_start: int, n_steps: int, n_train: int,
     (transcribed from EulerDiscreteScheduler.set_timesteps):
       - "linspace": linspace(0, n_train-1, n) — the diffusers default for
         EulerDiscrete and the grid every schedule here used before.
-      - "trailing": arange(n_train, 0, -n_train/n).round() - 1 — anchors
-        the LAST step at t=0 exactly; required by SDXL-Lightning /
-        zero-terminal-SNR checkpoints (their README mandates
-        timestep_spacing="trailing").
+      - "trailing": round(n_train - arange(n)*(n_train/n)) - 1 — anchors
+        the FIRST step at the terminal t=n_train-1 with uniform n_train/n
+        spacing (linspace is the grid that ends at t=0; trailing ends at
+        n_train/n - 1). Required by SDXL-Lightning / zero-terminal-SNR
+        checkpoints (their README mandates timestep_spacing="trailing")
+        because it always samples the terminal (SNR=0) timestep.
+        Computed closed-form per index rather than diffusers' literal
+        arange(n_train, 0, -n_train/n): for 62 of the 1000 step counts
+        (61, 103, 121, ...) the float endpoint error gives that arange
+        n+1 entries whose spurious last rounds to t=-1 — the closed form
+        yields the same values for every exact count and exactly n
+        entries always.
       - "leading": arange(n)*(n_train//n) + 1, reversed — the legacy
         SD1 grid (steps_offset=1 per the SD scheduler configs).
 
@@ -657,9 +665,17 @@ def k_timesteps(step_start: int, n_steps: int, n_train: int,
     behavior squeezed all n_steps into the tail, 3-5x the UNet evals for
     the same nominal step count.
     """
+    if spacing in ("trailing", "leading") and n_steps > n_train:
+        raise ValueError(
+            f"n_steps ({n_steps}) > n_train ({n_train}) is invalid for "
+            f"timestep_spacing='{spacing}' (diffusers' set_timesteps raises "
+            "the same way; the leading grid would collapse every step onto "
+            "t=1)")
     if spacing == "trailing":
         ts_full = (
-            np.arange(n_train, 0, -n_train / n_steps).round().astype(np.int32)
+            np.round(n_train
+                     - np.arange(n_steps, dtype=np.float64)
+                     * (n_train / n_steps)).astype(np.int32)
             - 1
         )
     elif spacing == "leading":
@@ -732,8 +748,9 @@ def k_schedule(alphas_cumprod, step_start: int, n_steps: int,
 
     schedule="trailing" / "leading" are the linear sigma grid over the
     other diffusers timestep_spacing choices (k_timesteps); "trailing"
-    anchors the last step at t=0 exactly and is REQUIRED by
-    SDXL-Lightning / zero-terminal-SNR checkpoints.
+    anchors the FIRST step at the terminal t=n_train-1 with uniform
+    n_train/n spacing (leading never samples the terminal timestep) and
+    is REQUIRED by SDXL-Lightning / zero-terminal-SNR checkpoints.
     """
     n_train = alphas_cumprod.shape[0]
     sigmas_full = jnp.sqrt(
