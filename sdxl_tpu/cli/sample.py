@@ -27,6 +27,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Directory of the model weights")
     p.add_argument("--use-refiner", action="store_true",
                    help="Use the refiner model?")
+    p.add_argument("--denoising-end", type=float, default=None,
+                   help="Ensemble-of-experts split (with --use-refiner): "
+                        "the base runs this fraction of the noise range "
+                        "(e.g. 0.8) and the refiner continues the "
+                        "still-noisy tail with NO re-noise (diffusers' "
+                        "denoising_end/denoising_start recipe); default "
+                        "keeps the reference's re-noise-at-t=800 mode")
     p.add_argument("--reference-img", type=str, default=None,
                    help="Path of the reference image for inpainting")
     p.add_argument("--crop-left", type=int, default=None,
@@ -527,6 +534,15 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 1
 
+    if args.denoising_end is not None and (
+            args.family != "sdxl" or not args.use_refiner
+            or args.reference_img is not None):
+        print("error: --denoising-end is the SDXL ensemble-of-experts "
+              "txt2img split; it requires --family sdxl with "
+              "--use-refiner and no --reference-img",
+              file=sys.stderr)
+        return 1
+
     if args.family == "sd3":
         return _run_sd3(args, dtype)
 
@@ -815,6 +831,7 @@ def main(argv=None) -> int:
             guidance_scale=args.unconditional_guidance_scale,
             seed=args.seed,
             use_refiner=args.use_refiner,
+            denoising_end=args.denoising_end,
             negative_prompt=args.negative_prompt,
             sampler=args.sampler,
             schedule=args.schedule,

@@ -483,6 +483,7 @@ class SDXLPipeline:
         seed: int = 0,
         use_refiner: bool = False,
         refiner_step_start: int = 800,
+        denoising_end: Optional[float] = None,
         negative_prompt: str = "",
         inpaint_reference: Optional[np.ndarray] = None,
         inpaint_mask: Optional[jnp.ndarray] = None,
@@ -528,6 +529,17 @@ class SDXLPipeline:
         step and injects its residuals scaled by control_scale;
         control_start/control_end bound the step-fraction window the
         residuals apply in (diffusers' control_guidance_start/end).
+
+        denoising_end (with use_refiner=True): ensemble-of-experts split
+        (diffusers' StableDiffusionXLPipeline denoising_end + the img2img
+        refiner's denoising_start) — the base runs only the schedule
+        entries with t >= round(n_train*(1-denoising_end)) and hands the
+        STILL-NOISY latent to the refiner, which continues the
+        complementary suffix with NO re-noise. This is the documented
+        SDXL two-expert recipe (e.g. 0.8); the default (None) keeps the
+        reference's re-noise-at-refiner_step_start mode (mod.rs:355-376).
+        Not combinable with inpainting, step previews, or the LCM
+        sampler.
 
         seed: one int (reference semantics: the whole batch's noise from
         one key) or a per-image sequence — each image's initial AND
@@ -676,6 +688,29 @@ class SDXLPipeline:
                                  "sampler (consistency models embed their "
                                  "own guidance)")
 
+        head_steps = 0
+        grid_total = 0
+        if denoising_end is not None:
+            if not use_refiner:
+                raise ValueError(
+                    "denoising_end is the ensemble-of-experts base/refiner "
+                    "split — it requires use_refiner=True")
+            if preview_every is not None or sampler == "lcm":
+                raise ValueError("denoising_end is not combinable with step "
+                                 "previews or the LCM sampler")
+            if inpaint_reference is not None:
+                raise ValueError("denoising_end is not combinable with "
+                                 "inpainting (the refiner tail has no pin "
+                                 "path)")
+            from .sampler import expert_head_steps
+
+            head_steps, grid_total = expert_head_steps(
+                self.alphas_cumprod, n_steps, denoising_end, sampler,
+                schedule)
+            log(f"expert split: base {head_steps} steps, refiner "
+                f"{grid_total - head_steps} steps (denoising_end="
+                f"{denoising_end})")
+
         with self.timer.stage("diffuser"):
             if preview_every is not None and sampler in K_SAMPLERS:
                 from .sampler import (
@@ -748,7 +783,8 @@ class SDXLPipeline:
                     guidance_rescale=guidance_rescale,
                     concat_channels=concat_channels,
                     initial_noise=initial_noise, step_keys=step_keys,
-                    ip=ipd, deepcache=deepcache, pag_scale=pag_scale, **ctl,
+                    ip=ipd, deepcache=deepcache, pag_scale=pag_scale,
+                    head_steps=head_steps, **ctl,
                 )
             else:
                 latent = sample_latent(
@@ -766,7 +802,8 @@ class SDXLPipeline:
                     guidance_rescale=guidance_rescale,
                     concat_channels=concat_channels,
                     initial_noise=initial_noise, ip=ipd,
-                    deepcache=deepcache, pag_scale=pag_scale, **ctl,
+                    deepcache=deepcache, pag_scale=pag_scale,
+                    head_steps=head_steps, **ctl,
                 )
             if profile_stages:
                 fence(latent)
@@ -807,23 +844,39 @@ class SDXLPipeline:
             # per-image seeds: refiner re-noise for image i comes from
             # seeds[i] (fold_in stream 1), keeping the per-image-seed
             # contract through the two-stage path
+            expert = denoising_end is not None
+            if expert and int(refiner_alphas.shape[0]) != int(
+                    self.alphas_cumprod.shape[0]):
+                raise ValueError(
+                    "denoising_end needs the base and refiner alpha-bar "
+                    "tables to share one schedule (lengths "
+                    f"{int(self.alphas_cumprod.shape[0])} vs "
+                    f"{int(refiner_alphas.shape[0])})")
+            # expert split: the tail continues the full grid's suffix from
+            # the still-noisy handoff — no re-noise, step_start 0
+            r_start = 0 if expert else refiner_step_start
             refiner_noise = None
             refiner_step_keys = None
             if seeds is not None:
-                from .sampler import refiner_noise_per_seed
+                if not expert:
+                    from .sampler import refiner_noise_per_seed
 
-                refiner_noise = refiner_noise_per_seed(seeds, latent.shape)
+                    refiner_noise = refiner_noise_per_seed(
+                        seeds, latent.shape)
                 if sampler in K_STOCHASTIC:
                     # per-image step noise for the refiner scan (stream 3);
                     # the tail schedule runs fewer steps than n_steps
                     from .sampler import k_step_keys_per_seed, k_timesteps
 
-                    n_tail = len(k_timesteps(
-                        refiner_step_start, n_steps,
-                        int(refiner_alphas.shape[0]),
-                        spacing=(schedule if schedule in
-                                 ("trailing", "leading") else "linspace"),
-                    ))
+                    if expert:
+                        n_tail = grid_total - head_steps
+                    else:
+                        n_tail = len(k_timesteps(
+                            refiner_step_start, n_steps,
+                            int(refiner_alphas.shape[0]),
+                            spacing=(schedule if schedule in
+                                     ("trailing", "leading") else "linspace"),
+                        ))
                     refiner_step_keys = k_step_keys_per_seed(
                         seeds, n_tail, stream=3
                     )
@@ -832,10 +885,12 @@ class SDXLPipeline:
                     latent = k_refine_latent(
                         self.refiner_params, self.refiner_cfg, refiner_alphas,
                         latent, cond_half, refiner_key, guidance_scale,
-                        refiner_step_start, n_steps, self.compute_dtype,
+                        r_start, n_steps, self.compute_dtype,
                         method=sampler, schedule=schedule,
                         noise=refiner_noise, step_keys=refiner_step_keys,
                         deepcache=deepcache,
+                        renoise=not expert,
+                        tail_from=head_steps if expert else 0,
                     )
                 else:
                     latent = refine_latent(
@@ -846,11 +901,13 @@ class SDXLPipeline:
                         cond_half,
                         refiner_key,
                         guidance_scale,
-                        refiner_step_start,
+                        r_start,
                         n_steps,
                         self.compute_dtype,
                         noise=refiner_noise,
                         deepcache=deepcache,
+                        renoise=not expert,
+                        tail_from=head_steps if expert else 0,
                     )
                 if profile_stages:
                     fence(latent)

@@ -126,6 +126,51 @@ def ddim_timesteps(
     return np.arange(hi - 1, -1, -step_size, dtype=np.int32)
 
 
+def expert_cutoff(denoising_end: float, n_train: int = N_STEPS_TOTAL) -> int:
+    """diffusers' discrete_timestep_cutoff for the SDXL ensemble-of-experts
+    base→refiner split (StableDiffusionXLPipeline's denoising_end and the
+    img2img pipeline's matching denoising_start):
+    int(round(n_train - denoising_end * n_train)). The base stage runs the
+    grid entries with t >= cutoff; the refiner continues the complementary
+    t < cutoff tail from the still-noisy handoff latent WITHOUT re-noising
+    (capability extension; the reference ships only the re-noise-at-t=800
+    refiner mode, mod.rs:355-376)."""
+    if not 0.0 < denoising_end < 1.0:
+        raise ValueError(
+            f"denoising_end={denoising_end} must be strictly between 0 "
+            "and 1 (the fraction of the noise range the base stage covers)")
+    return int(round(n_train - denoising_end * n_train))
+
+
+def expert_head_steps(alphas_cumprod, n_steps: int, denoising_end: float,
+                      sampler: str = "ddim",
+                      schedule: str = "linear") -> Tuple[int, int]:
+    """(head_steps, grid_total) for an ensemble-of-experts split.
+
+    Builds the SAME full grid the sampler will build (DDIM's integer
+    grid or k_schedule's — incl. karras/ays fractional timesteps) and
+    counts the entries at or above the discrete cutoff, exactly
+    diffusers' `filter(lambda ts: ts >= discrete_timestep_cutoff,
+    timesteps)`; the refiner's complementary filter (ts < cutoff) is the
+    remaining suffix by construction."""
+    n_train = int(alphas_cumprod.shape[0])
+    cutoff = expert_cutoff(denoising_end, n_train)
+    if sampler == "ddim":
+        ts = ddim_timesteps(0, n_steps, n_train).astype(np.float64)
+    else:
+        ts_j, _ = k_schedule(alphas_cumprod, 0, n_steps, schedule)
+        ts = np.asarray(ts_j, dtype=np.float64)
+    head = int((ts >= cutoff).sum())
+    total = int(ts.shape[0])
+    if not 0 < head < total:
+        raise ValueError(
+            f"denoising_end={denoising_end} leaves "
+            f"{'no head' if head == 0 else 'no tail'} steps on the "
+            f"{total}-entry grid (cutoff t={cutoff}); use more steps or a "
+            "less extreme split")
+    return head, total
+
+
 def _cfg_contexts(cfg: DiffuserConfig, cond: Conditioning, compute_dtype,
                   use_cfg: bool = True):
     """Scan-invariant context/channel tensors for forward_diffuser
@@ -483,7 +528,8 @@ def _merge_ip(cross_kv, ip, cfg: DiffuserConfig, cond: Conditioning,
     jax.jit,
     static_argnames=("cfg", "step_start", "n_steps", "compute_dtype", "inpaint",
                      "use_cfg", "guidance_rescale", "control_cfg",
-                     "control_window", "deepcache", "pag_scale"),
+                     "control_window", "deepcache", "pag_scale", "head_steps",
+                     "tail_from"),
     donate_argnames=("latent",),
 )
 def diffuse_latent(
@@ -511,8 +557,25 @@ def diffuse_latent(
     ip=None,
     deepcache: Optional[Tuple[int, int]] = None,
     pag_scale: float = 0.0,
+    head_steps: int = 0,
+    tail_from: int = 0,
 ) -> jnp.ndarray:
     """DDIM loop as one lax.scan (diffuse_latent, mod.rs:390-483).
+
+    head_steps > 0 (ensemble-of-experts base stage, diffusers'
+    denoising_end): run only the first head_steps entries of the grid;
+    the scan ends at a_prev = alpha(ts[head_steps]) — the handoff noise
+    level — and returns the still-noisy VP-space latent for a refiner
+    continuing the complementary tail with no re-noise.
+
+    tail_from > 0 (the matching refiner stage, diffusers' img2img
+    denoising_start): run the grid's SUFFIX ts[tail_from:], treating
+    `latent` as the still-noisy handoff at alpha(ts[tail_from]). The
+    per-step metadata (inpaint pin keys, control window scales,
+    deepcache cadence) is rebuilt over the tail exactly as diffusers'
+    refiner pipeline re-enters its own scheduler over the sliced
+    timesteps. head(h) then tail_from(h) == one full run bitwise
+    (DDIM is memoryless; the pin/window streams are per-stage).
 
     concat_channels [B,h,w,5]: mask + masked-image latent for
     inpainting-specialized UNets (DiffuserConfig.in_channels == 9).
@@ -545,6 +608,19 @@ def diffuse_latent(
         )
     step_size = n_train // n_steps
     ts = jnp.asarray(ddim_timesteps(step_start, n_steps, n_train))
+    if head_steps and tail_from:
+        raise ValueError("head_steps and tail_from are mutually exclusive "
+                         "(one stage is either the head or the tail)")
+    if head_steps and not 0 < head_steps < int(ts.shape[0]):
+        raise ValueError(
+            f"head_steps={head_steps} must leave at least one step on "
+            f"each side of the {int(ts.shape[0])}-entry grid")
+    if tail_from:
+        if not 0 < tail_from < int(ts.shape[0]):
+            raise ValueError(
+                f"tail_from={tail_from} must leave at least one step on "
+                f"each side of the {int(ts.shape[0])}-entry grid")
+        ts = ts[tail_from:]
     a_t = alphas_cumprod[ts]
     a_prev = jnp.where(ts >= step_size, alphas_cumprod[ts - step_size], 1.0)
 
@@ -593,9 +669,10 @@ def diffuse_latent(
             lat = x0 * jnp.sqrt(alpha_prev) + eps * jnp.sqrt(1.0 - alpha_prev)
             return (lat, cache), None
 
-        (latent, _), _ = jax.lax.scan(
-            dc_step, (latent, cache0), (ts, a_t, a_prev, keys, full_flags)
-        )
+        inputs = (ts, a_t, a_prev, keys, full_flags)
+        if head_steps:  # expert head: the full schedule's prefix
+            inputs = tuple(a[:head_steps] for a in inputs)
+        (latent, _), _ = jax.lax.scan(dc_step, (latent, cache0), inputs)
         return latent
 
     def step(lat, inp):
@@ -616,7 +693,10 @@ def diffuse_latent(
         lat = x0 * jnp.sqrt(alpha_prev) + eps * jnp.sqrt(1.0 - alpha_prev)
         return lat, None
 
-    latent, _ = jax.lax.scan(step, latent, (ts, a_t, a_prev, keys, cscales))
+    inputs = (ts, a_t, a_prev, keys, cscales)
+    if head_steps:  # expert head: the full schedule's prefix
+        inputs = tuple(a[:head_steps] for a in inputs)
+    latent, _ = jax.lax.scan(step, latent, inputs)
     return latent
 
 
@@ -1033,7 +1113,8 @@ def unipc_step_update(lat, denoised, m_prev, m_prev2, last_sample,
     static_argnames=(
         "cfg", "method", "step_start", "n_steps", "compute_dtype", "inpaint",
         "schedule", "use_cfg", "guidance_rescale", "control_cfg",
-        "control_window", "deepcache", "pag_scale",
+        "control_window", "deepcache", "pag_scale", "head_steps",
+        "tail_from",
     ),
     donate_argnames=("latent",),
 )
@@ -1065,8 +1146,32 @@ def k_diffuse_latent(
     ip=None,
     deepcache: Optional[Tuple[int, int]] = None,
     pag_scale: float = 0.0,
+    head_steps: int = 0,
+    tail_from: int = 0,
 ) -> jnp.ndarray:
     """k-diffusion samplers over the same ᾱ table the DDIM path uses.
+
+    head_steps > 0 (ensemble-of-experts base stage, diffusers'
+    denoising_end): run only the first head_steps entries of the grid —
+    the scan stops at the HANDOFF sigma sigmas[head_steps] (not 0) and
+    returns the still-noisy sigma-space latent for a refiner running the
+    complementary tail with no re-noise. Every scan input is the PREFIX
+    of the full schedule's (heun's next-t, unipc's order masks, the
+    control window, the deepcache cadence), exactly as diffusers'
+    pipeline slices `timesteps` without re-deriving scheduler state —
+    the head IS the full run's first head_steps steps bitwise.
+
+    tail_from > 0 (the matching refiner stage, diffusers' img2img
+    denoising_start): run the grid's SUFFIX — ts[tail_from:] and
+    sigmas[tail_from:] of the full schedule (so the first sigma IS the
+    handoff sigma the head stopped at, for any schedule incl.
+    karras/ays whose spacing a step_start re-derivation would NOT
+    reproduce) — with FRESH scheduler state (first-step flag, unipc
+    order masks, multistep history), exactly as diffusers' refiner
+    pipeline enters a new scheduler over the sliced timesteps. For the
+    memoryless samplers (euler, ddim) head(h) + tail_from(h) == one
+    full run bitwise; the multistep samplers re-warm up at the
+    boundary, as diffusers' two-pipeline split does.
 
     schedule="linear" picks sigmas at linearly spaced integer timesteps;
     schedule="karras" uses the Karras rho=7 sigma spacing between the same
@@ -1124,6 +1229,24 @@ def k_diffuse_latent(
         raise ValueError("pag_scale is not combinable with ControlNet or "
                          "deepcache")
     ts, sigmas = k_schedule(alphas_cumprod, step_start, n_steps, schedule)
+    if head_steps and tail_from:
+        raise ValueError("head_steps and tail_from are mutually exclusive "
+                         "(one stage is either the head or the tail)")
+    if head_steps and not 0 < head_steps < int(ts.shape[0]):
+        raise ValueError(
+            f"head_steps={head_steps} must leave at least one step on "
+            f"each side of the {int(ts.shape[0])}-entry grid")
+    if tail_from:
+        if not 0 < tail_from < int(ts.shape[0]):
+            raise ValueError(
+                f"tail_from={tail_from} must leave at least one step on "
+                f"each side of the {int(ts.shape[0])}-entry grid")
+        # the full schedule's suffix: sigmas keeps its trailing 0, the
+        # first kept sigma is the handoff level; everything derived below
+        # (first flag, keys, unipc masks, control window, deepcache
+        # cadence) rebuilds fresh over the tail
+        ts = ts[tail_from:]
+        sigmas = sigmas[tail_from:]
 
     if method == "euler_cfgpp" and (cfg.is_refiner or not use_cfg):
         # unguided there is no cond/uncond split and eps_u == eps, so
@@ -1220,12 +1343,11 @@ def k_diffuse_latent(
         z = jnp.zeros_like(latent)
         carry0 = ((latent, z, z, latent, cache0) if unipc
                   else (latent, z, cache0))
-        carry, _ = jax.lax.scan(
-            dc_step,
-            carry0,
-            (jnp.asarray(ts), sig, sig_next, sig_prev, first, keys)
-            + extras + (full_flags,),
-        )
+        inputs = ((jnp.asarray(ts), sig, sig_next, sig_prev, first, keys)
+                  + extras + (full_flags,))
+        if head_steps:  # expert head: the full schedule's prefix
+            inputs = tuple(a[:head_steps] for a in inputs)
+        carry, _ = jax.lax.scan(dc_step, carry0, inputs)
         return carry[0]
 
     def step(carry, inp):
@@ -1290,12 +1412,11 @@ def k_diffuse_latent(
 
     z = jnp.zeros_like(latent)
     carry0 = (latent, z, z, latent) if unipc else (latent, z)
-    carry, _ = jax.lax.scan(
-        step,
-        carry0,
-        (jnp.asarray(ts), sig, sig_next, sig_prev, first, keys)
-        + extras + (cscales,),
-    )
+    inputs = ((jnp.asarray(ts), sig, sig_next, sig_prev, first, keys)
+              + extras + (cscales,))
+    if head_steps:  # expert head: the full schedule's prefix
+        inputs = tuple(a[:head_steps] for a in inputs)
+    carry, _ = jax.lax.scan(step, carry0, inputs)
     return carry[0]
 
 
@@ -1578,11 +1699,14 @@ def euler_sample_latent(
     ip=None,
     deepcache: Optional[Tuple[int, int]] = None,
     pag_scale: float = 0.0,
+    head_steps: int = 0,
 ) -> jnp.ndarray:
     """txt2img (+ optional inpainting) with a k-diffusion sampler.
 
     The scan key (inpaint pin + stochastic-method step noise) is the
-    second split of `key`; step_keys overrides it with per-image keys."""
+    second split of `key`; step_keys overrides it with per-image keys.
+    head_steps > 0: ensemble-of-experts base stage (see k_diffuse_latent)
+    — returns the still-noisy sigma-space handoff latent."""
     noise_key, inpaint_key = jax.random.split(key)
     sigma_max = k_sigma_max(alphas_cumprod, n_steps, schedule)
     latent = (initial_noise if initial_noise is not None
@@ -1590,7 +1714,7 @@ def euler_sample_latent(
     ctl = dict(control_params=control_params, control_image=control_image,
                control_scale=control_scale, control_cfg=control_cfg,
                control_window=control_window, ip=ip, deepcache=deepcache,
-               pag_scale=pag_scale)
+               pag_scale=pag_scale, head_steps=head_steps)
     if reference is not None:
         return k_diffuse_latent(
             unet_params, cfg, alphas_cumprod, latent, cond, guidance_scale,
@@ -1633,20 +1757,30 @@ def k_refine_latent(
     ip=None,
     deepcache: Optional[Tuple[int, int]] = None,
     pag_scale: float = 0.0,
+    renoise: bool = True,
+    tail_from: int = 0,
 ) -> jnp.ndarray:
     """Refiner/img2img re-noise in sigma space: x = latent + σ_start·noise,
     then run the schedule tail (k-space analogue of mod.rs:355-376).
 
     noise overrides the key-derived re-noise (per-image seeds,
-    refiner_noise_per_seed)."""
+    refiner_noise_per_seed). renoise=False + tail_from=h
+    (ensemble-of-experts tail, diffusers' denoising_start): `latent` is
+    ALREADY the still-noisy sigma-space handoff from a head_steps=h base
+    run — continue the full schedule's suffix directly (pass
+    step_start=0; the suffix is sliced inside k_diffuse_latent)."""
     # re-noise to the schedule's ACTUAL first sigma: equals sigma(t0) for
     # linear/karras by construction, but the AYS window's top value is its
     # own published number — the scan must start where the noising ends
-    _, sig_sched = k_schedule(alphas_cumprod, step_start, n_steps, schedule)
-    sigma_start = sig_sched[0]
-    if noise is None:
-        noise = jax.random.normal(key, latent.shape, jnp.float32)
-    noised = latent.astype(jnp.float32) + sigma_start * noise
+    if renoise:
+        _, sig_sched = k_schedule(alphas_cumprod, step_start, n_steps,
+                                  schedule)
+        sigma_start = sig_sched[0]
+        if noise is None:
+            noise = jax.random.normal(key, latent.shape, jnp.float32)
+        noised = latent.astype(jnp.float32) + sigma_start * noise
+    else:
+        noised = latent.astype(jnp.float32)
     return k_diffuse_latent(
         unet_params, cfg, alphas_cumprod, noised, cond, guidance_scale,
         method, step_start, n_steps, compute_dtype, schedule=schedule,
@@ -1657,7 +1791,7 @@ def k_refine_latent(
         control_params=control_params, control_image=control_image,
         control_scale=control_scale, control_cfg=control_cfg,
         control_window=control_window, step_keys=step_keys, ip=ip,
-        deepcache=deepcache, pag_scale=pag_scale,
+        deepcache=deepcache, pag_scale=pag_scale, tail_from=tail_from,
     )
 
 
@@ -1977,18 +2111,20 @@ def sample_latent(
     ip=None,
     deepcache: Optional[Tuple[int, int]] = None,
     pag_scale: float = 0.0,
+    head_steps: int = 0,
 ) -> jnp.ndarray:
     """txt2img (+ optional latent-mask inpainting) (mod.rs:316-353).
 
     initial_noise overrides the key-derived starting noise (per-image
-    seeds, gen_noise_per_seed)."""
+    seeds, gen_noise_per_seed). head_steps > 0: ensemble-of-experts base
+    stage (see diffuse_latent) — returns the still-noisy handoff latent."""
     noise_key, inpaint_key = jax.random.split(key)
     latent = initial_noise if initial_noise is not None else gen_noise(
         noise_key, cond)
     ctl = dict(control_params=control_params, control_image=control_image,
                control_scale=control_scale, control_cfg=control_cfg,
                control_window=control_window, ip=ip, deepcache=deepcache,
-               pag_scale=pag_scale)
+               pag_scale=pag_scale, head_steps=head_steps)
     if reference is not None:
         return diffuse_latent(
             unet_params, cfg, alphas_cumprod, latent, cond, guidance_scale,
@@ -2040,21 +2176,30 @@ def refine_latent(
     ip=None,
     deepcache: Optional[Tuple[int, int]] = None,
     pag_scale: float = 0.0,
+    renoise: bool = True,
+    tail_from: int = 0,
 ) -> jnp.ndarray:
     """Refiner stage: re-noise at t = n_train - step_start, run the schedule
     tail (refine_latent, mod.rs:355-376).
 
     noise overrides the key-derived re-noise (per-image seeds,
     refiner_noise_per_seed). pag_scale serves the img2img use of this
-    wrapper; the actual SDXL refiner stage rejects it (is_refiner)."""
-    t = alphas_cumprod.shape[0] - step_start
-    start_alpha = alphas_cumprod[t]
-    if noise is None:
-        noise = jax.random.normal(key, latent.shape, jnp.float32)
-    noised = (
-        latent.astype(jnp.float32) * jnp.sqrt(start_alpha)
-        + noise * jnp.sqrt(1.0 - start_alpha)
-    )
+    wrapper; the actual SDXL refiner stage rejects it (is_refiner).
+    renoise=False + tail_from=h (ensemble-of-experts tail): `latent` is
+    ALREADY the still-noisy VP-space handoff from a head_steps=h base
+    run — continue the full schedule's suffix directly (pass
+    step_start=0; the suffix is sliced inside diffuse_latent)."""
+    if renoise:
+        t = alphas_cumprod.shape[0] - step_start
+        start_alpha = alphas_cumprod[t]
+        if noise is None:
+            noise = jax.random.normal(key, latent.shape, jnp.float32)
+        noised = (
+            latent.astype(jnp.float32) * jnp.sqrt(start_alpha)
+            + noise * jnp.sqrt(1.0 - start_alpha)
+        )
+    else:
+        noised = latent.astype(jnp.float32)
     return diffuse_latent(
         unet_params, cfg, alphas_cumprod, noised, cond, guidance_scale,
         step_start, n_steps, compute_dtype,
@@ -2062,7 +2207,7 @@ def refine_latent(
         control_params=control_params, control_image=control_image,
         control_scale=control_scale, control_cfg=control_cfg,
         control_window=control_window, ip=ip, deepcache=deepcache,
-        pag_scale=pag_scale,
+        pag_scale=pag_scale, tail_from=tail_from,
     )
 
 
