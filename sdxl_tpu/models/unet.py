@@ -545,6 +545,43 @@ def fuse_unet_qkv(params):
     return walk(params)
 
 
+def unfuse_unet_qkv(params):
+    """Inverse of fuse_unet_qkv's attention fuse: split every fused
+    self-attention ``qkv`` [C, 3C] back into separate q/k/v projections.
+
+    Column blocks of a matmul are independent, so the split is exact.
+    Used by the training path (train/finetune.py): LoRA factors target
+    the UNFUSED projections so trained adapters export under the
+    standard ecosystem names. Idempotent; does not undo the upsample
+    phase decomposition (training never targets those convs)."""
+
+    def unfuse_block(bp):
+        a1 = bp.get("attn1")
+        if not isinstance(a1, dict) or "qkv" not in a1:
+            return bp
+        w = a1["qkv"]["w"]
+        c = w.shape[-1] // 3
+        bp = dict(bp)
+        bp["attn1"] = {
+            "q": {"w": w[..., :c]},
+            "k": {"w": w[..., c:2 * c]},
+            "v": {"w": w[..., 2 * c:]},
+            "out": a1["out"],
+        }
+        return bp
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "attn1" in node and "attn2" in node:
+                return unfuse_block(node)
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)
+
+
 # ---------------------------------------------------------------------------
 # Transformer stacking (compile-time optimization)
 # ---------------------------------------------------------------------------

@@ -36,6 +36,42 @@ def _split_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
     return x.reshape(b, t, n_head, c // n_head).transpose(0, 2, 1, 3)
 
 
+def _xla_sdpa_bhtd(qh, kh, vh):
+    """Reference XLA attention over [B, H, T, D] (scale 1/sqrt(D)) — the
+    math the flash kernel computes; also serves as its backward."""
+    scale = qh.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", qh * scale, kh,
+        preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, vh)
+
+
+@jax.custom_vjp
+def _flash_sdpa(qh, kh, vh):
+    from .flash_attention import flash_attention_bhtd
+
+    return flash_attention_bhtd(qh, kh, vh)
+
+
+def _flash_sdpa_fwd(qh, kh, vh):
+    return _flash_sdpa(qh, kh, vh), (qh, kh, vh)
+
+
+def _flash_sdpa_bwd(res, g):
+    # The Pallas kernel has no autodiff rule; differentiate the
+    # math-identical XLA formulation instead (recompute-in-backward, the
+    # same trade jax.checkpoint makes). Training thus keeps the flash
+    # FORWARD at 1k-16k tokens; the [Tq,Tk] weights materialize only in
+    # the backward. A fused Pallas backward is the follow-up perf lever.
+    qh, kh, vh = res
+    _, vjp = jax.vjp(_xla_sdpa_bhtd, qh, kh, vh)
+    return vjp(g)
+
+
+_flash_sdpa.defvjp(_flash_sdpa_fwd, _flash_sdpa_bwd)
+
+
 def qkv_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -58,14 +94,14 @@ def qkv_attention(
     kh = _split_heads(k, n_head)
     vh = _split_heads(v, n_head)
 
-    from .flash_attention import flash_attention_bhtd, use_flash
+    from .flash_attention import use_flash
 
     if use_flash(tq, tk, d, mask is not None):
         # Mosaic requires (8,128)-aligned trailing block dims, so the kernel
         # can't read head-strided (1,bq,1,64) tiles straight off [B,T,H,D];
         # the explicit BHTD transpose costs ~1.3 ms/step (r2 profile) and is
         # the cheapest legal layout.
-        o = flash_attention_bhtd(qh, kh, vh)
+        o = _flash_sdpa(qh, kh, vh)
         return o.transpose(0, 2, 1, 3).reshape(b, tq, c)
 
     logits = jnp.einsum(

@@ -9,6 +9,15 @@ from ops/quant.py, produced by io/quantize.quantize_tree); it is
 dequantized here, at the use site, so the dequant lands inside whatever
 jitted loop calls the model and XLA fuses it into the matmul — the
 HBM-resident copy stays int8/int4.
+
+A param dict may ALSO carry an UNMERGED LoRA factor pair
+(``lora_down`` [d_in, r] + ``lora_up`` [r, d_out], injected by
+train/lora.py): the low-rank delta is applied at the use site as
+``y += (x @ down) @ up`` so the base weight stays frozen (and possibly
+quantized — QLoRA composes for free) while gradients flow only through
+the factors. Inference merges LoRA into ``w`` instead (io/lora.py);
+this runtime path exists for TRAINING, where the factorization is the
+whole point.
 """
 
 from __future__ import annotations
@@ -25,13 +34,21 @@ def _weight(p, x: jnp.ndarray) -> jnp.ndarray:
     return w
 
 
+def _lora(p, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    d = p.get("lora_down")
+    if d is None:
+        return y
+    u = p["lora_up"]
+    return y + ((x @ d.astype(x.dtype)) @ u.astype(x.dtype)).astype(y.dtype)
+
+
 def linear(p, x: jnp.ndarray) -> jnp.ndarray:
     y = x @ _weight(p, x)
     b = p.get("b")
     if b is not None:
         y = y + b
-    return y
+    return _lora(p, x, y)
 
 
 def linear_nobias(p, x: jnp.ndarray) -> jnp.ndarray:
-    return x @ _weight(p, x)
+    return _lora(p, x, x @ _weight(p, x))

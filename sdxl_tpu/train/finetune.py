@@ -1,0 +1,435 @@
+"""LoRA fine-tuning driver: image-folder dataset -> cached latents +
+conditioning -> jitted train loop -> ecosystem .safetensors adapter.
+
+Capability extension (the reference is inference-only, SURVEY.md §2).
+TPU-first shape discipline: every step runs ONE jitted program — the
+dataset is pre-encoded once (VAE latents + text conditioning, both
+through the same jitted inference towers the sampler uses), batches are
+host-side numpy gathers with static shapes, and the model forward is
+rematerialized (jax.checkpoint) so the backward pass recomputes
+activations instead of holding the whole UNet's forward in HBM.
+
+Dataset format: a folder of images; the caption for ``img.png`` is
+``img.txt`` (or ``.caption``) next to it — the kohya folder convention.
+Images are resized (shortest side) + center-cropped to the training
+resolution. Caption dropout replaces the conditioning with the cached
+empty-prompt conditioning (standard CFG-compatible fine-tune recipe).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import log
+from .lora import export_lora, init_lora, set_leaves
+from .losses import diffusion_loss, flow_matching_loss
+from .step import TrainState, adamw_cosine, make_train_step
+
+IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".webp", ".bmp")
+
+
+# ---------------------------------------------------------------------------
+# dataset
+# ---------------------------------------------------------------------------
+
+
+def list_image_folder(dataset_dir: str) -> list:
+    """[(image_path, caption)] pairs; caption file = same stem + .txt or
+    .caption (kohya folder layout), else the file stem with '_'/'-' as
+    spaces."""
+    items = []
+    for name in sorted(os.listdir(dataset_dir)):
+        stem, ext = os.path.splitext(name)
+        if ext.lower() not in IMAGE_EXTS:
+            continue
+        path = os.path.join(dataset_dir, name)
+        caption = None
+        for cext in (".txt", ".caption"):
+            cpath = os.path.join(dataset_dir, stem + cext)
+            if os.path.exists(cpath):
+                with open(cpath, "r", encoding="utf-8") as f:
+                    caption = f.read().strip()
+                break
+        if caption is None:
+            caption = stem.replace("_", " ").replace("-", " ").strip()
+        items.append((path, caption))
+    if not items:
+        raise FileNotFoundError(f"{dataset_dir}: no images found")
+    return items
+
+
+def load_image_rgb(path: str, resolution: int) -> np.ndarray:
+    """uint8 [res, res, 3]: shortest-side resize (bicubic) + center crop."""
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    w, h = img.size
+    scale = resolution / min(w, h)
+    nw, nh = max(round(w * scale), resolution), max(round(h * scale), resolution)
+    img = img.resize((nw, nh), Image.BICUBIC)
+    left, top = (nw - resolution) // 2, (nh - resolution) // 2
+    img = img.crop((left, top, left + resolution, top + resolution))
+    return np.asarray(img, np.uint8)
+
+
+@dataclass
+class EncodedDataset:
+    latents: np.ndarray            # [N, h, w, c] f32, already VAE-scaled
+    ctx: np.ndarray                # [N, T, d] text context
+    label: Optional[np.ndarray]    # [N, adm] channel context (UNet fams)
+    uncond_ctx: np.ndarray         # [T, d] empty-prompt context
+    uncond_label: Optional[np.ndarray]
+    captions: list
+
+    @property
+    def n(self) -> int:
+        return self.latents.shape[0]
+
+
+def encode_dataset(
+    pipe, dataset_dir: str, resolution: int, chunk: int = 4,
+) -> EncodedDataset:
+    """Pre-encode the whole folder through the pipeline's own (frozen)
+    VAE encoder + text towers — the exact tensors the sampler would
+    consume at inference, so a LoRA trained here sees the same
+    conditioning distribution it will be served with."""
+    from ..pipeline.latent import encode_images_to_latent
+
+    items = list_image_folder(dataset_dir)
+    log(f"dataset: {len(items)} images @ {resolution}px from {dataset_dir}")
+
+    lat_chunks, ctx_chunks, label_chunks = [], [], []
+    encode = jax.jit(lambda imgs: encode_images_to_latent(
+        pipe.vae_params, pipe.vae_cfg, imgs, pipe.scale_factor))
+    for i in range(0, len(items), chunk):
+        part = items[i:i + chunk]
+        imgs = jnp.asarray(
+            np.stack([load_image_rgb(p, resolution) for p, _ in part]))
+        lat_chunks.append(np.asarray(encode(imgs), np.float32))
+        cond = pipe.conditioning(
+            [c for _, c in part], (resolution, resolution),
+            profile_stages=False)
+        ctx_chunks.append(np.asarray(cond.context_full, np.float32))
+        if cond.channel_context is not None:
+            label_chunks.append(np.asarray(cond.channel_context, np.float32))
+
+    # empty-prompt conditioning for caption dropout (the uncond half the
+    # CFG inference path will use, stablediffusion/mod.rs:698-726)
+    uncond = pipe.conditioning([""], (resolution, resolution),
+                               profile_stages=False)
+
+    # long captions chunk the context to [B, 77k, d]; pad every example
+    # to the longest k so the batch gather is static-shaped
+    t_max = max(c.shape[1] for c in ctx_chunks)
+    d = ctx_chunks[0].shape[-1]
+
+    def pad_t(c):
+        if c.shape[1] == t_max:
+            return c
+        reps = -(-t_max // c.shape[1])
+        return np.tile(c, (1, reps, 1))[:, :t_max]
+
+    ctx = np.concatenate([pad_t(c) for c in ctx_chunks], 0)
+    return EncodedDataset(
+        latents=np.concatenate(lat_chunks, 0),
+        ctx=ctx,
+        label=np.concatenate(label_chunks, 0) if label_chunks else None,
+        uncond_ctx=pad_t(np.asarray(uncond.context_full, np.float32))[0],
+        uncond_label=(
+            np.asarray(uncond.channel_context, np.float32)[0]
+            if uncond.channel_context is not None else None),
+        captions=[c for _, c in items],
+    )
+
+
+def sample_batch(
+    data: EncodedDataset, batch_size: int, rng: np.random.Generator,
+    caption_dropout: float = 0.0,
+) -> dict:
+    idx = rng.integers(0, data.n, (batch_size,))
+    ctx = data.ctx[idx]
+    label = data.label[idx] if data.label is not None else None
+    if caption_dropout > 0.0:
+        drop = rng.random(batch_size) < caption_dropout
+        ctx = np.where(drop[:, None, None], data.uncond_ctx[None], ctx)
+        if label is not None:
+            label = np.where(drop[:, None], data.uncond_label[None], label)
+    batch = {"latents": data.latents[idx], "ctx": ctx}
+    if label is not None:
+        batch["label"] = label
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# the fine-tune loop
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FinetuneConfig:
+    rank: int = 16
+    targets: str = "attn"          # train/lora.py preset
+    steps: int = 1000
+    # lr-schedule horizon; defaults to `steps`. Set when a run will stop
+    # early and resume later, so both legs build the SAME cosine decay
+    schedule_steps: Optional[int] = None
+    batch_size: int = 1
+    accum: int = 1
+    lr: float = 1e-4
+    warmup: int = 0
+    weight_decay: float = 0.0
+    grad_clip: Optional[float] = 1.0
+    snr_gamma: Optional[float] = None      # UNet families
+    noise_offset: float = 0.0              # UNet families
+    prediction_type: str = "epsilon"       # "epsilon" | "v"
+    flow_shift: float = 1.0                # transformer families
+    flux_guidance: float = 1.0             # embedded guidance (FLUX dev)
+    caption_dropout: float = 0.0
+    ema_decay: Optional[float] = None
+    seed: int = 0
+    remat: bool = True
+    log_every: int = 10
+    save_every: int = 0                    # orbax checkpoint cadence
+    ckpt_dir: Optional[str] = None
+    resume: bool = False
+
+
+def frozen_tower(pipe) -> Tuple[dict, str]:
+    """(params, tower_name) of the trainable model: the UNet for the
+    SDXL/SD1/SD2 pipelines, the DiT for SD3/Flux — tower_name is the
+    export prefix io/lora.py resolves ('unet' | 'transformer')."""
+    if hasattr(pipe, "unet_params"):
+        return pipe.unet_params, "unet"
+    if hasattr(pipe, "mmdit_params"):
+        return pipe.mmdit_params, "transformer"
+    if hasattr(pipe, "flux_params"):
+        return pipe.flux_params, "transformer"
+    raise TypeError(f"no trainable tower on {type(pipe).__name__}")
+
+
+def _unet_loss_fn(pipe, cfg: FinetuneConfig):
+    """loss(trainable, frozen, batch, key) for the UNet families
+    (SDXL / SD1 / SD2)."""
+    from ..models.unet import unet_forward
+
+    ucfg = pipe.diffuser_cfg.unet_config()
+    alphas = jnp.asarray(pipe.alphas_cumprod)
+    fwd = unet_forward
+    if cfg.remat:
+        fwd = jax.checkpoint(
+            unet_forward, static_argnums=(1,),
+            policy=jax.checkpoint_policies.nothing_saveable)
+
+    def apply_fn(trainable, x_t, t, batch):
+        params = set_leaves(apply_fn.frozen, trainable)
+        return fwd(params, ucfg, x_t.astype(pipe.compute_dtype), t,
+                   batch["ctx"].astype(pipe.compute_dtype),
+                   batch.get("label"))
+
+    def loss_fn(trainable, frozen, batch, key):
+        apply_fn.frozen = frozen
+        return diffusion_loss(
+            apply_fn, trainable, alphas, batch, key,
+            prediction_type=cfg.prediction_type,
+            snr_gamma=cfg.snr_gamma, noise_offset=cfg.noise_offset)
+
+    return loss_fn
+
+
+def _mmdit_loss_fn(pipe, cfg: FinetuneConfig):
+    """Rectified-flow loss for the SD3.x MMDiT; batch['label'] carries
+    the dual-CLIP pooled vector."""
+    from ..models.mmdit import mmdit_forward
+
+    mcfg = pipe.mmdit_cfg
+    fwd = mmdit_forward
+    if cfg.remat:
+        fwd = jax.checkpoint(
+            mmdit_forward, static_argnums=(1,),
+            policy=jax.checkpoint_policies.nothing_saveable)
+
+    def apply_fn(trainable, x_t, t, batch):
+        params = set_leaves(apply_fn.frozen, trainable)
+        return fwd(params, mcfg, x_t.astype(pipe.compute_dtype), t,
+                   batch["ctx"].astype(pipe.compute_dtype),
+                   batch["label"].astype(pipe.compute_dtype))
+
+    def loss_fn(trainable, frozen, batch, key):
+        apply_fn.frozen = frozen
+        return flow_matching_loss(
+            apply_fn, trainable, batch, key, shift=cfg.flow_shift)
+
+    return loss_fn
+
+
+def _flux_loss_fn(pipe, cfg: FinetuneConfig):
+    """Rectified-flow loss for FLUX.1; the dev model's embedded guidance
+    trains at cfg.flux_guidance (the public fine-tune recipe uses 1.0);
+    schnell (no guidance_embeds) ignores it."""
+    from ..models.flux import flux_forward
+
+    fcfg = pipe.flux_cfg
+    fwd = flux_forward
+    if cfg.remat:
+        fwd = jax.checkpoint(
+            flux_forward, static_argnums=(1,),
+            policy=jax.checkpoint_policies.nothing_saveable)
+
+    def apply_fn(trainable, x_t, t, batch):
+        params = set_leaves(apply_fn.frozen, trainable)
+        g = (jnp.full(t.shape, cfg.flux_guidance * 1000.0, jnp.float32)
+             if fcfg.guidance_embeds else None)
+        return fwd(params, fcfg, x_t.astype(pipe.compute_dtype), t,
+                   batch["ctx"].astype(pipe.compute_dtype),
+                   batch["label"].astype(pipe.compute_dtype), g)
+
+    def loss_fn(trainable, frozen, batch, key):
+        apply_fn.frozen = frozen
+        return flow_matching_loss(
+            apply_fn, trainable, batch, key, shift=cfg.flow_shift)
+
+    return loss_fn
+
+
+def loss_builder_for(pipe):
+    if hasattr(pipe, "unet_params"):
+        return _unet_loss_fn
+    if hasattr(pipe, "mmdit_params"):
+        return _mmdit_loss_fn
+    return _flux_loss_fn
+
+
+def encode_dataset_fm(
+    pipe, dataset_dir: str, resolution: int, chunk: int = 4,
+) -> EncodedDataset:
+    """encode_dataset for the transformer families (SD3 / Flux): the
+    16-ch shifted+scaled VAE latent, the T5(+CLIP) context stream as
+    ctx, and the pooled vector in the label slot."""
+    from ..models.vae import encode_image
+
+    items = list_image_folder(dataset_dir)
+    log(f"dataset: {len(items)} images @ {resolution}px from {dataset_dir}")
+    is_sd3 = hasattr(pipe, "mmdit_params")
+
+    def encode_prompts(prompts):
+        if is_sd3:
+            # SD3 conditioning returns [uncond | cond]; keep cond rows
+            ctx, pooled = pipe.conditioning(prompts, negative_prompt="")
+            return ctx[len(prompts):], pooled[len(prompts):]
+        return pipe.conditioning(prompts, negative_prompt=None)
+
+    encode = jax.jit(lambda imgs: (encode_image(
+        pipe.vae_params, pipe.vae_cfg,
+        imgs.astype(jnp.float32) / 255.0 * 2.0 - 1.0,
+    ) - pipe.shift_factor) * pipe.scale_factor)
+
+    lat_chunks, ctx_chunks, pool_chunks = [], [], []
+    for i in range(0, len(items), chunk):
+        part = items[i:i + chunk]
+        imgs = jnp.asarray(
+            np.stack([load_image_rgb(p, resolution) for p, _ in part]))
+        lat_chunks.append(np.asarray(encode(imgs), np.float32))
+        ctx, pooled = encode_prompts([c for _, c in part])
+        ctx_chunks.append(np.asarray(ctx, np.float32))
+        pool_chunks.append(np.asarray(pooled, np.float32))
+
+    u_ctx, u_pool = encode_prompts([""])
+    return EncodedDataset(
+        latents=np.concatenate(lat_chunks, 0),
+        ctx=np.concatenate(ctx_chunks, 0),
+        label=np.concatenate(pool_chunks, 0),
+        uncond_ctx=np.asarray(u_ctx, np.float32)[0],
+        uncond_label=np.asarray(u_pool, np.float32)[0],
+        captions=[c for _, c in items],
+    )
+
+
+def finetune_lora(
+    pipe, data: EncodedDataset, cfg: FinetuneConfig,
+    loss_builder=None,
+) -> Tuple[dict, Optional[dict]]:
+    """Run the LoRA fine-tune; returns (factors, ema_factors|None).
+
+    The frozen tower is whatever the pipeline loaded (bf16, possibly
+    int8/int4-quantized = QLoRA); factors are f32 and the only trainable
+    leaves. One jitted step; batches are host numpy gathers."""
+    if loss_builder is None:
+        loss_builder = loss_builder_for(pipe)
+    frozen, _tower = frozen_tower(pipe)
+    flat = init_lora(
+        frozen, cfg.rank, jax.random.PRNGKey(cfg.seed),
+        targets=cfg.targets)
+    n_factors = sum(int(np.prod(v.shape)) for v in flat.values())
+    log(f"lora: rank {cfg.rank}, {len(flat) // 2} sites, "
+        f"{n_factors / 1e6:.2f}M trainable params (targets={cfg.targets})")
+
+    tx = adamw_cosine(
+        cfg.lr, cfg.schedule_steps or cfg.steps, warmup=cfg.warmup,
+        weight_decay=cfg.weight_decay, grad_clip=cfg.grad_clip)
+    state = TrainState.create(flat, tx, ema=cfg.ema_decay is not None)
+    start = 0
+    if cfg.resume and cfg.ckpt_dir:
+        from .checkpoint import latest_step, restore_train_state
+
+        step0 = latest_step(cfg.ckpt_dir)
+        if step0 is not None:
+            state = restore_train_state(cfg.ckpt_dir, state)
+            start = int(state.step)
+            log(f"resumed from {cfg.ckpt_dir} @ step {start}")
+
+    loss_fn = loss_builder(pipe, cfg)
+    step = jax.jit(make_train_step(
+        loss_fn, tx, ema_decay=cfg.ema_decay, accum=cfg.accum),
+        donate_argnums=(0,))
+
+    rng = np.random.default_rng(cfg.seed + 1)
+    # replay batch draws consumed by a resumed run (the host rng is part
+    # of the training state semantically; cheap: index draws only)
+    for _ in range(start):
+        sample_batch(data, cfg.batch_size * cfg.accum, rng,
+                     cfg.caption_dropout)
+
+    key = jax.random.PRNGKey(cfg.seed + 2)
+    t0, ema_loss = time.time(), None
+    for i in range(start, cfg.steps):
+        batch = sample_batch(
+            data, cfg.batch_size * cfg.accum, rng, cfg.caption_dropout)
+        if cfg.accum > 1:
+            batch = {k: v.reshape((cfg.accum, cfg.batch_size) + v.shape[1:])
+                     for k, v in batch.items()}
+        state, loss = step(state, frozen, batch,
+                           jax.random.fold_in(key, i))
+        if i == start:
+            jax.block_until_ready(loss)
+            log(f"step {i}: compiled + first step in {time.time()-t0:.1f}s")
+        loss = float(loss)
+        ema_loss = loss if ema_loss is None else 0.98 * ema_loss + 0.02 * loss
+        if cfg.log_every and (i + 1) % cfg.log_every == 0:
+            rate = (i + 1 - start) / max(time.time() - t0, 1e-9)
+            log(f"step {i+1}/{cfg.steps}: loss {loss:.4f} "
+                f"(ema {ema_loss:.4f}), {rate:.2f} it/s")
+        if (cfg.save_every and cfg.ckpt_dir
+                and (i + 1) % cfg.save_every == 0):
+            from .checkpoint import save_train_state
+
+            save_train_state(cfg.ckpt_dir, state)
+            log(f"checkpoint @ step {i+1} -> {cfg.ckpt_dir}")
+
+    return (jax.device_get(state.params),
+            jax.device_get(state.ema) if state.ema is not None else None)
+
+
+def export_adapter(path: str, factors: dict, pipe, fmt: str = "kohya",
+                   metadata: Optional[dict] = None) -> None:
+    """Write trained factors as a .safetensors the inference `--lora`
+    path loads back exactly (round-trip tested in test_train_lora.py)."""
+    tree, tower = frozen_tower(pipe)
+    export_lora(path, factors, {tower: tree}, fmt=fmt, metadata=metadata)
+    log(f"wrote LoRA adapter: {path}")

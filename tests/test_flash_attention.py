@@ -118,3 +118,35 @@ def test_qkv_attention_cross_stays_on_xla():
     b, tq, tk, c, h = 2, 1024, 77, 128, 2
     assert not use_flash(tq, tk, c // h, False)
 
+
+
+def test_flash_path_is_differentiable_and_matches_xla_grads():
+    """jax.grad through the flash-routed qkv_attention (custom_vjp:
+    flash forward, XLA-math backward) == grads of the pure-XLA
+    formulation. Unlocks training through the production attention
+    (the raw pallas_call has no autodiff rule)."""
+    b, h, t, d = 1, 2, 1024, 64
+    c = h * d
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    q = jax.random.normal(ks[0], (b, t, c), jnp.float32)
+    k = jax.random.normal(ks[1], (b, t, c), jnp.float32)
+    v = jax.random.normal(ks[2], (b, t, c), jnp.float32)
+    cot = jax.random.normal(ks[3], (b, t, c), jnp.float32)
+
+    assert use_flash(t, t, d, False)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(qkv_attention(q, k, v, n_head=h) * cot)
+
+    def loss_xla(q, k, v):
+        qh = q.reshape(b, t, h, d).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, t, h, d).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, t, h, d).transpose(0, 2, 1, 3)
+        o = xla_ref(qh, kh, vh).transpose(0, 2, 1, 3).reshape(b, t, c)
+        return jnp.sum(o * cot)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, r, name in zip(gf, gx, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), atol=2e-4, err_msg=name)

@@ -342,3 +342,61 @@ def test_flux_pipeline_shard_end_to_end(tokenizer_dir):
                            guidance_scale=3.5, seed=3)
     assert np.mean(np.abs(single.astype(int) - sharded.astype(int))) < 0.5
     assert np.max(np.abs(single.astype(int) - sharded.astype(int))) <= 2
+
+
+def test_dp_tp_train_step_matches_single_device():
+    """One LoRA train step over the (2,4) mesh == the same step on one
+    device: frozen tower TP-sharded, factors replicated (GSPMD
+    all-reduces their grads over the data axis), batch dp-sharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sdxl_tpu.train.finetune import FinetuneConfig, _unet_loss_fn
+    from sdxl_tpu.train.lora import init_lora
+    from sdxl_tpu.train.step import TrainState, adamw_cosine, make_train_step
+
+    d_cfg = DiffuserConfig(
+        adm_in_channels=24, model_channels=32, channel_mults=(1, 2, 4),
+        num_head_channels=8, transformer_depths=(1, 1, 2), context_dim=16,
+    )
+    frozen = init_unet(jax.random.PRNGKey(0), d_cfg.unet_config(),
+                       jnp.float32)
+    flat = init_lora(frozen, rank=4, key=jax.random.PRNGKey(1))
+
+    class PipeShim:
+        diffuser_cfg = d_cfg
+        alphas_cumprod = jnp.asarray(scaled_linear_alphas_cumprod())
+        compute_dtype = jnp.float32
+
+    cfg = FinetuneConfig(remat=True)
+    tx = adamw_cosine(1e-3, steps=4)
+    rng = np.random.default_rng(7)
+    batch = {
+        "latents": jnp.asarray(
+            rng.standard_normal((4, 16, 16, 4)), jnp.float32),
+        "ctx": jnp.asarray(rng.standard_normal((4, 7, 16)), jnp.float32),
+        "label": jnp.asarray(rng.standard_normal((4, 24)), jnp.float32),
+    }
+    key = jax.random.PRNGKey(9)
+    step = jax.jit(make_train_step(_unet_loss_fn(PipeShim(), cfg), tx))
+
+    ref_state, ref_loss = step(
+        TrainState.create(flat, tx), frozen, batch, key)
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    frozen_s = shard_params(frozen, mesh, head_channels=8)
+    flat_s = jax.device_put(flat, NamedSharding(mesh, P()))
+    batch_s = shard_batch(batch, mesh)
+    with mesh:
+        mesh_state, mesh_loss = step(
+            TrainState.create(flat_s, tx), frozen_s, batch_s, key)
+
+    np.testing.assert_allclose(float(ref_loss), float(mesh_loss),
+                               rtol=1e-5)
+    # atol: the psum'd grads reduce in a different order than the
+    # single-device sum, and Adam's update divides by sqrt(nu) —
+    # observed max deviation 2.5e-6 on the f32 factors
+    for k in ref_state.params:
+        np.testing.assert_allclose(
+            np.asarray(ref_state.params[k]),
+            np.asarray(mesh_state.params[k]),
+            atol=1e-5, err_msg=k)
