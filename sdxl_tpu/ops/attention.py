@@ -55,16 +55,26 @@ def _flash_sdpa(qh, kh, vh):
 
 
 def _flash_sdpa_fwd(qh, kh, vh):
-    return _flash_sdpa(qh, kh, vh), (qh, kh, vh)
+    from .flash_attention import flash_attention_bhtd
+
+    if qh.shape[-1] <= 128:
+        # flash residuals: O + base-2 row log-sum-exp feed the Pallas
+        # backward kernels (flash_attention.py bwd section)
+        o, lse = flash_attention_bhtd(qh, kh, vh, return_lse=True)
+        return o, (qh, kh, vh, o, lse)
+    return flash_attention_bhtd(qh, kh, vh), (qh, kh, vh, None, None)
 
 
 def _flash_sdpa_bwd(res, g):
-    # The Pallas kernel has no autodiff rule; differentiate the
-    # math-identical XLA formulation instead (recompute-in-backward, the
-    # same trade jax.checkpoint makes). Training thus keeps the flash
-    # FORWARD at 1k-16k tokens; the [Tq,Tk] weights materialize only in
-    # the backward. A fused Pallas backward is the follow-up perf lever.
-    qh, kh, vh = res
+    qh, kh, vh, o, lse = res
+    if o is not None:
+        from .flash_attention import flash_attention_bwd_bhtd
+
+        return flash_attention_bwd_bhtd(qh, kh, vh, o, lse, g)
+    # wide-head fallback (VAE d=512 routes here only at >=3696 tokens):
+    # differentiate the math-identical XLA formulation — the [Tq,Tk]
+    # weights materialize in this backward, which is exactly what the
+    # Pallas path above avoids for the training-hot d<=128 attentions
     _, vjp = jax.vjp(_xla_sdpa_bhtd, qh, kh, vh)
     return vjp(g)
 

@@ -150,3 +150,40 @@ def test_flash_path_is_differentiable_and_matches_xla_grads():
     for a, r, name in zip(gf, gx, "qkv"):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(r), atol=2e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("tq,tk,d", [
+    (1024, 1024, 64),    # aligned square (level-2 class)
+    (1000, 1000, 64),    # ragged both sides
+])
+def test_flash_backward_kernels_match_xla_vjp(tq, tk, d):
+    """The Pallas backward (dq + dk/dv kernels) == grads of the XLA
+    formulation, incl. padded-q rows and masked kv columns."""
+    from sdxl_tpu.ops.flash_attention import (
+        flash_attention_bhtd,
+        flash_attention_bwd_bhtd,
+    )
+
+    b, h = 1, 2
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    q = jax.random.normal(ks[0], (b, h, tq, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, tk, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, tk, d), jnp.float32)
+    g = jax.random.normal(ks[3], (b, h, tq, d), jnp.float32)
+
+    o, lse = flash_attention_bhtd(q, k, v, return_lse=True)
+    np.testing.assert_allclose(
+        np.asarray(o), np.asarray(xla_ref(q, k, v)), atol=2e-5)
+    # lse is the base-2 log-sum-exp of the scaled logits
+    z = np.einsum("bhqd,bhkd->bhqk", np.asarray(q) * d**-0.5,
+                  np.asarray(k))
+    lse_ref = np.log2(np.exp(z - z.max(-1, keepdims=True)).sum(-1)) \
+        + z.max(-1) * np.log2(np.e)
+    np.testing.assert_allclose(np.asarray(lse), lse_ref, atol=2e-4)
+
+    dq, dk, dv = flash_attention_bwd_bhtd(q, k, v, o, lse, g)
+    ref, vjp = jax.vjp(xla_ref, q, k, v)
+    rq, rk, rv = vjp(g)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=5e-4)
