@@ -53,6 +53,23 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("attn", "all-linear"),
                    help="attn = q/k/v/out of every attention (standard); "
                         "all-linear adds the GEGLU MLPs + proj_in/out")
+    # full-parameter fine-tune (train/full.py)
+    p.add_argument("--full", action="store_true",
+                   help="Full-parameter fine-tune instead of LoRA "
+                        "(UNet families): every float leaf of the tower "
+                        "trains; --output becomes a directory receiving "
+                        "a diffusers-layout unet/ (drop it into the base "
+                        "checkpoint dir, dreambooth-style)")
+    p.add_argument("--optimizer", type=str, default=None,
+                   choices=("adamw", "adafactor"),
+                   help="Full-FT optimizer (default adafactor: factored "
+                        "second moment, O(rows+cols) state — fits the "
+                        "full SDXL UNet on one chip; adamw needs 2x "
+                        "param-bytes of f32 state — use with dp "
+                        "sharding). LoRA always uses adamw.")
+    p.add_argument("--master-dtype", type=str, default="f32",
+                   choices=("f32", "bf16"),
+                   help="Full-FT master-weight dtype (bf16 halves HBM)")
     # optimization
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--batch", type=int, default=1)
@@ -127,7 +144,7 @@ def load_frozen_pipeline(args):
     unstacked transformer lists, optional QLoRA quantization applied
     AFTER the unfuse."""
     from ..io.lora import parse_lora_specs
-    from ..models.unet import unfuse_unet_qkv
+    from ..models.unet import unfold_unet_upsample, unfuse_unet_qkv
 
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
     loras = parse_lora_specs(args.base_lora)
@@ -167,6 +184,10 @@ def load_frozen_pipeline(args):
                           else SD15_DIFFUSER),
             loras=loras)
     pipe.unet_params = unfuse_unet_qkv(pipe.unet_params)
+    if args.full:
+        # full FT must train the canonical 3x3 upsample kernels, not the
+        # over-parameterized w4 phase form (see unfold_unet_upsample)
+        pipe.unet_params = unfold_unet_upsample(pipe.unet_params)
     if args.quantize:
         from ..io.quantize import (
             UNET_KEEP8,
@@ -192,6 +213,14 @@ def main(argv=None) -> int:
 
     if args.resume and not args.ckpt_dir:
         log("--resume requires --ckpt-dir")
+        return 2
+    if args.full and args.family in ("sd3", "flux"):
+        log("--full currently supports the UNet families (sdxl/sd1/sd2); "
+            "use LoRA for sd3/flux")
+        return 2
+    if args.full and args.quantize:
+        log("--full cannot train a quantized tower; drop --quantize "
+            "(QLoRA is the quantized-base recipe)")
         return 2
     pipe = load_frozen_pipeline(args)
     is_fm = args.family in ("sd3", "flux")
@@ -232,6 +261,9 @@ def main(argv=None) -> int:
 
     cfg = FinetuneConfig(
         rank=args.rank, targets=args.targets, steps=args.steps,
+        full=args.full,
+        optimizer=args.optimizer or ("adafactor" if args.full else "adamw"),
+        master_dtype=args.master_dtype,
         batch_size=args.batch, accum=args.accum, lr=args.lr,
         warmup=args.warmup, weight_decay=args.weight_decay,
         grad_clip=args.grad_clip, snr_gamma=args.snr_gamma,
@@ -243,6 +275,17 @@ def main(argv=None) -> int:
         log_every=args.log_every, save_every=args.save_every,
         ckpt_dir=args.ckpt_dir, resume=args.resume,
     )
+    if args.full:
+        from ..io.diffusers_write import write_diffusers_unet_dir
+        from ..train.finetune import finetune_full
+
+        trained = finetune_full(pipe, data, cfg)
+        unet_dir = write_diffusers_unet_dir(
+            args.output, trained, pipe.diffuser_cfg.unet_config(),
+            config_json_src=args.model_dir)
+        log(f"wrote fine-tuned UNet (diffusers layout): {unet_dir} — "
+            f"overlay it onto the base checkpoint directory to serve")
+        return 0
     factors, ema = finetune_lora(pipe, data, cfg)
     fmt = args.format or ("peft" if is_fm else "kohya")
     export_adapter(

@@ -582,6 +582,33 @@ def unfuse_unet_qkv(params):
     return walk(params)
 
 
+def unfold_unet_upsample(params):
+    """Undo the upsample phase decomposition tree-wide: every 'w4' phase
+    kernel back to the canonical 3x3 'w' (ops/conv.py
+    unfold_upsample_conv — an exact inverse on consistent kernels).
+
+    Required by FULL fine-tuning (train/full.py): training the w4 form
+    would optimize over its 16 unconstrained taps — a strictly larger
+    function class than 3x3 convs — making the result inexpressible in
+    any standard checkpoint. Unfolding first keeps the trained model a
+    true UNet; the forward transparently takes the reference
+    nearest-2x + conv path for 'w' kernels (ops/conv.py
+    upsample2x_conv)."""
+    from ..ops.conv import unfold_upsample_conv
+
+    def walk(node):
+        if isinstance(node, dict):
+            out = {k: walk(v) for k, v in node.items()}
+            if "upsample" in out and isinstance(out["upsample"], dict):
+                out["upsample"] = unfold_upsample_conv(out["upsample"])
+            return out
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)
+
+
 # ---------------------------------------------------------------------------
 # Transformer stacking (compile-time optimization)
 # ---------------------------------------------------------------------------

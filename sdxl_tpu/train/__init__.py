@@ -19,6 +19,12 @@ TPU-native fine-tuning for the model families this framework serves:
   - Checkpoint/resume (train/checkpoint.py, orbax) and safetensors LoRA
     export in the ecosystem formats io/lora.py reads back (kohya /
     diffusers-peft) — a trained adapter round-trips into `--lora`.
+  - Full-parameter fine-tuning (train/full.py): every float leaf trains
+    against a stripped template; Adafactor (factored state) fits the
+    full SDXL UNet on one chip, and ZeRO-1 shardings split master
+    weights + optimizer state over the data axis for multi-chip runs.
+    Trained UNets export to the diffusers layout
+    (io/diffusers_write.py) and drop back into any base checkpoint.
 """
 
 from .checkpoint import (  # noqa: F401
@@ -31,6 +37,13 @@ from .lora import (  # noqa: F401
     init_lora,
     lora_state_dict,
     set_leaves,
+)
+from .full import (  # noqa: F401
+    adafactor_sched,
+    full_trainable,
+    merge_trained,
+    shard_state_zero1,
+    zero_shardings,
 )
 from .losses import diffusion_loss, flow_matching_loss  # noqa: F401
 from .step import TrainState, adamw_cosine, make_train_step  # noqa: F401

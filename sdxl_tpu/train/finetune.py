@@ -176,6 +176,9 @@ def sample_batch(
 class FinetuneConfig:
     rank: int = 16
     targets: str = "attn"          # train/lora.py preset
+    full: bool = False             # full-parameter FT (train/full.py)
+    optimizer: str = "adamw"       # "adamw" | "adafactor" (full FT)
+    master_dtype: str = "f32"      # full FT master weights: "f32" | "bf16"
     steps: int = 1000
     # lr-schedule horizon; defaults to `steps`. Set when a run will stop
     # early and resume later, so both legs build the SAME cosine decay
@@ -351,44 +354,10 @@ def encode_dataset_fm(
     )
 
 
-def finetune_lora(
-    pipe, data: EncodedDataset, cfg: FinetuneConfig,
-    loss_builder=None,
-) -> Tuple[dict, Optional[dict]]:
-    """Run the LoRA fine-tune; returns (factors, ema_factors|None).
-
-    The frozen tower is whatever the pipeline loaded (bf16, possibly
-    int8/int4-quantized = QLoRA); factors are f32 and the only trainable
-    leaves. One jitted step; batches are host numpy gathers."""
-    if loss_builder is None:
-        loss_builder = loss_builder_for(pipe)
-    frozen, _tower = frozen_tower(pipe)
-    flat = init_lora(
-        frozen, cfg.rank, jax.random.PRNGKey(cfg.seed),
-        targets=cfg.targets)
-    n_factors = sum(int(np.prod(v.shape)) for v in flat.values())
-    log(f"lora: rank {cfg.rank}, {len(flat) // 2} sites, "
-        f"{n_factors / 1e6:.2f}M trainable params (targets={cfg.targets})")
-
-    tx = adamw_cosine(
-        cfg.lr, cfg.schedule_steps or cfg.steps, warmup=cfg.warmup,
-        weight_decay=cfg.weight_decay, grad_clip=cfg.grad_clip)
-    state = TrainState.create(flat, tx, ema=cfg.ema_decay is not None)
-    start = 0
-    if cfg.resume and cfg.ckpt_dir:
-        from .checkpoint import latest_step, restore_train_state
-
-        step0 = latest_step(cfg.ckpt_dir)
-        if step0 is not None:
-            state = restore_train_state(cfg.ckpt_dir, state)
-            start = int(state.step)
-            log(f"resumed from {cfg.ckpt_dir} @ step {start}")
-
-    loss_fn = loss_builder(pipe, cfg)
-    step = jax.jit(make_train_step(
-        loss_fn, tx, ema_decay=cfg.ema_decay, accum=cfg.accum),
-        donate_argnums=(0,))
-
+def _run_loop(step, state, start, frozen, data, cfg: FinetuneConfig):
+    """The shared host-side training loop: numpy batch gathers -> the one
+    jitted step; loss logging, cadenced orbax checkpoints. Returns the
+    final TrainState."""
     rng = np.random.default_rng(cfg.seed + 1)
     # replay batch draws consumed by a resumed run (the host rng is part
     # of the training state semantically; cheap: index draws only)
@@ -421,9 +390,108 @@ def finetune_lora(
 
             save_train_state(cfg.ckpt_dir, state)
             log(f"checkpoint @ step {i+1} -> {cfg.ckpt_dir}")
+    return state
 
+
+def _maybe_resume(state, cfg: FinetuneConfig):
+    if cfg.resume and cfg.ckpt_dir:
+        from .checkpoint import latest_step, restore_train_state
+
+        if latest_step(cfg.ckpt_dir) is not None:
+            state = restore_train_state(cfg.ckpt_dir, state)
+            log(f"resumed from {cfg.ckpt_dir} @ step {int(state.step)}")
+    return state, int(state.step)
+
+
+def finetune_lora(
+    pipe, data: EncodedDataset, cfg: FinetuneConfig,
+    loss_builder=None,
+) -> Tuple[dict, Optional[dict]]:
+    """Run the LoRA fine-tune; returns (factors, ema_factors|None).
+
+    The frozen tower is whatever the pipeline loaded (bf16, possibly
+    int8/int4-quantized = QLoRA); factors are f32 and the only trainable
+    leaves. One jitted step; batches are host numpy gathers."""
+    if loss_builder is None:
+        loss_builder = loss_builder_for(pipe)
+    frozen, _tower = frozen_tower(pipe)
+    flat = init_lora(
+        frozen, cfg.rank, jax.random.PRNGKey(cfg.seed),
+        targets=cfg.targets)
+    n_factors = sum(int(np.prod(v.shape)) for v in flat.values())
+    log(f"lora: rank {cfg.rank}, {len(flat) // 2} sites, "
+        f"{n_factors / 1e6:.2f}M trainable params (targets={cfg.targets})")
+
+    tx = adamw_cosine(
+        cfg.lr, cfg.schedule_steps or cfg.steps, warmup=cfg.warmup,
+        weight_decay=cfg.weight_decay, grad_clip=cfg.grad_clip)
+    state = TrainState.create(flat, tx, ema=cfg.ema_decay is not None)
+    state, start = _maybe_resume(state, cfg)
+
+    loss_fn = loss_builder(pipe, cfg)
+    step = jax.jit(make_train_step(
+        loss_fn, tx, ema_decay=cfg.ema_decay, accum=cfg.accum),
+        donate_argnums=(0,))
+
+    state = _run_loop(step, state, start, frozen, data, cfg)
     return (jax.device_get(state.params),
             jax.device_get(state.ema) if state.ema is not None else None)
+
+
+def finetune_full(
+    pipe, data: EncodedDataset, cfg: FinetuneConfig,
+    loss_builder=None, mesh=None,
+) -> dict:
+    """Full-parameter fine-tune (train/full.py); returns the trained
+    tower pytree (original dtypes — ready for export/serving).
+
+    Optimizer: cfg.optimizer — "adafactor" (factored second moment, the
+    single-chip default for big towers) or "adamw". With ``mesh``, the
+    master weights + optimizer state take the ZeRO-1 layout (sharded
+    over the data axis) and the step jits under the mesh."""
+    from .full import (
+        adafactor_sched,
+        full_trainable,
+        merge_trained,
+        shard_state_zero1,
+        wrap_loss_full,
+        zero_shardings,
+    )
+
+    if loss_builder is None:
+        loss_builder = loss_builder_for(pipe)
+    frozen, _tower = frozen_tower(pipe)
+    m_dtype = jnp.float32 if cfg.master_dtype == "f32" else jnp.bfloat16
+    master, dtypes, template = full_trainable(frozen, m_dtype)
+    n_tr = sum(int(np.prod(v.shape)) for v in master.values())
+    log(f"full fine-tune: {len(master)} leaves, {n_tr/1e6:.1f}M trainable "
+        f"params (master {cfg.master_dtype}, {cfg.optimizer})")
+
+    if cfg.optimizer == "adafactor":
+        tx = adafactor_sched(
+            cfg.lr, cfg.schedule_steps or cfg.steps, warmup=cfg.warmup,
+            weight_decay=cfg.weight_decay, grad_clip=cfg.grad_clip)
+    else:
+        tx = adamw_cosine(
+            cfg.lr, cfg.schedule_steps or cfg.steps, warmup=cfg.warmup,
+            weight_decay=cfg.weight_decay, grad_clip=cfg.grad_clip)
+    state = TrainState.create(master, tx, ema=cfg.ema_decay is not None)
+    if mesh is not None:
+        state = shard_state_zero1(state, mesh)
+    state, start = _maybe_resume(state, cfg)
+
+    loss_fn = wrap_loss_full(loss_builder(pipe, cfg), dtypes)
+    jit_kwargs = dict(donate_argnums=(0,))
+    if mesh is not None:
+        jit_kwargs.update(
+            out_shardings=(zero_shardings(state, mesh), None))
+    step = jax.jit(make_train_step(
+        loss_fn, tx, ema_decay=cfg.ema_decay, accum=cfg.accum),
+        **jit_kwargs)
+
+    state = _run_loop(step, state, start, template, data, cfg)
+    final = state.ema if state.ema is not None else state.params
+    return merge_trained(frozen, jax.device_get(final), dtypes)
 
 
 def export_adapter(path: str, factors: dict, pipe, fmt: str = "kohya",
