@@ -90,6 +90,43 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--noise-offset", type=float, default=0.0,
                    help="Per-sample constant noise offset (brightness-"
                         "range trick; kohya --noise_offset, e.g. 0.05)")
+    # textual inversion (arXiv:2208.01618) — trains embedding rows
+    # instead of LoRA factors; exports the --embedding file format
+    p.add_argument("--textual-inversion", type=str, default=None,
+                   metavar="WORD",
+                   help="Train a textual-inversion concept for WORD "
+                        "(UNet families) instead of a LoRA; --output "
+                        "becomes the embedding .safetensors the "
+                        "inference --embedding flag loads")
+    p.add_argument("--ti-vectors", type=int, default=1,
+                   help="Embedding vectors per tower for the concept")
+    p.add_argument("--ti-init-word", type=str, default=None,
+                   help="Initialize the rows from this word's embedding "
+                        "(diffusers initializer_token)")
+    p.add_argument("--ti-templates", type=str, default="object",
+                   choices=("object", "style", "captions"),
+                   help="Prompt source: the paper's object/style "
+                        "template banks, or the folder's own captions "
+                        "(each must contain the placeholder)")
+    # DreamBooth prior preservation (arXiv:2208.12242)
+    p.add_argument("--prior-dataset", type=str, default=None,
+                   help="Class-image folder for DreamBooth prior "
+                        "preservation; every microbatch trains "
+                        "instance rows + class rows with the composed "
+                        "loss mean(instance) + w*mean(class)")
+    p.add_argument("--prior-weight", type=float, default=1.0,
+                   help="w in the prior-preservation loss (paper/"
+                        "diffusers default 1.0)")
+    p.add_argument("--prior-batch", type=int, default=0,
+                   help="Class rows per microbatch (default: --batch)")
+    p.add_argument("--class-prompt", type=str, default=None,
+                   help="With --num-class-images: prompt the BASE model "
+                        "generates the class set from (also the caption "
+                        "written next to each generated image)")
+    p.add_argument("--num-class-images", type=int, default=0,
+                   help="Top --prior-dataset up to N images by sampling "
+                        "the frozen base model from --class-prompt "
+                        "before training (the DreamBooth recipe)")
     p.add_argument("--caption-dropout", type=float, default=0.0,
                    help="Probability of training a sample against the "
                         "empty-prompt conditioning (CFG compatibility)")
@@ -214,6 +251,11 @@ def main(argv=None) -> int:
     if args.resume and not args.ckpt_dir:
         log("--resume requires --ckpt-dir")
         return 2
+    if args.num_class_images and not (args.prior_dataset
+                                      and args.class_prompt):
+        log("--num-class-images requires --prior-dataset and "
+            "--class-prompt")
+        return 2
     if args.full and args.family in ("sd3", "flux"):
         log("--full currently supports the UNet families (sdxl/sd1/sd2); "
             "use LoRA for sd3/flux")
@@ -222,8 +264,43 @@ def main(argv=None) -> int:
         log("--full cannot train a quantized tower; drop --quantize "
             "(QLoRA is the quantized-base recipe)")
         return 2
+    if args.textual_inversion and args.family in ("sd3", "flux"):
+        log("--textual-inversion supports the CLIP-conditioned UNet "
+            "families (sdxl/sd1/sd2)")
+        return 2
+    if args.textual_inversion and (args.full or args.quantize):
+        log("--textual-inversion is not combinable with --full/--quantize")
+        return 2
     pipe = load_frozen_pipeline(args)
     is_fm = args.family in ("sd3", "flux")
+
+    if args.textual_inversion:
+        from ..train.textual_inversion import (
+            TIConfig,
+            encode_ti_dataset,
+            export_ti,
+            train_textual_inversion,
+        )
+
+        pred = "v" if (args.v_prediction or getattr(
+            pipe.diffuser_cfg, "prediction_type", "eps") == "v") else "epsilon"
+        ti_cfg = TIConfig(
+            placeholder=args.textual_inversion, n_vectors=args.ti_vectors,
+            init_word=args.ti_init_word, templates=args.ti_templates,
+            steps=args.steps, batch_size=args.batch, lr=args.lr,
+            warmup=args.warmup, grad_clip=args.grad_clip,
+            prediction_type=pred, noise_offset=args.noise_offset,
+            seed=args.seed, remat=not args.no_remat,
+            log_every=args.log_every or 25)
+        data = encode_ti_dataset(pipe, args.dataset, args.resolution,
+                                 ti_cfg, chunk=args.encode_chunk)
+        rows = train_textual_inversion(pipe, data, ti_cfg)
+        export_ti(args.output, rows, metadata={
+            "format": "pt",
+            "sdxl_tpu_placeholder": args.textual_inversion,
+            "sdxl_tpu_steps": str(args.steps),
+        })
+        return 0
 
     prediction_type = "epsilon"
     if not is_fm and (args.v_prediction or getattr(
@@ -250,14 +327,23 @@ def main(argv=None) -> int:
                 flow_shift = float(pipe.static_shift)
         log(f"flow-matching time shift: {flow_shift:.3f}")
 
-    if is_fm:
-        from ..train.finetune import encode_dataset_fm
+    if args.prior_dataset and args.num_class_images:
+        from ..train.finetune import ensure_class_images
 
-        data = encode_dataset_fm(pipe, args.dataset, args.resolution,
-                                 chunk=args.encode_chunk)
+        ensure_class_images(
+            pipe, args.prior_dataset, args.class_prompt,
+            args.num_class_images, args.resolution, seed=args.seed)
+
+    if is_fm:
+        from ..train.finetune import encode_dataset_fm as _encode
     else:
-        data = encode_dataset(pipe, args.dataset, args.resolution,
-                              chunk=args.encode_chunk)
+        _encode = encode_dataset
+    data = _encode(pipe, args.dataset, args.resolution,
+                   chunk=args.encode_chunk)
+    prior_data = None
+    if args.prior_dataset:
+        prior_data = _encode(pipe, args.prior_dataset, args.resolution,
+                             chunk=args.encode_chunk)
 
     cfg = FinetuneConfig(
         rank=args.rank, targets=args.targets, steps=args.steps,
@@ -270,6 +356,7 @@ def main(argv=None) -> int:
         noise_offset=args.noise_offset, prediction_type=prediction_type,
         flow_shift=flow_shift if flow_shift is not None else 1.0,
         flux_guidance=args.flux_guidance,
+        prior_weight=args.prior_weight, prior_batch_size=args.prior_batch,
         caption_dropout=args.caption_dropout, ema_decay=args.ema_decay,
         seed=args.seed, remat=not args.no_remat,
         log_every=args.log_every, save_every=args.save_every,
@@ -279,14 +366,14 @@ def main(argv=None) -> int:
         from ..io.diffusers_write import write_diffusers_unet_dir
         from ..train.finetune import finetune_full
 
-        trained = finetune_full(pipe, data, cfg)
+        trained = finetune_full(pipe, data, cfg, prior_data=prior_data)
         unet_dir = write_diffusers_unet_dir(
             args.output, trained, pipe.diffuser_cfg.unet_config(),
             config_json_src=args.model_dir)
         log(f"wrote fine-tuned UNet (diffusers layout): {unet_dir} — "
             f"overlay it onto the base checkpoint directory to serve")
         return 0
-    factors, ema = finetune_lora(pipe, data, cfg)
+    factors, ema = finetune_lora(pipe, data, cfg, prior_data=prior_data)
     fmt = args.format or ("peft" if is_fm else "kohya")
     export_adapter(
         args.output, ema if ema is not None else factors, pipe,

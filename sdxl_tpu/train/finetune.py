@@ -167,6 +167,92 @@ def sample_batch(
     return batch
 
 
+def sample_batch_prior(
+    data: EncodedDataset,
+    prior: EncodedDataset,
+    batch_size: int,
+    prior_batch: int,
+    rng: np.random.Generator,
+    caption_dropout: float = 0.0,
+    prior_weight: float = 1.0,
+) -> dict:
+    """DreamBooth prior-preservation batch (arXiv:2208.12242): instance
+    rows followed by class rows in ONE batch, with per-example loss
+    weights 1/B_inst and prior_weight/B_class so the weighted-sum loss
+    (train/losses._reduce) equals mean(instance) + w * mean(class) —
+    diffusers' train_dreambooth.py chunked loss, in a single fused
+    forward instead of two. Caption dropout applies to the instance half
+    only (the class prompt IS the regularizer)."""
+    inst = sample_batch(data, batch_size, rng, caption_dropout)
+    cls = sample_batch(prior, prior_batch, rng, 0.0)
+    if ("label" in inst) != ("label" in cls):
+        raise ValueError("instance and class datasets were encoded for "
+                         "different conditioning layouts")
+    if inst["ctx"].shape[1] != cls["ctx"].shape[1]:
+        # long-caption chunking can give the two folders different k;
+        # tile the shorter context to the common token count
+        t_max = max(inst["ctx"].shape[1], cls["ctx"].shape[1])
+
+        def pad_t(c):
+            if c.shape[1] == t_max:
+                return c
+            reps = -(-t_max // c.shape[1])
+            return np.tile(c, (1, reps, 1))[:, :t_max]
+
+        inst["ctx"], cls["ctx"] = pad_t(inst["ctx"]), pad_t(cls["ctx"])
+    batch = {k: np.concatenate([inst[k], cls[k]], 0) for k in inst}
+    batch["loss_weight"] = np.concatenate([
+        np.full((batch_size,), 1.0 / batch_size, np.float32),
+        np.full((prior_batch,), prior_weight / prior_batch, np.float32),
+    ])
+    return batch
+
+
+def ensure_class_images(
+    pipe,
+    class_dir: str,
+    class_prompt: str,
+    num: int,
+    resolution: int,
+    n_steps: int = 30,
+    guidance_scale: Optional[float] = None,
+    batch: int = 1,
+    seed: int = 0,
+) -> int:
+    """Top up ``class_dir`` to ``num`` class images generated by the BASE
+    pipeline itself from ``class_prompt`` (the DreamBooth recipe: the
+    prior-preservation set is the frozen model's own notion of the
+    class). Each image gets a sibling .txt carrying the class prompt.
+    Returns how many were generated."""
+    from PIL import Image
+
+    os.makedirs(class_dir, exist_ok=True)
+    have = sum(
+        1 for n in os.listdir(class_dir)
+        if os.path.splitext(n)[1].lower() in IMAGE_EXTS)
+    missing = num - have
+    if missing <= 0:
+        return 0
+    log(f"prior set: generating {missing} class images for "
+        f"{class_prompt!r} into {class_dir}")
+    kwargs = {}
+    if guidance_scale is not None:
+        kwargs["guidance_scale"] = guidance_scale
+    made = 0
+    while made < missing:
+        b = min(batch, missing - made)
+        imgs = pipe.txt2img(
+            [class_prompt] * b, resolution=(resolution, resolution),
+            n_steps=n_steps, seed=seed + have + made, **kwargs)
+        for j in range(b):
+            stem = os.path.join(class_dir, f"class_{have + made + j:05d}")
+            Image.fromarray(np.asarray(imgs[j])).save(stem + ".png")
+            with open(stem + ".txt", "w", encoding="utf-8") as f:
+                f.write(class_prompt)
+        made += b
+    return made
+
+
 # ---------------------------------------------------------------------------
 # the fine-tune loop
 # ---------------------------------------------------------------------------
@@ -194,6 +280,8 @@ class FinetuneConfig:
     prediction_type: str = "epsilon"       # "epsilon" | "v"
     flow_shift: float = 1.0                # transformer families
     flux_guidance: float = 1.0             # embedded guidance (FLUX dev)
+    prior_weight: float = 1.0              # DreamBooth prior-loss weight
+    prior_batch_size: int = 0              # class rows/microbatch (0 = batch_size)
     caption_dropout: float = 0.0
     ema_decay: Optional[float] = None
     seed: int = 0
@@ -354,7 +442,30 @@ def encode_dataset_fm(
     )
 
 
-def _run_loop(step, state, start, frozen, data, cfg: FinetuneConfig):
+def _draw_batch(data, prior, cfg: FinetuneConfig, rng) -> dict:
+    """One (possibly accum-stacked) training batch. Without a prior set
+    this is the original single gather + reshape; with one, each
+    microbatch is an instance+class composition (sample_batch_prior)."""
+    if prior is None:
+        batch = sample_batch(
+            data, cfg.batch_size * cfg.accum, rng, cfg.caption_dropout)
+        if cfg.accum > 1:
+            batch = {k: v.reshape((cfg.accum, cfg.batch_size) + v.shape[1:])
+                     for k, v in batch.items()}
+        return batch
+    pb = cfg.prior_batch_size or cfg.batch_size
+    parts = [
+        sample_batch_prior(data, prior, cfg.batch_size, pb, rng,
+                           cfg.caption_dropout, cfg.prior_weight)
+        for _ in range(cfg.accum)
+    ]
+    if cfg.accum == 1:
+        return parts[0]
+    return {k: np.stack([p[k] for p in parts]) for k in parts[0]}
+
+
+def _run_loop(step, state, start, frozen, data, cfg: FinetuneConfig,
+              prior=None):
     """The shared host-side training loop: numpy batch gathers -> the one
     jitted step; loss logging, cadenced orbax checkpoints. Returns the
     final TrainState."""
@@ -362,17 +473,12 @@ def _run_loop(step, state, start, frozen, data, cfg: FinetuneConfig):
     # replay batch draws consumed by a resumed run (the host rng is part
     # of the training state semantically; cheap: index draws only)
     for _ in range(start):
-        sample_batch(data, cfg.batch_size * cfg.accum, rng,
-                     cfg.caption_dropout)
+        _draw_batch(data, prior, cfg, rng)
 
     key = jax.random.PRNGKey(cfg.seed + 2)
     t0, ema_loss = time.time(), None
     for i in range(start, cfg.steps):
-        batch = sample_batch(
-            data, cfg.batch_size * cfg.accum, rng, cfg.caption_dropout)
-        if cfg.accum > 1:
-            batch = {k: v.reshape((cfg.accum, cfg.batch_size) + v.shape[1:])
-                     for k, v in batch.items()}
+        batch = _draw_batch(data, prior, cfg, rng)
         state, loss = step(state, frozen, batch,
                            jax.random.fold_in(key, i))
         if i == start:
@@ -405,13 +511,15 @@ def _maybe_resume(state, cfg: FinetuneConfig):
 
 def finetune_lora(
     pipe, data: EncodedDataset, cfg: FinetuneConfig,
-    loss_builder=None,
+    loss_builder=None, prior_data: Optional[EncodedDataset] = None,
 ) -> Tuple[dict, Optional[dict]]:
     """Run the LoRA fine-tune; returns (factors, ema_factors|None).
 
     The frozen tower is whatever the pipeline loaded (bf16, possibly
     int8/int4-quantized = QLoRA); factors are f32 and the only trainable
-    leaves. One jitted step; batches are host numpy gathers."""
+    leaves. One jitted step; batches are host numpy gathers.
+    prior_data: optional DreamBooth class set — every microbatch becomes
+    instance+class rows with the composed prior-preservation loss."""
     if loss_builder is None:
         loss_builder = loss_builder_for(pipe)
     frozen, _tower = frozen_tower(pipe)
@@ -433,7 +541,8 @@ def finetune_lora(
         loss_fn, tx, ema_decay=cfg.ema_decay, accum=cfg.accum),
         donate_argnums=(0,))
 
-    state = _run_loop(step, state, start, frozen, data, cfg)
+    state = _run_loop(step, state, start, frozen, data, cfg,
+                      prior=prior_data)
     return (jax.device_get(state.params),
             jax.device_get(state.ema) if state.ema is not None else None)
 
@@ -441,6 +550,7 @@ def finetune_lora(
 def finetune_full(
     pipe, data: EncodedDataset, cfg: FinetuneConfig,
     loss_builder=None, mesh=None,
+    prior_data: Optional[EncodedDataset] = None,
 ) -> dict:
     """Full-parameter fine-tune (train/full.py); returns the trained
     tower pytree (original dtypes — ready for export/serving).
@@ -489,7 +599,8 @@ def finetune_full(
         loss_fn, tx, ema_decay=cfg.ema_decay, accum=cfg.accum),
         **jit_kwargs)
 
-    state = _run_loop(step, state, start, template, data, cfg)
+    state = _run_loop(step, state, start, template, data, cfg,
+                      prior=prior_data)
     final = state.ema if state.ema is not None else state.params
     return merge_trained(frozen, jax.device_get(final), dtypes)
 

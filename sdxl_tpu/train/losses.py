@@ -30,6 +30,20 @@ import jax
 import jax.numpy as jnp
 
 
+def _reduce(per_sample: jnp.ndarray, batch: dict) -> jnp.ndarray:
+    """Batch reduction. Plain mean by default; an optional per-example
+    ``batch["loss_weight"]`` [B] turns it into sum(per_sample * weight) —
+    the caller owns normalization, which lets one batch express composed
+    objectives exactly (DreamBooth prior preservation: instance rows get
+    1/B_inst, class rows prior_weight/B_class, so the total equals
+    mean(instance) + w * mean(class) — diffusers' train_dreambooth.py
+    two-chunk loss, here in a single fused forward)."""
+    lw = batch.get("loss_weight")
+    if lw is not None:
+        return jnp.sum(per_sample * lw.astype(jnp.float32))
+    return jnp.mean(per_sample)
+
+
 def snr_from_alphas(alphas_cumprod: jnp.ndarray) -> jnp.ndarray:
     """Signal-to-noise ratio per train timestep: ab / (1 - ab)."""
     ab = alphas_cumprod.astype(jnp.float32)
@@ -97,7 +111,7 @@ def diffusion_loss(
         per_sample = per_sample * min_snr_weight(
             snr_t, snr_gamma, prediction_type
         )
-    return jnp.mean(per_sample)
+    return _reduce(per_sample, batch)
 
 
 def logit_normal_t(key, shape, mean: float = 0.0, std: float = 1.0):
@@ -144,4 +158,7 @@ def flow_matching_loss(
     x_t = (1.0 - sig) * x0.astype(jnp.float32) + sig * noise
     pred = apply_fn(params, x_t, sigma * 1000.0, batch).astype(jnp.float32)
     target = noise - x0.astype(jnp.float32)
-    return jnp.mean(jnp.square(pred - target))
+    per_sample = jnp.mean(
+        jnp.square(pred - target), axis=tuple(range(1, x0.ndim))
+    )
+    return _reduce(per_sample, batch)
