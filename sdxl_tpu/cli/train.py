@@ -109,6 +109,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "template banks, or the folder's own captions "
                         "(each must contain the placeholder)")
     # DreamBooth prior preservation (arXiv:2208.12242)
+    # ControlNet training (arXiv:2302.05543) — trains a control trunk
+    # against the frozen base UNet; exports a diffusers ControlNetModel
+    # dir the inference --controlnet flag loads back
+    p.add_argument("--train-controlnet", action="store_true",
+                   help="Train a ControlNet (UNet-copy init, zero convs "
+                        "zero). --output becomes a DIRECTORY (diffusers "
+                        "ControlNetModel layout). Requires "
+                        "--control-dataset.")
+    p.add_argument("--control-dataset", type=str, default=None,
+                   help="Folder of conditioning images (canny/depth/...) "
+                        "with the SAME file stems as --dataset")
+    p.add_argument("--controlnet-init", type=str, default=None,
+                   help="Continue from an existing diffusers ControlNet "
+                        "dir instead of the UNet-copy init")
     p.add_argument("--prior-dataset", type=str, default=None,
                    help="Class-image folder for DreamBooth prior "
                         "preservation; every microbatch trains "
@@ -168,6 +182,16 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="PATH[:SCALE]",
                    help="LoRA(s) merged into the base BEFORE training "
                         "(continue training on top of a merged style)")
+    # in-training validation sampling (train/validate.py): renders
+    # --sample-prompt through the real pipeline with the live adapter
+    p.add_argument("--sample-every", type=int, default=0,
+                   help="Render a validation image every N steps "
+                        "(0 = off; needs --sample-prompt)")
+    p.add_argument("--sample-prompt", type=str, default="")
+    p.add_argument("--sample-steps", type=int, default=20)
+    p.add_argument("--sample-resolution", type=int, default=0,
+                   help="validation image size (default 512)")
+    p.add_argument("--sample-guidance", type=float, default=7.5)
     p.add_argument("--tokenizer-dir", type=str, default=None)
     p.add_argument("--encode-chunk", type=int, default=4,
                    help="Images per VAE-encode/conditioning call during "
@@ -271,6 +295,19 @@ def main(argv=None) -> int:
     if args.textual_inversion and (args.full or args.quantize):
         log("--textual-inversion is not combinable with --full/--quantize")
         return 2
+    if args.train_controlnet:
+        if args.family in ("sd3", "flux"):
+            log("--train-controlnet supports the UNet families "
+                "(sdxl/sd1/sd2)")
+            return 2
+        if not args.control_dataset:
+            log("--train-controlnet requires --control-dataset")
+            return 2
+        if args.full or args.quantize or args.textual_inversion \
+                or args.prior_dataset:
+            log("--train-controlnet is not combinable with --full/"
+                "--quantize/--textual-inversion/--prior-dataset")
+            return 2
     pipe = load_frozen_pipeline(args)
     is_fm = args.family in ("sd3", "flux")
 
@@ -339,7 +376,9 @@ def main(argv=None) -> int:
     else:
         _encode = encode_dataset
     data = _encode(pipe, args.dataset, args.resolution,
-                   chunk=args.encode_chunk)
+                   chunk=args.encode_chunk,
+                   **({"control_dir": args.control_dataset}
+                      if args.train_controlnet else {}))
     prior_data = None
     if args.prior_dataset:
         prior_data = _encode(pipe, args.prior_dataset, args.resolution,
@@ -361,7 +400,30 @@ def main(argv=None) -> int:
         seed=args.seed, remat=not args.no_remat,
         log_every=args.log_every, save_every=args.save_every,
         ckpt_dir=args.ckpt_dir, resume=args.resume,
+        sample_every=args.sample_every, sample_prompt=args.sample_prompt,
+        sample_steps=args.sample_steps,
+        sample_resolution=args.sample_resolution or args.resolution,
+        sample_guidance=args.sample_guidance, sample_seed=args.seed,
+        sample_dir=args.output.rstrip("/") + "_val",
     )
+    if args.train_controlnet:
+        from ..train.controlnet import (
+            export_controlnet,
+            finetune_controlnet,
+        )
+
+        control = None
+        if args.controlnet_init:
+            from ..io.diffusers_sdxl import load_controlnet_dir
+
+            control, _ = load_controlnet_dir(
+                args.controlnet_init, pipe.diffuser_cfg, jnp.float32)
+            log(f"controlnet: continuing from {args.controlnet_init}")
+        trained = finetune_controlnet(pipe, data, cfg, control=control)
+        export_controlnet(args.output, trained, pipe,
+                          config_json_src=args.controlnet_init)
+        log("serve it with: --controlnet " + args.output)
+        return 0
     if args.full:
         from ..io.diffusers_write import write_diffusers_unet_dir
         from ..train.finetune import finetune_full

@@ -406,9 +406,16 @@ def _from_dict(cls, data):
             if k.endswith("_config"):
                 kwargs[k] = _from_dict(CLIPConfig, v)
             else:
-                kwargs[k] = tuple(v) if isinstance(v, list) else v
+                kwargs[k] = _deep_tuple(v) if isinstance(v, list) else v
         return cls(**kwargs)
     return data
+
+
+def _deep_tuple(v):
+    """Lists -> tuples recursively: nested channel plans (e.g.
+    AutoencoderConfig's tuple-of-pairs) must load back hashable, since
+    frozen configs are jit static arguments."""
+    return tuple(_deep_tuple(x) if isinstance(x, list) else x for x in v)
 
 
 def load_cfg(path: str, cls):

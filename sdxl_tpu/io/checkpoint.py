@@ -158,3 +158,50 @@ def load_native(path: str, dtype=None):
         lambda a: jnp.asarray(a, dtype=dtype) if dtype is not None else jnp.asarray(a),
         tree,
     )
+
+
+def save_native_pipeline(out_dir: str, pipe, dtype=None) -> str:
+    """Write a loaded SDXL pipeline back out as a native checkpoint dir —
+    the same {embedder,diffuser,latent_decoder}.safetensors + .cfg +
+    alphas_cumprod.safetensors layout load_pipeline() detects (primary
+    consumer: cli/merge.py). The UNet must be UNSTACKED
+    (load with stack_transformers=False); refiner params, LoRA-merged or
+    quantized towers are the caller's concern (quantized trees refuse to
+    flatten into plain safetensors by construction)."""
+    import os
+
+    import numpy as np
+
+    from ..configs import LatentDecoderConfig, save_cfg
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def cast(tree):
+        if dtype is None:
+            return tree
+        import jax
+
+        return jax.tree.map(lambda a: jnp.asarray(a, dtype), tree)
+
+    save_native(os.path.join(out_dir, "embedder.safetensors"),
+                cast(pipe.embedder_params))
+    save_cfg(os.path.join(out_dir, "embedder.cfg"), pipe.embedder_cfg)
+    save_native(os.path.join(out_dir, "diffuser.safetensors"),
+                cast(pipe.unet_params))
+    save_cfg(os.path.join(out_dir, "diffuser.cfg"), pipe.diffuser_cfg)
+    save_native(os.path.join(out_dir, "alphas_cumprod.safetensors"),
+                {"alphas_cumprod": np.asarray(pipe.alphas_cumprod,
+                                              np.float32)})
+    save_native(os.path.join(out_dir, "latent_decoder.safetensors"),
+                cast(pipe.vae_params))
+    save_cfg(os.path.join(out_dir, "latent_decoder.cfg"),
+             LatentDecoderConfig(scale_factor=float(pipe.scale_factor)))
+    # the reference's .cfg set has no autoencoder config (its VAE is
+    # always full-size); persist ours so non-default channel plans
+    # (tests, distilled VAEs) reload exactly
+    save_cfg(os.path.join(out_dir, "autoencoder.cfg"), pipe.vae_cfg)
+    if pipe.refiner_params is not None:
+        save_native(os.path.join(out_dir, "refiner.safetensors"),
+                    cast(pipe.refiner_params))
+        save_cfg(os.path.join(out_dir, "refiner.cfg"), pipe.refiner_cfg)
+    return out_dir

@@ -161,6 +161,120 @@ def unet_to_diffusers(params: dict, cfg: UNetConfig) -> Dict[str, np.ndarray]:
     return out
 
 
+def controlnet_to_diffusers(params: dict, cfg: UNetConfig
+                            ) -> Dict[str, np.ndarray]:
+    """Flat {diffusers key: numpy array} for a models/controlnet.py tree —
+    the tensor inverse of build_controlnet_from_diffusers: the UNet-copy
+    trunk reuses unet_to_diffusers' input-side mapping, plus
+    controlnet_cond_embedding.* and the controlnet_{down,mid}_block{s}
+    zero convs."""
+    out: Dict[str, np.ndarray] = {}
+    in_plan, _, _ = unet_block_plan(cfg)
+    n_levels = len(cfg.channel_mults)
+    input_blocks = params["input_blocks"]
+    if len(input_blocks) != len(in_plan):
+        raise ValueError(
+            f"controlnet block count mismatch: {len(input_blocks)} vs "
+            f"plan {len(in_plan)}")
+
+    _inv_linear(out, "time_embedding.linear_1", params["time_embed"]["lin1"])
+    _inv_linear(out, "time_embedding.linear_2", params["time_embed"]["lin2"])
+    if params.get("label_embed"):
+        _inv_linear(out, "add_embedding.linear_1",
+                    params["label_embed"]["lin1"])
+        _inv_linear(out, "add_embedding.linear_2",
+                    params["label_embed"]["lin2"])
+
+    _inv_conv(out, "conv_in", input_blocks[0]["conv"])
+    i = 1
+    for level in range(n_levels):
+        d = f"down_blocks.{level}"
+        for j in range(2):
+            p = input_blocks[i]
+            _inv_res(out, f"{d}.resnets.{j}", p["res"])
+            if "transformer" in p:
+                _inv_spatial(out, f"{d}.attentions.{j}", p["transformer"])
+            i += 1
+        if i < len(input_blocks) and "conv" in input_blocks[i]:
+            _inv_conv(out, f"{d}.downsamplers.0.conv",
+                      input_blocks[i]["conv"])
+            i += 1
+
+    mid = params["middle_block"]
+    _inv_res(out, "mid_block.resnets.0", mid["res1"])
+    _inv_spatial(out, "mid_block.attentions.0", mid["transformer"])
+    _inv_res(out, "mid_block.resnets.1", mid["res2"])
+
+    ce = params["cond_embed"]
+    _inv_conv(out, "controlnet_cond_embedding.conv_in", ce["conv_in"])
+    for k, blk in enumerate(ce["blocks"]):
+        _inv_conv(out, f"controlnet_cond_embedding.blocks.{2 * k}",
+                  blk["conv1"])
+        _inv_conv(out, f"controlnet_cond_embedding.blocks.{2 * k + 1}",
+                  blk["conv2"])
+    _inv_conv(out, "controlnet_cond_embedding.conv_out", ce["conv_out"])
+
+    for k, zc in enumerate(params["zero_convs"]):
+        _inv_conv(out, f"controlnet_down_blocks.{k}", zc)
+    _inv_conv(out, "controlnet_mid_block", params["zero_conv_mid"])
+    return out
+
+
+def write_diffusers_controlnet_dir(
+    out_dir: str,
+    params: dict,
+    cfg: UNetConfig,
+    config_json_src: Optional[str] = None,
+    dtype: Optional[np.dtype] = None,
+) -> str:
+    """Write `{out_dir}/{diffusion_pytorch_model.safetensors,config.json}`
+    — a diffusers `ControlNetModel` directory (controlnet dirs are flat
+    model dirs, unlike the unet/ subfolder convention). Loads back via
+    io/diffusers_sdxl.py::load_controlnet_dir and the `--controlnet`
+    CLI/server flag."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(out_dir, exist_ok=True)
+    flat = controlnet_to_diffusers(params, cfg)
+    if dtype is not None:
+        flat = {k: v.astype(dtype) for k, v in flat.items()}
+    save_file(flat,
+              os.path.join(out_dir, "diffusion_pytorch_model.safetensors"))
+
+    src = (os.path.join(config_json_src, "config.json")
+           if config_json_src else None)
+    if src and os.path.isfile(src):
+        with open(src) as f:
+            meta = json.load(f)
+    else:
+        from ..models.controlnet import COND_EMBED_CHANNELS
+
+        n = len(cfg.channel_mults)
+        down = [("CrossAttnDownBlock2D" if lvl in cfg.transformer_levels
+                 else "DownBlock2D") for lvl in range(n)]
+        meta = {
+            "_class_name": "ControlNetModel",
+            "in_channels": cfg.in_channels,
+            "conditioning_channels": 3,
+            "conditioning_embedding_out_channels":
+                list(COND_EMBED_CHANNELS),
+            "block_out_channels": [cfg.model_channels * m
+                                   for m in cfg.channel_mults],
+            "down_block_types": down,
+            "layers_per_block": 2,
+            "transformer_layers_per_block": list(cfg.transformer_depths),
+            "cross_attention_dim": cfg.context_dim,
+            "attention_head_dim": cfg.n_head_channels,
+            "addition_embed_type": ("text_time" if cfg.adm_in_channels
+                                    else None),
+            "projection_class_embeddings_input_dim":
+                cfg.adm_in_channels or None,
+        }
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return out_dir
+
+
 def write_diffusers_unet_dir(
     out_dir: str,
     params: dict,

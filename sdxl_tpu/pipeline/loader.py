@@ -259,6 +259,7 @@ def load_pipeline(
             compute_dtype=compute_dtype,
         )
 
+    v_cfg = AutoencoderConfig()
     if fmt == "mpk":
         e_cfg, e_params = ckpt.load_embedder_mpk(model_dir)
         d_cfg, unet, alphas = ckpt.load_diffuser_mpk(model_dir, "diffuser", compute_dtype)
@@ -307,6 +308,9 @@ def load_pipeline(
         )
         vae = ckpt.load_native(os.path.join(model_dir, "latent_decoder.safetensors"))
         scale = l_cfg.scale_factor
+        a_cfg_path = os.path.join(model_dir, "autoencoder.cfg")
+        if os.path.isfile(a_cfg_path):
+            v_cfg = load_cfg(a_cfg_path, AutoencoderConfig)
 
     _apply_loras(loras, unet, e_params)
     return SDXLPipeline(
@@ -315,7 +319,7 @@ def load_pipeline(
         diffuser_cfg=d_cfg,
         unet_params=_maybe_stack(unet, stack_transformers, qbits),
         alphas_cumprod=alphas,
-        vae_cfg=AutoencoderConfig(),
+        vae_cfg=v_cfg,
         vae_params=vae,
         scale_factor=scale,
         refiner_cfg=r_cfg,

@@ -65,6 +65,19 @@ def list_image_folder(dataset_dir: str) -> list:
     return items
 
 
+def _control_path(control_dir: str, image_path: str) -> str:
+    """The conditioning image matching a training image: same stem in
+    control_dir, any image extension (kohya controlnet folder layout)."""
+    stem = os.path.splitext(os.path.basename(image_path))[0]
+    for ext in IMAGE_EXTS:
+        p = os.path.join(control_dir, stem + ext)
+        if os.path.exists(p):
+            return p
+    raise FileNotFoundError(
+        f"{control_dir}: no conditioning image for {stem!r} "
+        f"(expected {stem}.png/.jpg/... matching the training image)")
+
+
 def load_image_rgb(path: str, resolution: int) -> np.ndarray:
     """uint8 [res, res, 3]: shortest-side resize (bicubic) + center crop."""
     from PIL import Image
@@ -87,6 +100,10 @@ class EncodedDataset:
     uncond_ctx: np.ndarray         # [T, d] empty-prompt context
     uncond_label: Optional[np.ndarray]
     captions: list
+    # ControlNet training: per-image conditioning images (canny/depth/...),
+    # uint8 [N, res, res, 3] at PIXEL resolution — converted to f32 [0,1]
+    # (the diffusers control-image convention) at batch-gather time
+    control: Optional[np.ndarray] = None
 
     @property
     def n(self) -> int:
@@ -95,15 +112,27 @@ class EncodedDataset:
 
 def encode_dataset(
     pipe, dataset_dir: str, resolution: int, chunk: int = 4,
+    control_dir: Optional[str] = None,
 ) -> EncodedDataset:
     """Pre-encode the whole folder through the pipeline's own (frozen)
     VAE encoder + text towers — the exact tensors the sampler would
     consume at inference, so a LoRA trained here sees the same
-    conditioning distribution it will be served with."""
+    conditioning distribution it will be served with.
+
+    control_dir: optional parallel folder of conditioning images for
+    ControlNet training — each training image must have a SAME-NAMED
+    file there (any image extension); stored at pixel resolution, NOT
+    VAE-encoded (the trainable cond_embed consumes pixels)."""
     from ..pipeline.latent import encode_images_to_latent
 
     items = list_image_folder(dataset_dir)
     log(f"dataset: {len(items)} images @ {resolution}px from {dataset_dir}")
+
+    control = None
+    if control_dir is not None:
+        control = np.stack([
+            load_image_rgb(_control_path(control_dir, p), resolution)
+            for p, _ in items])
 
     lat_chunks, ctx_chunks, label_chunks = [], [], []
     encode = jax.jit(lambda imgs: encode_images_to_latent(
@@ -146,6 +175,7 @@ def encode_dataset(
             np.asarray(uncond.channel_context, np.float32)[0]
             if uncond.channel_context is not None else None),
         captions=[c for _, c in items],
+        control=control,
     )
 
 
@@ -164,6 +194,11 @@ def sample_batch(
     batch = {"latents": data.latents[idx], "ctx": ctx}
     if label is not None:
         batch["label"] = label
+    if data.control is not None:
+        # caption dropout keeps the control image: at inference the CFG
+        # uncond branch ALSO receives control residuals (diffusers'
+        # train_controlnet drops only the text)
+        batch["control"] = data.control[idx].astype(np.float32) / 255.0
     return batch
 
 
@@ -290,6 +325,14 @@ class FinetuneConfig:
     save_every: int = 0                    # orbax checkpoint cadence
     ckpt_dir: Optional[str] = None
     resume: bool = False
+    # in-training validation sampling (train/validate.py)
+    sample_every: int = 0
+    sample_prompt: str = ""
+    sample_steps: int = 20
+    sample_resolution: int = 0             # 0 = 512
+    sample_guidance: float = 7.5
+    sample_seed: int = 42
+    sample_dir: str = "val_samples"
 
 
 def frozen_tower(pipe) -> Tuple[dict, str]:
@@ -465,7 +508,7 @@ def _draw_batch(data, prior, cfg: FinetuneConfig, rng) -> dict:
 
 
 def _run_loop(step, state, start, frozen, data, cfg: FinetuneConfig,
-              prior=None):
+              prior=None, val_fn=None):
     """The shared host-side training loop: numpy batch gathers -> the one
     jitted step; loss logging, cadenced orbax checkpoints. Returns the
     final TrainState."""
@@ -496,6 +539,9 @@ def _run_loop(step, state, start, frozen, data, cfg: FinetuneConfig,
 
             save_train_state(cfg.ckpt_dir, state)
             log(f"checkpoint @ step {i+1} -> {cfg.ckpt_dir}")
+        if (val_fn is not None and cfg.sample_every
+                and (i + 1) % cfg.sample_every == 0):
+            val_fn(i + 1, state)
     return state
 
 
@@ -512,6 +558,7 @@ def _maybe_resume(state, cfg: FinetuneConfig):
 def finetune_lora(
     pipe, data: EncodedDataset, cfg: FinetuneConfig,
     loss_builder=None, prior_data: Optional[EncodedDataset] = None,
+    val_fn=None,
 ) -> Tuple[dict, Optional[dict]]:
     """Run the LoRA fine-tune; returns (factors, ema_factors|None).
 
@@ -541,8 +588,13 @@ def finetune_lora(
         loss_fn, tx, ema_decay=cfg.ema_decay, accum=cfg.accum),
         donate_argnums=(0,))
 
+    if val_fn is None and cfg.sample_every:
+        from .validate import make_validation_sampler
+
+        val_fn = make_validation_sampler(pipe, cfg, "lora",
+                                         out_dir=cfg.sample_dir)
     state = _run_loop(step, state, start, frozen, data, cfg,
-                      prior=prior_data)
+                      prior=prior_data, val_fn=val_fn)
     return (jax.device_get(state.params),
             jax.device_get(state.ema) if state.ema is not None else None)
 
@@ -551,6 +603,7 @@ def finetune_full(
     pipe, data: EncodedDataset, cfg: FinetuneConfig,
     loss_builder=None, mesh=None,
     prior_data: Optional[EncodedDataset] = None,
+    val_fn=None,
 ) -> dict:
     """Full-parameter fine-tune (train/full.py); returns the trained
     tower pytree (original dtypes — ready for export/serving).
@@ -599,8 +652,14 @@ def finetune_full(
         loss_fn, tx, ema_decay=cfg.ema_decay, accum=cfg.accum),
         **jit_kwargs)
 
+    if val_fn is None and cfg.sample_every:
+        from .validate import make_validation_sampler
+
+        val_fn = make_validation_sampler(pipe, cfg, "full",
+                                         out_dir=cfg.sample_dir,
+                                         dtypes=dtypes)
     state = _run_loop(step, state, start, template, data, cfg,
-                      prior=prior_data)
+                      prior=prior_data, val_fn=val_fn)
     final = state.ema if state.ema is not None else state.params
     return merge_trained(frozen, jax.device_get(final), dtypes)
 
