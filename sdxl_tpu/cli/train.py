@@ -141,6 +141,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Top --prior-dataset up to N images by sampling "
                         "the frozen base model from --class-prompt "
                         "before training (the DreamBooth recipe)")
+    p.add_argument("--bucketing", action="store_true",
+                   help="Aspect-ratio bucket training (kohya recipe): "
+                        "images group into the SDXL aspect buckets "
+                        "scaled to --resolution; each bucket is one "
+                        "static shape / compiled step (UNet families)")
     p.add_argument("--caption-dropout", type=float, default=0.0,
                    help="Probability of training a sample against the "
                         "empty-prompt conditioning (CFG compatibility)")
@@ -371,8 +376,15 @@ def main(argv=None) -> int:
             pipe, args.prior_dataset, args.class_prompt,
             args.num_class_images, args.resolution, seed=args.seed)
 
+    if args.bucketing and (is_fm or args.prior_dataset):
+        log("--bucketing supports the UNet families without "
+            "--prior-dataset (the prior batch must share the "
+            "instance batch's shape)")
+        return 2
     if is_fm:
         from ..train.finetune import encode_dataset_fm as _encode
+    elif args.bucketing:
+        from ..train.finetune import encode_dataset_bucketed as _encode
     else:
         _encode = encode_dataset
     data = _encode(pipe, args.dataset, args.resolution,

@@ -78,18 +78,49 @@ def _control_path(control_dir: str, image_path: str) -> str:
         f"(expected {stem}.png/.jpg/... matching the training image)")
 
 
-def load_image_rgb(path: str, resolution: int) -> np.ndarray:
-    """uint8 [res, res, 3]: shortest-side resize (bicubic) + center crop."""
+def load_image_rgb(path: str, resolution) -> np.ndarray:
+    """uint8 [H, W, 3]: cover-resize (bicubic) + center crop. resolution
+    is one int (square) or an (h, w) pair (aspect-bucket training)."""
     from PIL import Image
 
+    th, tw = ((resolution, resolution) if isinstance(resolution, int)
+              else resolution)
     img = Image.open(path).convert("RGB")
     w, h = img.size
-    scale = resolution / min(w, h)
-    nw, nh = max(round(w * scale), resolution), max(round(h * scale), resolution)
+    scale = max(tw / w, th / h)
+    nw, nh = max(round(w * scale), tw), max(round(h * scale), th)
     img = img.resize((nw, nh), Image.BICUBIC)
-    left, top = (nw - resolution) // 2, (nh - resolution) // 2
-    img = img.crop((left, top, left + resolution, top + resolution))
+    left, top = (nw - tw) // 2, (nh - th) // 2
+    img = img.crop((left, top, left + tw, top + th))
     return np.asarray(img, np.uint8)
+
+
+def train_buckets(resolution: int) -> list:
+    """(h, w) aspect buckets at a training scale: the 40 SDXL-trained
+    buckets (pipeline/resolutions.py) rescaled by resolution/1024 and
+    snapped to the latent-grid multiple of 64 (the kohya bucketing
+    granularity). resolution=1024 returns the SDXL table itself."""
+    from ..pipeline.resolutions import RESOLUTIONS
+
+    out, seen = [], set()
+    for h, w in RESOLUTIONS:
+        bh = max(64, round(h * resolution / 1024 / 64) * 64)
+        bw = max(64, round(w * resolution / 1024 / 64) * 64)
+        if (bh, bw) not in seen:
+            seen.add((bh, bw))
+            out.append((bh, bw))
+    return out
+
+
+def assign_bucket(width: int, height: int, buckets: list) -> int:
+    """Index of the bucket whose aspect ratio is closest (in log space)
+    to the source image's."""
+    import math
+
+    a = math.log(width / height)
+    return min(range(len(buckets)),
+               key=lambda i: abs(math.log(buckets[i][1] / buckets[i][0])
+                                 - a))
 
 
 @dataclass
@@ -110,28 +141,21 @@ class EncodedDataset:
         return self.latents.shape[0]
 
 
-def encode_dataset(
-    pipe, dataset_dir: str, resolution: int, chunk: int = 4,
+def _encode_items(
+    pipe, items: list, size, chunk: int = 4,
     control_dir: Optional[str] = None,
 ) -> EncodedDataset:
-    """Pre-encode the whole folder through the pipeline's own (frozen)
-    VAE encoder + text towers — the exact tensors the sampler would
-    consume at inference, so a LoRA trained here sees the same
-    conditioning distribution it will be served with.
-
-    control_dir: optional parallel folder of conditioning images for
-    ControlNet training — each training image must have a SAME-NAMED
-    file there (any image extension); stored at pixel resolution, NOT
-    VAE-encoded (the trainable cond_embed consumes pixels)."""
+    """Encode [(path, caption)] at one static (h, w): VAE latents + text
+    conditioning through the pipeline's own frozen towers. The SDXL size
+    conditioning carries the actual bucket dims, exactly what inference
+    at that resolution conditions on."""
     from ..pipeline.latent import encode_images_to_latent
 
-    items = list_image_folder(dataset_dir)
-    log(f"dataset: {len(items)} images @ {resolution}px from {dataset_dir}")
-
+    hw = (size, size) if isinstance(size, int) else tuple(size)
     control = None
     if control_dir is not None:
         control = np.stack([
-            load_image_rgb(_control_path(control_dir, p), resolution)
+            load_image_rgb(_control_path(control_dir, p), hw)
             for p, _ in items])
 
     lat_chunks, ctx_chunks, label_chunks = [], [], []
@@ -140,24 +164,21 @@ def encode_dataset(
     for i in range(0, len(items), chunk):
         part = items[i:i + chunk]
         imgs = jnp.asarray(
-            np.stack([load_image_rgb(p, resolution) for p, _ in part]))
+            np.stack([load_image_rgb(p, hw) for p, _ in part]))
         lat_chunks.append(np.asarray(encode(imgs), np.float32))
         cond = pipe.conditioning(
-            [c for _, c in part], (resolution, resolution),
-            profile_stages=False)
+            [c for _, c in part], hw, profile_stages=False)
         ctx_chunks.append(np.asarray(cond.context_full, np.float32))
         if cond.channel_context is not None:
             label_chunks.append(np.asarray(cond.channel_context, np.float32))
 
     # empty-prompt conditioning for caption dropout (the uncond half the
     # CFG inference path will use, stablediffusion/mod.rs:698-726)
-    uncond = pipe.conditioning([""], (resolution, resolution),
-                               profile_stages=False)
+    uncond = pipe.conditioning([""], hw, profile_stages=False)
 
     # long captions chunk the context to [B, 77k, d]; pad every example
     # to the longest k so the batch gather is static-shaped
     t_max = max(c.shape[1] for c in ctx_chunks)
-    d = ctx_chunks[0].shape[-1]
 
     def pad_t(c):
         if c.shape[1] == t_max:
@@ -177,6 +198,74 @@ def encode_dataset(
         captions=[c for _, c in items],
         control=control,
     )
+
+
+def encode_dataset(
+    pipe, dataset_dir: str, resolution: int, chunk: int = 4,
+    control_dir: Optional[str] = None,
+) -> EncodedDataset:
+    """Pre-encode the whole folder through the pipeline's own (frozen)
+    VAE encoder + text towers — the exact tensors the sampler would
+    consume at inference, so a LoRA trained here sees the same
+    conditioning distribution it will be served with.
+
+    control_dir: optional parallel folder of conditioning images for
+    ControlNet training — each training image must have a SAME-NAMED
+    file there (any image extension); stored at pixel resolution, NOT
+    VAE-encoded (the trainable cond_embed consumes pixels)."""
+    items = list_image_folder(dataset_dir)
+    log(f"dataset: {len(items)} images @ {resolution}px from {dataset_dir}")
+    return _encode_items(pipe, items, resolution, chunk, control_dir)
+
+
+@dataclass
+class BucketedDataset:
+    """Aspect-ratio-bucketed training set (the kohya recipe, TPU-first):
+    every bucket is ONE static shape — each draws its own compiled step
+    program from jit's cache, so the whole run stays shape-static with at
+    most n_buckets compilations (vs. the GPU habit of padding or dynamic
+    shapes, which XLA:TPU would recompile per shape anyway)."""
+    buckets: list                  # EncodedDataset per non-empty bucket
+    sizes: list                    # (h, w) pixel dims, aligned
+
+    @property
+    def n(self) -> int:
+        return sum(b.n for b in self.buckets)
+
+    @property
+    def control(self):
+        return self.buckets[0].control if self.buckets else None
+
+
+def encode_dataset_bucketed(
+    pipe, dataset_dir: str, resolution: int, chunk: int = 4,
+    control_dir: Optional[str] = None,
+) -> BucketedDataset:
+    """encode_dataset with aspect-ratio bucketing: each image lands in
+    the train_buckets() entry nearest its aspect (log space), is
+    cover-resized + center-cropped to the bucket dims, and its SDXL size
+    conditioning carries those dims (what the model should associate
+    with the bucket at inference)."""
+    from PIL import Image
+
+    items = list_image_folder(dataset_dir)
+    dims = train_buckets(resolution)
+    groups: dict = {}
+    for it in items:
+        with Image.open(it[0]) as im:
+            w, h = im.size
+        groups.setdefault(assign_bucket(w, h, dims), []).append(it)
+
+    buckets, sizes = [], []
+    for bi in sorted(groups):
+        hw = dims[bi]
+        log(f"bucket {hw[0]}x{hw[1]}: {len(groups[bi])} images")
+        buckets.append(_encode_items(pipe, groups[bi], hw, chunk,
+                                     control_dir))
+        sizes.append(hw)
+    log(f"dataset: {len(items)} images in {len(buckets)} aspect buckets "
+        f"@ ~{resolution}px from {dataset_dir}")
+    return BucketedDataset(buckets=buckets, sizes=sizes)
 
 
 def sample_batch(
@@ -488,7 +577,14 @@ def encode_dataset_fm(
 def _draw_batch(data, prior, cfg: FinetuneConfig, rng) -> dict:
     """One (possibly accum-stacked) training batch. Without a prior set
     this is the original single gather + reshape; with one, each
-    microbatch is an instance+class composition (sample_batch_prior)."""
+    microbatch is an instance+class composition (sample_batch_prior).
+    BucketedDataset: the step's bucket is drawn first, weighted by image
+    count (kohya semantics); all microbatches of one step share the
+    bucket so the jitted step sees ONE static shape per call."""
+    if isinstance(data, BucketedDataset):
+        w = np.asarray([b.n for b in data.buckets], np.float64)
+        bi = int(rng.choice(len(data.buckets), p=w / w.sum()))
+        data = data.buckets[bi]
     if prior is None:
         batch = sample_batch(
             data, cfg.batch_size * cfg.accum, rng, cfg.caption_dropout)
