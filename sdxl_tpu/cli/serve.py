@@ -32,6 +32,11 @@ Endpoints:
                        in-context editing (--family flux; the prompt
                        describes the edit; runs unbatched, output at the
                        image's own size)
+  POST /v1/lora     -> {"loras": ["path:scale", ...] | [{"path","scale"}]}
+                       hot-swaps the served LoRA set without a restart
+                       (worker reloads the checkpoint between batches;
+                       [] unloads); compile-cache hits make the swap a
+                       reload + one warmup generation, not a recompile
   POST /v1/inpaint  -> same + {"image": "<base64 png>"} and EITHER a
                        pixel-space crop window {"crop_left", "crop_right",
                        "crop_top", "crop_bottom", "crop_out"} OR a
@@ -64,6 +69,8 @@ import time
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional
+
+from ..utils import log
 
 
 # ---------------------------------------------------------------------------
@@ -150,8 +157,16 @@ class GenerationServer:
     """Owns the pipeline and the single worker thread."""
 
     def __init__(self, pipe, max_batch: int = 4, batch_window_ms: float = 20.0,
-                 default_cfg: GenConfig = GenConfig(), max_queue: int = 64):
+                 default_cfg: GenConfig = GenConfig(), max_queue: int = 64,
+                 reload_fn=None):
         self.pipe = pipe
+        # adapter hot-swap (POST /v1/lora): reload_fn(specs) rebuilds the
+        # pipeline with a new LoRA set; the WORKER performs the swap
+        # between batches (it is the only pipeline user)
+        self.reload_fn = reload_fn
+        self.active_loras: list = []
+        self._swap_lock = threading.Lock()
+        self._swap = None
         self.max_batch = max_batch
         self.batch_window_s = batch_window_ms / 1000.0
         self.default_cfg = default_cfg
@@ -202,9 +217,64 @@ class GenerationServer:
             self.n_dropped += 1
         req.done.set()
 
+    def request_swap(self, specs: list, timeout: float = 600.0) -> dict:
+        """Hot-swap the served LoRA set (worker-executed). specs:
+        [(path, scale)]; [] unloads. Returns {ok, error, seconds,
+        loras}."""
+        if self.reload_fn is None:
+            return {"ok": False,
+                    "error": "server started without a reload path "
+                             "(--random-weights)", "status": 400}
+        swap = type("Swap", (), {})()
+        swap.specs, swap.done = specs, threading.Event()
+        swap.error, swap.seconds = None, 0.0
+        with self._swap_lock:
+            if self._swap is not None:
+                return {"ok": False, "error": "swap already in progress",
+                        "status": 409}
+            self._swap = swap
+        if not swap.done.wait(timeout):
+            return {"ok": False, "error": "swap timed out", "status": 504}
+        return {"ok": swap.error is None, "error": swap.error,
+                "seconds": round(swap.seconds, 2),
+                "loras": [f"{p}:{sc}" for p, sc in self.active_loras],
+                "status": 200 if swap.error is None else 500}
+
+    def _do_swap(self):
+        import gc
+        import time as _t
+
+        with self._swap_lock:
+            swap, self._swap = self._swap, None
+        t0 = _t.perf_counter()
+        prev = self.active_loras
+        try:
+            # free-first: the tunnel chip cannot hold two full pipelines;
+            # on failure we rebuild the previous set (best effort)
+            self.pipe = None
+            gc.collect()
+            self.pipe = self.reload_fn(swap.specs)
+            self.active_loras = list(swap.specs)
+            # warmup at the serving config: identical shapes -> compile
+            # cache hits, so this is one generation, not a recompile
+            self._generate([GenRequest("warmup", self.default_cfg,
+                                       seed=0)])
+        except Exception as e:  # noqa: BLE001
+            swap.error = f"{type(e).__name__}: {e}"
+            log(f"lora swap failed: {swap.error}; restoring previous set")
+            try:
+                self.pipe = self.reload_fn(prev)
+                self.active_loras = prev
+            except Exception as e2:  # noqa: BLE001
+                log(f"restore failed too: {e2} — server needs a restart")
+        swap.seconds = _t.perf_counter() - t0
+        swap.done.set()
+
     def _run(self):
         pending: Optional[GenRequest] = None  # config-mismatched holdover
         while not self._stop:
+            if self._swap is not None:
+                self._do_swap()
             if pending is not None:
                 first, pending = pending, None
             else:
@@ -486,6 +556,7 @@ class GenerationServer:
                     round(statistics.median(lat), 3) if lat else None
                 ),
                 "queue_depth": self.queue.qsize(),
+                "loras": [f"{p}:{sc}" for p, sc in self.active_loras],
             }
 
 
@@ -529,6 +600,24 @@ def make_handler(server: GenerationServer):
             )
 
         def do_POST(self):
+            if self.path == "/v1/lora":
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(length) or b"{}")
+                    from ..io.lora import parse_lora_specs
+
+                    raw = payload.get("loras", [])
+                    specs = parse_lora_specs([
+                        (x if isinstance(x, str)
+                         else f"{x['path']}:{x.get('scale', 1.0)}")
+                        for x in raw])
+                except Exception as e:  # noqa: BLE001
+                    self._json(400, {"error": f"bad request: {e}"})
+                    return
+                out = server.request_swap(specs)
+                status = out.pop("status", 200)
+                self._json(status, out)
+                return
             if self.path not in ("/v1/generate", "/v1/img2img",
                                  "/v1/inpaint", "/v1/edit"):
                 self._json(404, {"error": f"unknown path {self.path}"})
@@ -699,13 +788,16 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def build_pipeline(args):
-    """Same model resolution logic as the sample CLI."""
+def build_pipeline(args, loras_override=None):
+    """Same model resolution logic as the sample CLI. loras_override:
+    already-parsed [(path, scale)] replacing the boot --lora set (the
+    /v1/lora hot-swap path)."""
     import jax.numpy as jnp
 
     from ..io.lora import parse_lora_specs
 
-    loras = parse_lora_specs(args.lora)
+    loras = (loras_override if loras_override is not None
+             else parse_lora_specs(args.lora))
 
     def _quant_unet(pipe):
         from ..cli.sample import _quantize_unet_inplace
@@ -797,43 +889,50 @@ def main(argv=None) -> int:
 
     from ..utils import log
 
+    def _prepare_pipe(pipe):
+        """Post-load pipeline setup, shared by boot and /v1/lora reload."""
+        if args.zsnr:
+            pipe.rescale_zsnr()
+            log("zsnr: alpha-bar table rescaled to zero terminal SNR")
+        if args.vae_bf16:
+            import jax.numpy as jnp
+
+            pipe.vae_dtype = jnp.bfloat16
+        if args.freeu is not None:
+            import dataclasses
+
+            from ..configs import parse_freeu_spec
+
+            fu = parse_freeu_spec(args.freeu, args.family)
+            pipe.diffuser_cfg = dataclasses.replace(pipe.diffuser_cfg,
+                                                    freeu=fu)
+            log(f"freeu: (b1,b2,s1,s2) = {fu}")
+        if args.embedding:
+            pipe.add_textual_inversions(args.embedding)
+        if args.controlnet:
+            pipe.load_controlnet(
+                args.controlnet[0] if len(args.controlnet) == 1
+                else args.controlnet
+            )
+        if args.ip_adapter:
+            pipe.load_ip_adapter(args.ip_adapter, args.ip_image_encoder)
+        if args.dp is not None or args.tp is not None:
+            pipe.shard(args.dp, args.tp)
+        return pipe
+
+    if args.ip_adapter and not args.ip_image_encoder:
+        print("error: --ip-adapter needs --ip-image-encoder",
+              file=sys.stderr)
+        return 1
     try:
-        pipe = build_pipeline(args)
+        pipe = _prepare_pipe(build_pipeline(args))
     except (KeyError, FileNotFoundError, ValueError) as e:
         # same clean checkpoint-error UX as the sample CLI
         print(f"error: failed to load checkpoint from "
               f"{args.model_dir}: {e}", file=sys.stderr)
         return 1
-    if args.zsnr:
-        pipe.rescale_zsnr()
-        log("zsnr: alpha-bar table rescaled to zero terminal SNR")
-    if args.vae_bf16:
-        import jax.numpy as jnp
 
-        pipe.vae_dtype = jnp.bfloat16
-    if args.freeu is not None:
-        import dataclasses
-
-        from ..configs import parse_freeu_spec
-
-        fu = parse_freeu_spec(args.freeu, args.family)
-        pipe.diffuser_cfg = dataclasses.replace(pipe.diffuser_cfg, freeu=fu)
-        log(f"freeu: (b1,b2,s1,s2) = {fu}")
-    if args.embedding:
-        pipe.add_textual_inversions(args.embedding)
-    if args.controlnet:
-        pipe.load_controlnet(
-            args.controlnet[0] if len(args.controlnet) == 1
-            else args.controlnet
-        )
-    if args.ip_adapter:
-        if not args.ip_image_encoder:
-            print("error: --ip-adapter needs --ip-image-encoder",
-                  file=sys.stderr)
-            return 1
-        pipe.load_ip_adapter(args.ip_adapter, args.ip_image_encoder)
-    if args.dp is not None or args.tp is not None:
-        pipe.shard(args.dp, args.tp)
+    from ..io.lora import parse_lora_specs
 
     server = GenerationServer(
         pipe,
@@ -844,7 +943,11 @@ def main(argv=None) -> int:
             width=args.width, height=args.height, steps=args.steps,
             guidance_scale=args.guidance_scale, sampler=args.sampler,
         ),
+        reload_fn=(None if args.random_weights else
+                   (lambda specs: _prepare_pipe(
+                       build_pipeline(args, loras_override=specs)))),
     )
+    server.active_loras = parse_lora_specs(args.lora)
     log("compiling (warmup generation)..." if not args.no_warmup
         else "skipping warmup")
     server.start(warmup=not args.no_warmup)

@@ -584,3 +584,56 @@ def test_non_flux_server_rejects_edit(tiny_pipe):
                      timeout=300)
     assert bad.error is not None and "flux" in bad.error
     srv.stop()
+
+
+# ---------------------------------------------------------------------------
+# /v1/lora hot-swap
+# ---------------------------------------------------------------------------
+
+
+def test_lora_hot_swap(tiny_pipe):
+    calls = []
+
+    def reload_fn(specs):
+        calls.append(list(specs))
+        if specs and specs[0][0] == "broken":
+            raise FileNotFoundError("no such adapter")
+        return tiny_pipe
+
+    srv = GenerationServer(tiny_pipe, default_cfg=TINY_CFG,
+                           reload_fn=reload_fn)
+    srv.start(warmup=False)
+    out = srv.request_swap([("style.safetensors", 0.8)], timeout=300)
+    assert out["ok"], out
+    assert out["loras"] == ["style.safetensors:0.8"]
+    assert calls[-1] == [("style.safetensors", 0.8)]
+    assert srv.info()["loras"] == ["style.safetensors:0.8"]
+
+    # the server still serves after the swap
+    req = srv.submit(GenRequest("a cat", TINY_CFG, seed=1), timeout=300)
+    assert req.error is None
+
+    # failed swap restores the previous adapter set and reports the error
+    out = srv.request_swap([("broken", 1.0)], timeout=300)
+    assert not out["ok"] and "no such adapter" in out["error"]
+    assert srv.info()["loras"] == ["style.safetensors:0.8"]
+    assert calls[-1] == [("style.safetensors", 0.8)]  # restore call
+    req = srv.submit(GenRequest("still alive", TINY_CFG, seed=2),
+                     timeout=300)
+    srv.stop()
+    assert req.error is None
+
+    # unload
+    srv2 = GenerationServer(tiny_pipe, default_cfg=TINY_CFG,
+                            reload_fn=reload_fn)
+    srv2.active_loras = [("style.safetensors", 0.8)]
+    srv2.start(warmup=False)
+    out = srv2.request_swap([], timeout=300)
+    srv2.stop()
+    assert out["ok"] and out["loras"] == []
+
+
+def test_lora_swap_without_reload_path(tiny_pipe):
+    srv = GenerationServer(tiny_pipe, default_cfg=TINY_CFG)
+    out = srv.request_swap([("x", 1.0)])
+    assert not out["ok"] and out["status"] == 400
