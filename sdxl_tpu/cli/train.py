@@ -90,6 +90,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--noise-offset", type=float, default=0.0,
                    help="Per-sample constant noise offset (brightness-"
                         "range trick; kohya --noise_offset, e.g. 0.05)")
+    p.add_argument("--multires-noise", type=int, default=0,
+                   metavar="N",
+                   help="Multi-resolution (pyramid) noise with N levels "
+                        "(kohya --multires_noise_iterations, e.g. 6; "
+                        "UNet families)")
+    p.add_argument("--multires-discount", type=float, default=0.3,
+                   help="Per-level amplitude discount for "
+                        "--multires-noise")
     # textual inversion (arXiv:2208.01618) — trains embedding rows
     # instead of LoRA factors; exports the --embedding file format
     p.add_argument("--textual-inversion", type=str, default=None,
@@ -404,7 +412,10 @@ def main(argv=None) -> int:
         batch_size=args.batch, accum=args.accum, lr=args.lr,
         warmup=args.warmup, weight_decay=args.weight_decay,
         grad_clip=args.grad_clip, snr_gamma=args.snr_gamma,
-        noise_offset=args.noise_offset, prediction_type=prediction_type,
+        noise_offset=args.noise_offset,
+        multires_iterations=args.multires_noise,
+        multires_discount=args.multires_discount,
+        prediction_type=prediction_type,
         flow_shift=flow_shift if flow_shift is not None else 1.0,
         flux_guidance=args.flux_guidance,
         prior_weight=args.prior_weight, prior_batch_size=args.prior_batch,

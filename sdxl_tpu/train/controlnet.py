@@ -133,7 +133,9 @@ def controlnet_loss_fn(pipe, cfg: FinetuneConfig):
         return diffusion_loss(
             apply_fn, trainable, alphas, batch, key,
             prediction_type=cfg.prediction_type,
-            snr_gamma=cfg.snr_gamma, noise_offset=cfg.noise_offset)
+            snr_gamma=cfg.snr_gamma, noise_offset=cfg.noise_offset,
+            multires_iterations=cfg.multires_iterations,
+            multires_discount=cfg.multires_discount)
 
     return loss_fn
 

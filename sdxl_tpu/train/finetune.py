@@ -401,6 +401,8 @@ class FinetuneConfig:
     grad_clip: Optional[float] = 1.0
     snr_gamma: Optional[float] = None      # UNet families
     noise_offset: float = 0.0              # UNet families
+    multires_iterations: int = 0           # pyramid-noise levels (0=off)
+    multires_discount: float = 0.3
     prediction_type: str = "epsilon"       # "epsilon" | "v"
     flow_shift: float = 1.0                # transformer families
     flux_guidance: float = 1.0             # embedded guidance (FLUX dev)
@@ -461,7 +463,9 @@ def _unet_loss_fn(pipe, cfg: FinetuneConfig):
         return diffusion_loss(
             apply_fn, trainable, alphas, batch, key,
             prediction_type=cfg.prediction_type,
-            snr_gamma=cfg.snr_gamma, noise_offset=cfg.noise_offset)
+            snr_gamma=cfg.snr_gamma, noise_offset=cfg.noise_offset,
+            multires_iterations=cfg.multires_iterations,
+            multires_discount=cfg.multires_discount)
 
     return loss_fn
 

@@ -63,6 +63,29 @@ def min_snr_weight(
     raise ValueError(prediction_type)
 
 
+def multires_noise(key, shape, iterations: int = 6,
+                   discount: float = 0.3) -> jnp.ndarray:
+    """Multi-resolution ("pyramid") noise: base gaussian plus coarser
+    gaussians (each at 1/2^i the spatial grid, bilinearly upsampled)
+    scaled by discount^i, renormalized to unit std. The kohya
+    multires_noise recipe with the deterministic power-of-2 ladder —
+    static shapes per level, so the whole draw stays jittable. Improves
+    very-dark/very-bright reproduction like noise offset but with
+    spatial structure."""
+    noise = jax.random.normal(key, shape, jnp.float32)
+    b, h, w, c = shape
+    for i in range(1, iterations):
+        r = 2 ** i
+        if h // r < 1 or w // r < 1:
+            break
+        small = jax.random.normal(
+            jax.random.fold_in(key, 1000 + i),
+            (b, h // r, w // r, c), jnp.float32)
+        noise = noise + jax.image.resize(
+            small, shape, "bilinear") * (discount ** i)
+    return noise / jnp.std(noise)
+
+
 def diffusion_loss(
     apply_fn: Callable,
     params,
@@ -72,6 +95,8 @@ def diffusion_loss(
     prediction_type: str = "epsilon",
     snr_gamma: Optional[float] = None,
     noise_offset: float = 0.0,
+    multires_iterations: int = 0,
+    multires_discount: float = 0.3,
 ) -> jnp.ndarray:
     """DDPM noise-prediction MSE on a batch of clean LATENTS.
 
@@ -86,7 +111,11 @@ def diffusion_loss(
     n_train = alphas_cumprod.shape[0]
     k_t, k_n, k_off = jax.random.split(key, 3)
     t = jax.random.randint(k_t, (b,), 0, n_train)
-    noise = jax.random.normal(k_n, x0.shape, jnp.float32)
+    if multires_iterations:
+        noise = multires_noise(k_n, x0.shape, multires_iterations,
+                               multires_discount)
+    else:
+        noise = jax.random.normal(k_n, x0.shape, jnp.float32)
     if noise_offset:
         noise = noise + noise_offset * jax.random.normal(
             k_off, (b,) + (1,) * (x0.ndim - 1), jnp.float32
