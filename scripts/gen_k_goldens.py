@@ -179,6 +179,52 @@ def sample_dpmpp_2m_sde(model, x, sigmas, noises, eta=1.0, solver_type="midpoint
     return x, torch.stack(traj)
 
 
+def sample_dpmpp_3m_sde(model, x, sigmas, noises, eta=1.0):
+    """k-diffusion sample_dpmpp_3m_sde (s_noise=1), verbatim loop
+    structure, with the Brownian-tree noise sampler replaced by injected
+    per-step draws (noises[i]) — the same independent-normals
+    substitution the 2M SDE transcription documents."""
+    denoised_1, denoised_2 = None, None
+    h, h_1, h_2 = None, None, None
+    traj = [x.clone()]
+    for i in range(len(sigmas) - 1):
+        denoised = model(x, sigmas[i])
+        if sigmas[i + 1] == 0:
+            x = denoised
+        else:
+            t, s = -sigmas[i].log(), -sigmas[i + 1].log()
+            h = s - t
+            h_eta = h * (eta + 1)
+
+            x = torch.exp(-h_eta) * x + (-h_eta).expm1().neg() * denoised
+
+            if h_2 is not None:
+                r0 = h_1 / h
+                r1 = h_2 / h
+                d1_0 = (denoised - denoised_1) / r0
+                d1_1 = (denoised_1 - denoised_2) / r1
+                d1 = d1_0 + (d1_0 - d1_1) * r0 / (r0 + r1)
+                d2 = (d1_0 - d1_1) / (r0 + r1)
+                phi_2 = h_eta.neg().expm1() / h_eta + 1
+                phi_3 = phi_2 / h_eta - 0.5
+                x = x + phi_2 * d1 - phi_3 * d2
+            elif h_1 is not None:
+                r = h_1 / h
+                d = (denoised - denoised_1) / r
+                phi_2 = h_eta.neg().expm1() / h_eta + 1
+                x = x + phi_2 * d
+
+            if eta:
+                x = x + noises[i] * sigmas[i + 1] * (
+                    -2 * h * eta
+                ).expm1().neg().sqrt()
+
+        denoised_1, denoised_2 = denoised, denoised_1
+        h_1, h_2 = h, h_1
+        traj.append(x.clone())
+    return x, torch.stack(traj)
+
+
 class UniPCTranscription:
     """Literal transcription of diffusers' UniPCMultistepScheduler
     (predict_x0=True, solver_type='bh2', solver_order=2,
@@ -382,6 +428,9 @@ def main():
     sde_x, sde_traj = sample_dpmpp_2m_sde(
         synth_model, x0.clone(), sig8, noises
     )
+    sde3_x, sde3_traj = sample_dpmpp_3m_sde(
+        synth_model, x0.clone(), sig8, noises
+    )
 
     # 4. UniPC (bh2, order 2): n=8 exercises warmup order-1, steady order-2
     # predictor+corrector, and the lower_order_final order-1 tail; n=3 and
@@ -411,6 +460,8 @@ def main():
         euler_a_traj=eua_traj.numpy(),
         dpmpp_sde_final=sde_x.numpy(),
         dpmpp_sde_traj=sde_traj.numpy(),
+        dpmpp_3m_sde_final=sde3_x.numpy(),
+        dpmpp_3m_sde_traj=sde3_traj.numpy(),
         unipc_final=upc_x.numpy(),
         unipc_traj=upc_traj.numpy(),
         sigmas_3=sig3.numpy(),

@@ -86,13 +86,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "mean pixel cost (reference decodes f32)")
     p.add_argument("--sampler", type=str, default="ddim",
                    choices=["ddim", "euler", "dpmpp", "euler_a", "dpmpp_sde",
-                            "unipc", "heun", "euler_cfgpp", "lcm"],
+                            "dpmpp_3m_sde", "unipc", "heun", "euler_cfgpp",
+                            "lcm"],
                    help="Sampler: deterministic DDIM (reference), Euler, "
                         "DPM-Solver++ 2M (best quality at low step counts), "
                         "UniPC, Heun (2nd-order, two UNet evals/step), "
                         "euler_cfgpp (CFG++, arXiv:2406.08070 — re-noises "
                         "along the uncond direction; use small scales ~1-2), "
-                        "or the stochastic ancestral Euler / DPM++ 2M SDE; "
+                        "or the stochastic ancestral Euler / DPM++ 2M SDE / "
+                        "DPM++ 3M SDE (third-order multistep; pair with "
+                        "--schedule karras); "
                         "valid on every path (txt2img/inpaint/img2img/refiner). "
                         "lcm (4-8 steps) is for LCM-distilled checkpoints / "
                         "LCM-LoRA (use gs 1-2, or the baked-in guidance "
@@ -162,12 +165,29 @@ def build_parser() -> argparse.ArgumentParser:
                         "time (repeatable; kohya and diffusers/peft key "
                         "formats; default scale 1.0)")
     p.add_argument("--edit-image", type=str, default=None, metavar="PNG",
-                   help="FLUX.1 Kontext in-context editing (--family "
-                        "flux): the image to edit rides the sequence as "
-                        "clean reference tokens (RoPE id axis 0 = 1); "
-                        "the prompt describes the edit. Use a "
-                        "Kontext-dev checkpoint; default -gs for this "
-                        "mode is the release's 2.5")
+                   help="Instruction-based editing; the prompt is the edit "
+                        "instruction. --family flux: FLUX.1 Kontext "
+                        "in-context editing (the image rides the sequence "
+                        "as clean reference tokens; use a Kontext-dev "
+                        "checkpoint, -gs 2.5). UNet families: "
+                        "InstructPix2Pix (needs an 8-channel ip2p "
+                        "checkpoint, e.g. timbrooks/instruct-pix2pix; "
+                        "see --image-guidance-scale)")
+    p.add_argument("--invert-img", type=str, default=None, metavar="PNG",
+                   help="DDIM inversion editing (UNet families, any "
+                        "checkpoint): invert this image's DDIM chain under "
+                        "--invert-prompt (gs 1), then denoise the inverted "
+                        "latent under --prompt over the same grid — the "
+                        "prompt-swap editing recipe (arXiv:2211.09794). "
+                        "Same --prompt reconstructs the input")
+    p.add_argument("--invert-prompt", type=str, default="",
+                   help="Source prompt describing the --invert-img content "
+                        "(default \"\": unconditional inversion)")
+    p.add_argument("--image-guidance-scale", type=float, default=1.5,
+                   help="InstructPix2Pix image guidance s_I "
+                        "(arXiv:2211.09800; with --edit-image on the UNet "
+                        "families): higher sticks closer to the input "
+                        "image; text guidance stays -gs (typical 7.5/1.5)")
     p.add_argument("--quantize", choices=["int8", "int4"], default=None,
                    help="Weight-only quantized storage: block linears at "
                         "int8 (per-channel) or int4 (group-wise; modulation "
@@ -234,9 +254,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="With --reference-img: strength-based img2img "
                         "instead of crop-window inpainting")
     p.add_argument("--vae-tile", type=int, default=None, metavar="LATENT_PX",
-                   help="Tiled VAE decode with this latent tile size "
-                        "(e.g. 96): bounds decode memory for >=4096^2 "
-                        "outputs at a small seam-blend approximation")
+                   help="Tiled VAE decode AND encode with this latent tile "
+                        "size (e.g. 96): bounds VAE memory for >=4096^2 "
+                        "outputs / img2img inputs at a small seam-blend "
+                        "approximation")
     p.add_argument("--preview-every", type=int, default=None,
                    help="txt2img (any sampler): write a cheap latent preview "
                         "PNG ({output_dir}preview_{step}.png) every N steps")
@@ -308,6 +329,7 @@ def _run_sd3(args, dtype) -> int:
         ("--clip-skip", bool(args.clip_skip)),
         ("--true-cfg-scale", args.true_cfg_scale != 1.0),
         ("--edit-image", args.edit_image is not None),
+        ("--invert-img", args.invert_img is not None),
         ("--zsnr", args.zsnr),
     ]
     bad = [name for name, hit in unsupported if hit]
@@ -419,6 +441,7 @@ def _run_flux(args, dtype) -> int:
         ("--clip-skip", bool(args.clip_skip)),
         ("--no-t5", args.no_t5),
         ("--vae-bf16", args.vae_bf16),
+        ("--invert-img", args.invert_img is not None),
         ("--zsnr", args.zsnr),
     ]
     bad = [name for name, hit in unsupported if hit]
@@ -551,11 +574,6 @@ def main(argv=None) -> int:
 
     if args.slg_scale or args.slg_layers is not None:
         print("error: --slg-scale/--slg-layers apply to --family sd3 only",
-              file=sys.stderr)
-        return 1
-
-    if args.edit_image is not None:
-        print("error: --edit-image (Kontext) applies to --family flux",
               file=sys.stderr)
         return 1
 
@@ -775,6 +793,69 @@ def main(argv=None) -> int:
             guidance_rescale=args.guidance_rescale,
             no_cfg=args.no_cfg,
         )
+    elif args.invert_img is not None:
+        # DDIM inversion editing (arXiv:2211.09794): invert under the
+        # source prompt, denoise under the edit prompt over the same grid
+        if (args.reference_img is not None or args.edit_image is not None
+                or args.use_refiner or control_kw or args.preview_every):
+            print("error: --invert-img is not combinable with "
+                  "--reference-img / --edit-image / --use-refiner / "
+                  "--controlnet / --ip-adapter / --deepcache / --pag-scale "
+                  "/ --preview-every", file=sys.stderr)
+            return 1
+        if args.sampler != "ddim":
+            print("error: --invert-img is defined on the DDIM chain "
+                  "(--sampler ddim)", file=sys.stderr)
+            return 1
+        src = load_images([args.invert_img])
+        try:
+            inv = pipe.ddim_invert(
+                [args.invert_prompt] * len(prompts), src,
+                n_steps=args.n_diffusion_steps, guidance_scale=1.0,
+            )
+            images = pipe.txt2img(
+                prompts, resolution=(src.shape[1], src.shape[2]),
+                n_steps=args.n_diffusion_steps,
+                guidance_scale=args.unconditional_guidance_scale,
+                seed=args.seed,
+                negative_prompt=args.negative_prompt,
+                guidance_rescale=args.guidance_rescale,
+                no_cfg=args.no_cfg,
+                initial_latent=inv,
+            )
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+    elif args.edit_image is not None:
+        # InstructPix2Pix (arXiv:2211.09800): 8-channel edit UNet, 3-way CFG
+        if args.reference_img is not None:
+            print("error: --edit-image (ip2p) and --reference-img "
+                  "(img2img/inpaint) are different conditioning modes — "
+                  "pass one", file=sys.stderr)
+            return 1
+        if args.use_refiner or control_kw or args.preview_every:
+            print("error: --edit-image (ip2p) is not combinable with "
+                  "--use-refiner / --controlnet / --ip-adapter / "
+                  "--deepcache / --pag-scale / --preview-every",
+                  file=sys.stderr)
+            return 1
+        ref = load_images([args.edit_image])
+        try:
+            images = pipe.ip2p(
+                prompts,
+                ref,
+                n_steps=args.n_diffusion_steps,
+                guidance_scale=args.unconditional_guidance_scale,
+                image_guidance_scale=args.image_guidance_scale,
+                seed=args.seed,
+                negative_prompt=args.negative_prompt,
+                sampler=args.sampler,
+                schedule=args.schedule,
+                no_cfg=args.no_cfg,
+            )
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
     elif args.reference_img is not None and args.img2img_strength is not None:
         ref = load_images([args.reference_img])
         if len(prompts) > 1:

@@ -28,10 +28,12 @@ Endpoints:
                        {"ip_image": "<base64 png>", "ip_scale": x}
   POST /v1/img2img  -> same + {"image": "<base64 png>", "strength": 0.3}
                        (runs unbatched; resolution follows the image)
-  POST /v1/edit     -> same + {"image": "<base64 png>"} — Flux Kontext
-                       in-context editing (--family flux; the prompt
-                       describes the edit; runs unbatched, output at the
-                       image's own size)
+  POST /v1/edit     -> same + {"image": "<base64 png>"} — instruction
+                       editing; the prompt describes the edit, output at
+                       the image's own size, runs unbatched. Flux: Kontext
+                       in-context editing. UNet families: InstructPix2Pix
+                       (needs an 8-channel edit checkpoint; optional
+                       {"image_guidance_scale": 1.5})
   POST /v1/lora     -> {"loras": ["path:scale", ...] | [{"path","scale"}]}
                        hot-swaps the served LoRA set without a restart
                        (worker reloads the checkpoint between batches;
@@ -97,6 +99,9 @@ class GenConfig:
     # Flux true-CFG (--family flux only): real pair-batched CFG over the
     # negative prompt on top of the embedded guidance when > 1
     true_cfg_scale: float = 1.0
+    # InstructPix2Pix image guidance (UNet families' /v1/edit; the
+    # checkpoint must be an 8-channel edit UNet)
+    image_guidance_scale: float = 1.5
 
 
 @dataclass
@@ -323,8 +328,21 @@ class GenerationServer:
             seeds = [r.seed for r in batch]
             if (batch[0].edit_image is not None
                     and not hasattr(self.pipe, "flux_cfg")):
-                raise ValueError("/v1/edit (Kontext) needs --family flux")
-            if hasattr(self.pipe, "flux_cfg"):
+                # UNet families: InstructPix2Pix (8-channel edit UNet,
+                # 3-way CFG; see pipeline.ip2p). SD3 has no edit mode.
+                if not hasattr(self.pipe, "diffuser_cfg"):
+                    raise ValueError("/v1/edit is Kontext (--family flux) "
+                                     "or InstructPix2Pix (UNet families); "
+                                     "the SD3 family has no edit mode")
+                r0 = batch[0]
+                images = self.pipe.ip2p(
+                    r0.prompt, np.asarray(r0.edit_image)[None],
+                    n_steps=cfg.steps, guidance_scale=cfg.guidance_scale,
+                    image_guidance_scale=cfg.image_guidance_scale,
+                    seed=r0.seed, negative_prompt=cfg.negative_prompt,
+                    sampler=cfg.sampler, schedule=cfg.schedule,
+                )
+            elif hasattr(self.pipe, "flux_cfg"):
                 # Flux family (pipeline/flux.py): guidance-distilled, no
                 # CFG; same fused-batch per-image-seed contract
                 images = self._generate_flux(batch, cfg, seeds)
@@ -646,6 +664,9 @@ def make_handler(server: GenerationServer):
                     slg_scale=float(payload.get("slg_scale", d.slg_scale)),
                     true_cfg_scale=float(
                         payload.get("true_cfg_scale", d.true_cfg_scale)),
+                    image_guidance_scale=float(
+                        payload.get("image_guidance_scale",
+                                    d.image_guidance_scale)),
                 )
                 seed = int(payload.get("seed", 0))
                 image = None
@@ -760,7 +781,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--guidance-scale", type=float, default=7.5)
     p.add_argument("--sampler", type=str, default="ddim",
                    choices=["ddim", "euler", "dpmpp", "euler_a", "dpmpp_sde",
-                            "unipc", "heun", "euler_cfgpp", "lcm"])
+                            "dpmpp_3m_sde", "unipc", "heun", "euler_cfgpp",
+                            "lcm"])
     p.add_argument("--zsnr", action="store_true",
                    help="Rescale the alpha-bar table(s) to zero terminal "
                         "SNR at boot (UNet families; see sample --zsnr)")

@@ -147,3 +147,74 @@ def decode_latent_tiled(
 
     img = out / jnp.maximum(wsum, 1e-8)
     return jnp.clip(jnp.round(img), 0.0, 255.0).astype(jnp.uint8)
+
+
+def encode_images_tiled(
+    vae_params, cfg: AutoencoderConfig, images_u8: jnp.ndarray,
+    scale_factor: float = 0.13025, tile: int = 96,
+    overlap: Optional[int] = None,
+) -> jnp.ndarray:
+    """Tiled VAE encode (capability extension) — the encoder-side twin of
+    decode_latent_tiled: encode overlapping IMAGE tiles independently and
+    blend the latents with linear ramps, bounding encoder memory for
+    >=4096^2 img2img / inpainting / inversion inputs. Per-tile GroupNorm
+    statistics are the usual approximation; `tile`/`overlap` are in
+    LATENT pixels (x8 image pixels — the same units the decode side
+    uses, so one --vae-tile flag drives both directions). Inputs small
+    enough for one tile take the exact untiled path.
+    """
+    f = 2 ** (len(cfg.encoder_channels) - 1)  # VAE downsampling factor
+    if overlap is None:
+        overlap = min(16, max(tile // 4, 1))
+    b, H, W, c = images_u8.shape
+    h, w = H // f, W // f
+    if h <= tile and w <= tile:
+        return encode_images_to_latent(vae_params, cfg, images_u8,
+                                       scale_factor)
+    if overlap >= tile:
+        raise ValueError("overlap must be < tile")
+    stride = (tile - overlap) * f
+    tpx = tile * f
+
+    def starts(dim_px):
+        if dim_px <= tpx:
+            return [0]
+        s = list(range(0, dim_px - tpx, stride))
+        s.append(dim_px - tpx)  # last tile aligned to the edge
+        return s
+
+    ys, xs = starts(H), starts(W)
+    out = jnp.zeros((b, h, w, 4), jnp.float32)
+    wsum = jnp.zeros((1, h, w, 1), jnp.float32)
+
+    ramp1d = jnp.minimum(
+        jnp.arange(1, tile + 1, dtype=jnp.float32),
+        jnp.arange(tile, 0, -1, dtype=jnp.float32),
+    )
+    ramp1d = jnp.minimum(ramp1d / max(overlap, 1), 1.0)
+    tile_w = (ramp1d[:, None] * ramp1d[None, :])[None, :, :, None]
+
+    for y0 in ys:
+        for x0 in xs:
+            part = jax.lax.dynamic_slice(
+                images_u8, (0, y0, x0, 0),
+                (b, min(tpx, H), min(tpx, W), c),
+            )
+            lat = encode_images_to_latent(vae_params, cfg, part,
+                                          scale_factor)
+            th, tw = lat.shape[1], lat.shape[2]
+            wt = tile_w[:, :th, :tw]
+            ly, lx = y0 // f, x0 // f
+            out = jax.lax.dynamic_update_slice(
+                out,
+                jax.lax.dynamic_slice(out, (0, ly, lx, 0),
+                                      (b, th, tw, 4)) + lat * wt,
+                (0, ly, lx, 0),
+            )
+            wsum = jax.lax.dynamic_update_slice(
+                wsum,
+                jax.lax.dynamic_slice(wsum, (0, ly, lx, 0),
+                                      (1, th, tw, 1)) + wt,
+                (0, ly, lx, 0),
+            )
+    return out / jnp.maximum(wsum, 1e-8)

@@ -230,6 +230,20 @@ class SDXLPipeline:
         ]
         return jnp.concatenate(parts, axis=0)
 
+    def _encode(self, images, scale_factor=None):
+        """VAE encode honoring --vae-tile (encode_images_tiled), the
+        encoder-side twin of _decode's spatial tiling — bounds encoder
+        memory for >=4096^2 img2img / inpaint / inversion inputs."""
+        sf = self.scale_factor if scale_factor is None else scale_factor
+        imgs = jnp.asarray(images)
+        if self.vae_tile is not None:
+            from .latent import encode_images_tiled
+
+            return encode_images_tiled(self.vae_params, self.vae_cfg, imgs,
+                                       sf, tile=self.vae_tile)
+        return encode_images_to_latent(self.vae_params, self.vae_cfg, imgs,
+                                       sf)
+
     # -- conditioning --------------------------------------------------------
 
     def conditioning(
@@ -503,8 +517,18 @@ class SDXLPipeline:
         ip_adapter_scale: float = 0.6,
         deepcache: Optional[Tuple[int, int]] = None,
         pag_scale: float = 0.0,
+        initial_latent: Optional[jnp.ndarray] = None,
     ) -> np.ndarray:
         """Full pipeline; returns [B, H, W, 3] uint8.
+
+        initial_latent ([B,h,w,4] VP-space latent at the schedule's first
+        timestep, e.g. from ddim_invert): starts the DDIM chain from a
+        given noisy latent instead of fresh noise — the
+        inversion-editing workflow (invert with the source prompt, then
+        txt2img with an edit prompt over the same latent). sampler="ddim"
+        only (the inversion is defined on the DDIM chain); not
+        combinable with per-image seed lists, inpainting, previews, or
+        the refiner.
 
         pag_scale > 0: Perturbed-Attention Guidance (arXiv:2403.17377;
         "mid" layers) — one extra conditional UNet eval per step; not
@@ -583,11 +607,56 @@ class SDXLPipeline:
             # run fine but degrade quality (mod.rs:583-624)
             log(f"warning: {h}x{w} is not an SDXL-trained resolution bucket")
 
+        from .prompt_schedule import parse_batch_schedule
+
+        plist = [prompts] if isinstance(prompts, str) else list(prompts)
+        sched = parse_batch_schedule(plist, n_steps)
+        if sched is not None:
+            blocked = [
+                ("use_refiner", use_refiner),
+                ("inpainting", inpaint_reference is not None),
+                ("denoising_end", denoising_end is not None),
+                ("step previews", preview_every is not None),
+                ("ControlNet", control_image is not None),
+                ("IP-Adapter", ip_adapter_image is not None),
+                ("deepcache", deepcache is not None),
+                ("pag_scale", bool(pag_scale)),
+                ("the LCM sampler", sampler == "lcm"),
+                ("initial_latent", initial_latent is not None),
+            ]
+            bad = [n for n, hit in blocked if hit]
+            if bad:
+                raise ValueError(
+                    "prompt editing ([from:to:when] / [a|b]) is not "
+                    f"combinable with {', '.join(bad)}")
+            return self._txt2img_scheduled(
+                sched, resolution, n_steps, guidance_scale, seed,
+                negative_prompt, sampler, schedule, guidance_rescale,
+                no_cfg, device_output, profile_stages)
+
         cond = self.conditioning(
             prompts, resolution, negative_prompt=negative_prompt,
             profile_stages=profile_stages,
         )
         cond_half = self._shard_cond(cond.astype(self.compute_dtype))
+
+        if initial_latent is not None:
+            if sampler != "ddim":
+                raise ValueError(
+                    "initial_latent starts the DDIM chain (ddim_invert's "
+                    "output is defined on it) — use sampler='ddim'")
+            if (inpaint_reference is not None or use_refiner
+                    or preview_every is not None
+                    or not isinstance(seed, (int, np.integer))):
+                raise ValueError(
+                    "initial_latent is not combinable with inpainting, "
+                    "the refiner, previews, or per-image seed lists")
+            lh, lw = h // 8, w // 8
+            if tuple(initial_latent.shape[1:]) != (lh, lw, 4):
+                raise ValueError(
+                    f"initial_latent shape {tuple(initial_latent.shape)} "
+                    f"does not match resolution {h}x{w} "
+                    f"(expect [B, {lh}, {lw}, 4])")
 
         seeds = None
         if not isinstance(seed, (int, np.integer)):
@@ -600,7 +669,8 @@ class SDXLPipeline:
             seed = seeds[0]
         key = jax.random.PRNGKey(seed)
         base_key, refiner_key = jax.random.split(key)
-        initial_noise = None
+        initial_noise = (None if initial_latent is None
+                         else jnp.asarray(initial_latent, jnp.float32))
         step_keys = None
         if seeds is not None:
             from .sampler import gen_noise_per_seed
@@ -627,10 +697,8 @@ class SDXLPipeline:
                 ref = jnp.asarray(inpaint_reference).astype(jnp.float32)
                 # masked pixels -> mid-gray (0 in the VAE's [-1, 1] input)
                 masked_px = ref * (1.0 - px) + 127.5 * px
-                masked_latent = encode_images_to_latent(
-                    self.vae_params, self.vae_cfg,
-                    masked_px.astype(jnp.uint8), self.scale_factor,
-                )
+                masked_latent = self._encode(
+                    masked_px.astype(jnp.uint8))
                 b = cond.context_full.shape[0]
                 lh, lw = m.shape[1], m.shape[2]
                 concat_channels = jnp.concatenate(
@@ -645,10 +713,7 @@ class SDXLPipeline:
             inpaint_mask = None  # the pin path is for 4-channel models
         elif inpaint_reference is not None:
             with self.timer.stage("vae_encode"):
-                reference_latent = encode_images_to_latent(
-                    self.vae_params, self.vae_cfg, jnp.asarray(inpaint_reference),
-                    self.scale_factor,
-                )
+                reference_latent = self._encode(inpaint_reference)
                 if profile_stages:
                     fence(reference_latent)
 
@@ -924,6 +989,87 @@ class SDXLPipeline:
             return images
         return np.asarray(images)
 
+    def _txt2img_scheduled(
+        self,
+        sched,  # [(n_segment_steps, [prompt per image]), ...]
+        resolution,
+        n_steps,
+        guidance_scale,
+        seed,
+        negative_prompt,
+        sampler,
+        schedule,
+        guidance_rescale,
+        no_cfg,
+        device_output,
+        profile_stages,
+    ) -> np.ndarray:
+        """Prompt-editing txt2img (pipeline/prompt_schedule.py): one
+        conditioning per schedule segment, chained segmented scans
+        (sampler.scheduled_sample_latent). Noise keys and step math match
+        the unscheduled run exactly — a static prompt takes the ordinary
+        path and a single-segment schedule is bitwise identical."""
+        if sampler not in SAMPLERS:
+            raise ValueError(f"unknown sampler {sampler!r} "
+                             f"({'|'.join(SAMPLERS)})")
+        if schedule != "linear" and sampler == "ddim":
+            raise ValueError("--schedule applies to the euler/dpmpp "
+                             "samplers")
+        schedule = self._resolve_schedule(schedule)
+        use_cfg = not (no_cfg or guidance_scale == 1.0)
+        # one conditioning per segment; identical prompt lists hit the
+        # same embedder jit cache, and uncond is cached pipeline-wide
+        conds = []
+        seg_lens = []
+        for n_seg, seg_prompts in sched:
+            c = self.conditioning(seg_prompts, resolution,
+                                  negative_prompt=negative_prompt,
+                                  profile_stages=profile_stages)
+            conds.append(self._shard_cond(c.astype(self.compute_dtype)))
+            seg_lens.append(n_seg)
+        batch = conds[0].context_full.shape[0]
+
+        seeds = None
+        if not isinstance(seed, (int, np.integer)):
+            seeds = list(seed)
+            if len(seeds) != batch:
+                raise ValueError(f"{len(seeds)} seeds for a {batch}-image "
+                                 "batch")
+            seed = seeds[0]
+        initial_noise = None
+        step_keys = None
+        if seeds is not None:
+            from .sampler import gen_noise_per_seed
+
+            initial_noise = gen_noise_per_seed(seeds, conds[0])
+            if sampler in K_STOCHASTIC:
+                from .sampler import k_step_keys_per_seed
+
+                step_keys = k_step_keys_per_seed(seeds, n_steps)
+
+        from .sampler import scheduled_sample_latent
+
+        # same key layout as the plain path: PRNGKey(seed) splits into
+        # (base, refiner); the base key drives the scan — so a resolved
+        # static prompt is bit-identical to the unscheduled run
+        base_key, _ = jax.random.split(jax.random.PRNGKey(seed))
+        with self.timer.stage("diffuser"):
+            latent = scheduled_sample_latent(
+                self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
+                conds, seg_lens, base_key, guidance_scale,
+                n_steps, self.compute_dtype, method=sampler,
+                schedule=schedule, use_cfg=use_cfg,
+                guidance_rescale=guidance_rescale,
+                initial_noise=initial_noise, step_keys=step_keys,
+            )
+            if profile_stages:
+                fence(latent)
+
+        with self.timer.stage("vae_decode"):
+            images = self._decode(latent)
+            fence(images)
+        return images if device_output else np.asarray(images)
+
     def txt2img_hires(
         self,
         prompts,
@@ -1076,10 +1222,7 @@ class SDXLPipeline:
         ).astype(self.compute_dtype))
 
         with self.timer.stage("vae_encode"):
-            latent = encode_images_to_latent(
-                self.vae_params, self.vae_cfg, jnp.asarray(reference_images),
-                self.scale_factor,
-            )
+            latent = self._encode(reference_images)
 
         if sampler not in SAMPLERS:
             raise ValueError(f"unknown sampler {sampler!r} ({'|'.join(SAMPLERS)})")
@@ -1132,6 +1275,167 @@ class SDXLPipeline:
                     use_cfg=use_cfg, guidance_rescale=guidance_rescale,
                     ip=ipd, deepcache=deepcache, pag_scale=pag_scale, **ctl,
                 )
+
+        with self.timer.stage("vae_decode"):
+            images = self._decode(latent)
+            fence(images)
+        return images if device_output else np.asarray(images)
+
+    def ddim_invert(
+        self,
+        prompts,
+        images: np.ndarray,  # [B, H, W, 3] uint8
+        n_steps: int = 50,
+        guidance_scale: float = 1.0,
+        negative_prompt: str = "",
+    ) -> np.ndarray:
+        """DDIM inversion (see sampler.ddim_invert_latent): VAE-encode
+        `images` and walk the deterministic DDIM chain backward under
+        `prompts`, returning the [B,h,w,4] noisy latent at the schedule's
+        first timestep. Feed it to txt2img(initial_latent=..., seed
+        irrelevant) with the SAME n_steps and sampler='ddim': the source
+        prompt reconstructs the input; an edit prompt performs
+        inversion-based editing. guidance_scale 1 (the default) inverts
+        the unguided field — the faithful-reconstruction setting."""
+        images = np.asarray(images)
+        if images.ndim == 3:
+            images = images[None]
+        _, height, width, _ = images.shape
+        cond = self._shard_cond(self.conditioning(
+            [prompts] if isinstance(prompts, str) else prompts,
+            (height, width), negative_prompt=negative_prompt,
+        ).astype(self.compute_dtype))
+
+        with self.timer.stage("vae_encode"):
+            latent = self._encode(images)
+            b = cond.context_full.shape[0]
+            if latent.shape[0] == 1 and b > 1:
+                latent = jnp.broadcast_to(latent, (b,) + latent.shape[1:])
+
+        from .sampler import ddim_invert_latent
+
+        with self.timer.stage("diffuser"):
+            out = ddim_invert_latent(
+                self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
+                latent, cond, guidance_scale, n_steps, self.compute_dtype,
+                use_cfg=guidance_scale != 1.0,
+            )
+            fence(out)
+        return np.asarray(out)
+
+    def ip2p(
+        self,
+        prompts,
+        edit_images: np.ndarray,  # [B or 1, H, W, 3] uint8
+        n_steps: int = 30,
+        guidance_scale: float = 7.5,
+        image_guidance_scale: float = 1.5,
+        seed: int = 0,
+        negative_prompt: str = "",
+        device_output: bool = False,
+        sampler: str = "ddim",
+        schedule: str = "linear",
+        no_cfg: bool = False,
+    ) -> np.ndarray:
+        """InstructPix2Pix editing (Brooks et al. 2023, arXiv:2211.09800).
+
+        Needs an 8-channel edit UNet (DiffuserConfig.in_channels == 8,
+        e.g. timbrooks/instruct-pix2pix or an SDXL ip2p finetune —
+        conv_in width is auto-detected at load like the 9-channel
+        inpainting models). The prompt is the edit INSTRUCTION; denoising
+        starts from pure noise at the image's own resolution with the
+        edit image entering as 4 extra input channels.
+
+        The edit image is VAE-encoded with the posterior MEAN and WITHOUT
+        the latent scale factor — the ip2p training quirk: the original
+        repo conditions on encode_first_stage(image).mode() unscaled, and
+        diffusers' prepare_image_latents matches (no scaling_factor
+        multiply). CFG is the paper's 3-way split combined as
+        e_u + s_I*(e_img - e_u) + s_T*(e_txt - e_img) with
+        s_T = guidance_scale and s_I = image_guidance_scale (typical
+        settings 7.5 / 1.5); raising s_I sticks closer to the input
+        image. no_cfg (or both scales 1) runs the conditional branch
+        only. seed accepts a per-image sequence like txt2img.
+        """
+        if self.diffuser_cfg.in_channels != 8:
+            raise ValueError(
+                "InstructPix2Pix needs an 8-channel edit UNet (this "
+                f"checkpoint has in_channels={self.diffuser_cfg.in_channels};"
+                " e.g. timbrooks/instruct-pix2pix)")
+        edit_images = np.asarray(edit_images)
+        if edit_images.ndim == 3:
+            edit_images = edit_images[None]
+        _, height, width, _ = edit_images.shape
+        if height % 8 or width % 8:
+            raise ValueError(f"edit image {height}x{width} must be a "
+                             "multiple of 8")
+        cond = self.conditioning(
+            [prompts] if isinstance(prompts, str) else prompts,
+            (height, width), negative_prompt=negative_prompt,
+        )
+        cond_half = self._shard_cond(cond.astype(self.compute_dtype))
+        batch = cond.context_full.shape[0]
+
+        with self.timer.stage("vae_encode"):
+            # scale_factor=1.0: unscaled posterior-mean latents (see above)
+            edit_latents = self._encode(edit_images, scale_factor=1.0)
+            if edit_latents.shape[0] == 1 and batch > 1:
+                edit_latents = jnp.broadcast_to(
+                    edit_latents, (batch,) + edit_latents.shape[1:])
+
+        if sampler not in SAMPLERS:
+            raise ValueError(f"unknown sampler {sampler!r} "
+                             f"({'|'.join(SAMPLERS)})")
+        if sampler == "lcm":
+            raise ValueError("the LCM sampler does not serve ip2p "
+                             "checkpoints")
+        if schedule != "linear" and sampler == "ddim":
+            raise ValueError("--schedule applies to the euler/dpmpp "
+                             "samplers")
+        schedule = self._resolve_schedule(schedule)
+        use_cfg = not (no_cfg
+                       or (guidance_scale == 1.0
+                           and image_guidance_scale == 1.0))
+
+        seeds = None
+        if not isinstance(seed, (int, np.integer)):
+            seeds = list(seed)
+            if len(seeds) != batch:
+                raise ValueError(f"{len(seeds)} seeds for a {batch}-image "
+                                 "batch")
+            seed = seeds[0]
+        initial_noise = None
+        step_keys = None
+        if seeds is not None:
+            from .sampler import gen_noise_per_seed
+
+            initial_noise = gen_noise_per_seed(seeds, cond_half)
+            if sampler in K_STOCHASTIC:
+                from .sampler import k_step_keys_per_seed
+
+                step_keys = k_step_keys_per_seed(seeds, n_steps)
+
+        key = jax.random.PRNGKey(seed)
+        with self.timer.stage("diffuser"):
+            if sampler in K_SAMPLERS:
+                latent = euler_sample_latent(
+                    self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
+                    cond_half, key, guidance_scale, n_steps,
+                    self.compute_dtype, method=sampler, schedule=schedule,
+                    use_cfg=use_cfg, concat_channels=edit_latents,
+                    initial_noise=initial_noise, step_keys=step_keys,
+                    edit=True, image_guidance_scale=image_guidance_scale,
+                )
+            else:
+                latent = sample_latent(
+                    self.unet_params, self.diffuser_cfg, self.alphas_cumprod,
+                    cond_half, key, guidance_scale, n_steps,
+                    self.compute_dtype, use_cfg=use_cfg,
+                    concat_channels=edit_latents,
+                    initial_noise=initial_noise,
+                    edit=True, image_guidance_scale=image_guidance_scale,
+                )
+            fence(latent)
 
         with self.timer.stage("vae_decode"):
             images = self._decode(latent)

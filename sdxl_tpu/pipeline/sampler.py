@@ -49,9 +49,9 @@ N_STEPS_TOTAL = 1000  # DDPM table length (stablediffusion/mod.rs:282)
 # k-diffusion sampler surface (capability extension; the reference ships
 # only DDIM). Stochastic methods draw per-step noise inside the scan.
 # "heun" runs TWO model evals per step (the public 2nd-order scheme).
-K_SAMPLERS = ("euler", "dpmpp", "euler_a", "dpmpp_sde", "unipc", "heun",
-              "euler_cfgpp")
-K_STOCHASTIC = ("euler_a", "dpmpp_sde")
+K_SAMPLERS = ("euler", "dpmpp", "euler_a", "dpmpp_sde", "dpmpp_3m_sde",
+              "unipc", "heun", "euler_cfgpp")
+K_STOCHASTIC = ("euler_a", "dpmpp_sde", "dpmpp_3m_sde")
 
 
 def scaled_linear_alphas_cumprod(n_steps: int = N_STEPS_TOTAL) -> np.ndarray:
@@ -172,7 +172,7 @@ def expert_head_steps(alphas_cumprod, n_steps: int, denoising_end: float,
 
 
 def _cfg_contexts(cfg: DiffuserConfig, cond: Conditioning, compute_dtype,
-                  use_cfg: bool = True):
+                  use_cfg: bool = True, rows3: bool = False):
     """Scan-invariant context/channel tensors for forward_diffuser
     (mod.rs:494-541): the refiner feeds the OpenCLIP context only and skips
     CFG; the base gets the [uncond | cond] pair for one batched call.
@@ -180,7 +180,12 @@ def _cfg_contexts(cfg: DiffuserConfig, cond: Conditioning, compute_dtype,
     use_cfg=False drops the unconditional branch entirely (conditional
     context only, half the UNet work) — mathematically identical to
     guidance_scale == 1 and the required path for guidance-distilled
-    (Turbo/Lightning-style) models."""
+    (Turbo/Lightning-style) models.
+
+    rows3=True (InstructPix2Pix 3-way CFG, see _cfg_eps image_scale):
+    rows are [uncond-text | uncond-text | cond-text] — the first two rows
+    differ only in the image concat channels the caller builds
+    ([zeros | image | image])."""
     if not use_cfg and not cfg.is_refiner:
         ctx = cond.context_full.astype(compute_dtype)
         ch = cond.channel_context
@@ -192,12 +197,14 @@ def _cfg_contexts(cfg: DiffuserConfig, cond: Conditioning, compute_dtype,
         )
     ctx = cond.context_full
     uctx = jnp.broadcast_to(cond.unconditional_context_full, ctx.shape)
-    ctx2 = jnp.concatenate([uctx, ctx], axis=0).astype(compute_dtype)
+    parts = [uctx, uctx, ctx] if rows3 else [uctx, ctx]
+    ctx2 = jnp.concatenate(parts, axis=0).astype(compute_dtype)
     ch = cond.channel_context
     if ch is None:  # SD 1.x/2.x: no label/micro-conditioning channel
         return ctx2, None
     uch = jnp.broadcast_to(cond.unconditional_channel_context, ch.shape)
-    return ctx2, jnp.concatenate([uch, ch], axis=0).astype(compute_dtype)
+    chp = [uch, uch, ch] if rows3 else [uch, ch]
+    return ctx2, jnp.concatenate(chp, axis=0).astype(compute_dtype)
 
 
 def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
@@ -205,8 +212,18 @@ def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
              use_cfg: bool = True, guidance_rescale: float = 0.0,
              concat=None, control=None, control_cfg=None, control_kv=None,
              control_scale=None, t_add=None, pag_scale: float = 0.0,
-             return_uncond: bool = False):
+             return_uncond: bool = False, image_scale=None):
     """One guided epsilon prediction (forward_diffuser, mod.rs:494-541).
+
+    image_scale not None (InstructPix2Pix, Brooks et al. 2023,
+    arXiv:2211.09800 eq. 3): three-way CFG in ONE batched call over rows
+    [uncond | image-only | image+text] — `concat` carries the per-row
+    edit-image latent channels ([zeros | image | image], built by the
+    caller) and ctx2/ch2 are the rows3 contexts (_cfg_contexts):
+    eps = e_u + image_scale*(e_i - e_u) + guidance_scale*(e_t - e_i),
+    the exact combination diffusers' StableDiffusionInstructPix2Pix
+    pipeline applies to its [text, image, uncond] split. Not combinable
+    with ControlNet / PAG / CFG++ / guidance_rescale.
 
     For prediction_type="v" (SD 2.x-768) the raw output is converted to
     an epsilon via eps = sqrt(a)*v + sqrt(1-a)*x_vp (identity from
@@ -249,7 +266,6 @@ def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
     if return_uncond and (cfg.is_refiner or not use_cfg):
         raise ValueError("CFG++ needs the pair-batched CFG path (a guided "
                          "base/family UNet, not the refiner or --no-cfg)")
-
     def to_eps(raw, x_vp):
         if cfg.prediction_type == "v":
             return jnp.sqrt(alpha_t) * raw + jnp.sqrt(1.0 - alpha_t) * x_vp
@@ -296,6 +312,24 @@ def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
         )
         s = control_scale
         return [d * s for d in down], mid * s
+
+    if image_scale is not None and use_cfg and not cfg.is_refiner:
+        if (pag_scale or return_uncond or control is not None
+                or guidance_rescale):
+            raise ValueError("InstructPix2Pix 3-way CFG is not combinable "
+                             "with PAG / CFG++ / ControlNet / "
+                             "guidance_rescale")
+        # triple-batched ip2p CFG: [uncond | image | image+text]
+        x3 = jnp.concatenate([latent] * 3, axis=0).astype(compute_dtype)
+        x_in = jnp.concatenate([x3, concat.astype(compute_dtype)], -1)
+        t3 = jnp.broadcast_to(t, (3 * n_batch,))
+        raw3 = unet_forward(unet_params, ucfg, x_in, t3, ctx2, ch2,
+                            cross_kv=cross_kv, t_add=t_add
+                            ).astype(jnp.float32)
+        eps3 = to_eps(raw3, x3.astype(jnp.float32))
+        e_u, e_i, e_t = jnp.split(eps3, 3, axis=0)
+        return (e_u + image_scale * (e_i - e_u)
+                + guidance_scale * (e_t - e_i))
 
     if cfg.is_refiner:
         t_vec = jnp.broadcast_to(t, (n_batch,))
@@ -350,6 +384,29 @@ def _cfg_eps(unet_params, cfg: DiffuserConfig, latent, t, ctx2, ch2,
     if return_uncond:
         return eps, eps_u
     return eps
+
+
+def _edit_validate(cfg, concat_channels, inpaint, control_params, deepcache,
+                   pag_scale, ip, guidance_rescale, use_cfg):
+    """InstructPix2Pix option compatibility (one place for both loops)."""
+    if concat_channels is None:
+        raise ValueError("edit=True needs concat_channels = the edit-image "
+                         "latents [B,h,w,4]")
+    if cfg.is_refiner:
+        raise ValueError("InstructPix2Pix applies to the base/family UNets")
+    if cfg.in_channels != 4 + concat_channels.shape[-1]:
+        raise ValueError(
+            "InstructPix2Pix needs an 8-channel edit UNet (in_channels="
+            f"{cfg.in_channels}; e.g. timbrooks/instruct-pix2pix)")
+    if inpaint or control_params is not None or deepcache is not None:
+        raise ValueError("InstructPix2Pix is not combinable with the "
+                         "inpaint pin / ControlNet / DeepCache")
+    if pag_scale or ip is not None:
+        raise ValueError("InstructPix2Pix is not combinable with PAG or "
+                         "IP-Adapter")
+    if guidance_rescale and use_cfg:
+        raise ValueError("guidance_rescale does not apply to the ip2p "
+                         "3-way CFG")
 
 
 def _deepcache_validate(deepcache, control_params, concat_channels):
@@ -529,7 +586,7 @@ def _merge_ip(cross_kv, ip, cfg: DiffuserConfig, cond: Conditioning,
     static_argnames=("cfg", "step_start", "n_steps", "compute_dtype", "inpaint",
                      "use_cfg", "guidance_rescale", "control_cfg",
                      "control_window", "deepcache", "pag_scale", "head_steps",
-                     "tail_from"),
+                     "tail_from", "edit"),
     donate_argnames=("latent",),
 )
 def diffuse_latent(
@@ -559,8 +616,15 @@ def diffuse_latent(
     pag_scale: float = 0.0,
     head_steps: int = 0,
     tail_from: int = 0,
+    edit: bool = False,
+    image_guidance_scale: float = 1.5,
 ) -> jnp.ndarray:
     """DDIM loop as one lax.scan (diffuse_latent, mod.rs:390-483).
+
+    edit=True (InstructPix2Pix): concat_channels is the UNSCALED
+    edit-image latent [B,h,w,4] (in_channels == 8 models) and the CFG
+    batch becomes the 3-way [uncond | image | image+text] split combined
+    with (guidance_scale, image_guidance_scale) — see _cfg_eps.
 
     head_steps > 0 (ensemble-of-experts base stage, diffusers'
     denoising_end): run only the first head_steps entries of the grid;
@@ -631,14 +695,21 @@ def diffuse_latent(
     else:
         keys = jnp.zeros((ts.shape[0], 2), dtype=jnp.uint32)
 
+    if edit:
+        _edit_validate(cfg, concat_channels, inpaint, control_params,
+                       deepcache, pag_scale, ip, guidance_rescale, use_cfg)
     # loop-invariant conditioning hoisted out of the scan, including every
     # cross-attention K/V projection of the fixed context
-    ctx2, ch2 = _cfg_contexts(cfg, cond, compute_dtype, use_cfg)
+    ctx2, ch2 = _cfg_contexts(cfg, cond, compute_dtype, use_cfg, rows3=edit)
     cross_kv = precompute_cross_kv(unet_params, cfg.unet_config(), ctx2)
     cross_kv = _merge_ip(cross_kv, ip, cfg, cond, compute_dtype, use_cfg)
     cc = concat_channels
     if cc is not None and use_cfg and not cfg.is_refiner:
-        cc = jnp.concatenate([cc, cc], axis=0)
+        if edit:  # ip2p rows: [no image | image | image]
+            cc = jnp.concatenate([jnp.zeros_like(cc), cc, cc], axis=0)
+        else:
+            cc = jnp.concatenate([cc, cc], axis=0)
+    img_scale = image_guidance_scale if (edit and use_cfg) else None
     ctrl, ctrl_kv = _control_setup(control_params, control_cfg, control_image,
                                    ctx2, compute_dtype, use_cfg, cfg.is_refiner)
     cscales = _control_window_scales(int(ts.shape[0]), control_scale,
@@ -687,7 +758,7 @@ def diffuse_latent(
                        use_cfg=use_cfg, guidance_rescale=guidance_rescale,
                        concat=cc, control=ctrl, control_cfg=control_cfg,
                        control_kv=ctrl_kv, control_scale=cs,
-                       pag_scale=pag_scale)
+                       pag_scale=pag_scale, image_scale=img_scale)
         sqrt_noise = jnp.sqrt(1.0 - alpha)
         x0 = (lat - eps * sqrt_noise) / jnp.sqrt(alpha)
         lat = x0 * jnp.sqrt(alpha_prev) + eps * jnp.sqrt(1.0 - alpha_prev)
@@ -995,6 +1066,62 @@ def k_step_update(method: str, lat, denoised, old_denoised, sigma, sigma_next,
     return ratio * lat + em1 * d_eff
 
 
+def m3_scan_extras(sig: jnp.ndarray):
+    """Static per-step inputs for the DPM++ 3M SDE scan: sig_prev2[i] =
+    sig[i-2] (dummy sig[0] for i < 2) and the second-step flag (the step
+    whose history holds one denoised — 2nd-order branch)."""
+    n = sig.shape[0]
+    sig_prev2 = jnp.concatenate([sig[:1], sig[:1], sig[:-2]])[:n]
+    second = jnp.arange(n) == 1
+    return sig_prev2, second
+
+
+def dpmpp_3m_sde_update(lat, denoised, den1, den2, sigma, sigma_next,
+                        sigma_prev, sigma_prev2, is_first, is_second,
+                        noise, eta: float = 1.0):
+    """DPM-Solver++(3M) SDE (k-diffusion sample_dpmpp_3m_sde, eta=1,
+    s_noise=1), with independent per-step normals in place of the
+    Brownian tree — the same substitution the dpmpp_sde path and
+    diffusers' sde-dpmsolver++ make.
+
+    Third-order multistep in lambda = -log(sigma) space: the exponential
+    decay exp(-h*(eta+1)) toward `denoised`, then the 2nd/3rd-order
+    history corrections with phi_2 = expm1(-h_eta)/h_eta + 1 and
+    phi_3 = phi_2/h_eta - 1/2, exactly the public loop's operation order.
+    Warmup follows the history: 1st order on the first step (no den1),
+    2nd on the second (no den2), 3rd after. With a static sigma grid the
+    public loop's carried step sizes are reproducible from the grid:
+    h_1 = lam(sigma) - lam(sigma_prev), h_2 = lam(sigma_prev) -
+    lam(sigma_prev2) (the same reconstruction unipc_step_update uses).
+    Final sigma_next = 0 step returns `denoised` exactly. Pinned against
+    a literal sequential transcription in tests/test_k_goldens.py."""
+    lam = -jnp.log(sigma)
+    lam_next = -jnp.log(jnp.maximum(sigma_next, 1e-10))
+    h = lam_next - lam
+    h_eta = h * (eta + 1.0)
+    x = jnp.exp(-h_eta) * lat - jnp.expm1(-h_eta) * denoised
+
+    # histories from the static grid; guards keep r0/r1 finite on the
+    # warmup steps (the wheres below drop their branches) for debug_nans
+    h_1 = lam - (-jnp.log(sigma_prev))
+    h_2 = (-jnp.log(sigma_prev)) - (-jnp.log(sigma_prev2))
+    r0 = jnp.where(is_first, 1.0, h_1 / h)
+    r1 = jnp.where(jnp.logical_or(is_first, is_second), 1.0, h_2 / h)
+    phi_2 = jnp.expm1(-h_eta) / h_eta + 1.0
+    phi_3 = phi_2 / h_eta - 0.5
+
+    d1_0 = (denoised - den1) / r0
+    d1_1 = (den1 - den2) / r1
+    d1 = d1_0 + (d1_0 - d1_1) * r0 / (r0 + r1)
+    d2 = (d1_0 - d1_1) / (r0 + r1)
+    third = x + phi_2 * d1 - phi_3 * d2
+    second = x + phi_2 * d1_0  # k-diffusion's h_2-is-None branch (d = d1_0)
+    x = jnp.where(is_first, x, jnp.where(is_second, second, third))
+
+    x = x + noise * sigma_next * jnp.sqrt(-jnp.expm1(-2.0 * h * eta))
+    return jnp.where(sigma_next > 0, x, denoised)
+
+
 def heun_proposal(lat, denoised, sigma, sigma_next):
     """Heun's Euler proposal x_2 = x + d*dt (k-diffusion sample_heun) —
     the point where the SECOND model eval happens, at sigma_next."""
@@ -1114,7 +1241,7 @@ def unipc_step_update(lat, denoised, m_prev, m_prev2, last_sample,
         "cfg", "method", "step_start", "n_steps", "compute_dtype", "inpaint",
         "schedule", "use_cfg", "guidance_rescale", "control_cfg",
         "control_window", "deepcache", "pag_scale", "head_steps",
-        "tail_from",
+        "tail_from", "edit",
     ),
     donate_argnames=("latent",),
 )
@@ -1148,8 +1275,14 @@ def k_diffuse_latent(
     pag_scale: float = 0.0,
     head_steps: int = 0,
     tail_from: int = 0,
+    edit: bool = False,
+    image_guidance_scale: float = 1.5,
 ) -> jnp.ndarray:
     """k-diffusion samplers over the same ᾱ table the DDIM path uses.
+
+    edit=True (InstructPix2Pix): concat_channels is the UNSCALED
+    edit-image latent [B,h,w,4] and CFG becomes the 3-way
+    [uncond | image | image+text] split (see _cfg_eps image_scale).
 
     head_steps > 0 (ensemble-of-experts base stage, diffusers'
     denoising_end): run only the first head_steps entries of the grid —
@@ -1271,12 +1404,22 @@ def k_diffuse_latent(
     else:
         keys = jnp.zeros((ts.shape[0], 2), dtype=jnp.uint32)
 
-    ctx2, ch2 = _cfg_contexts(cfg, cond, compute_dtype, use_cfg)
+    if edit:
+        if method in ("euler_cfgpp",):
+            raise ValueError("euler_cfgpp does not apply to the ip2p 3-way "
+                             "CFG (no single uncond direction)")
+        _edit_validate(cfg, concat_channels, inpaint, control_params,
+                       deepcache, pag_scale, ip, guidance_rescale, use_cfg)
+    ctx2, ch2 = _cfg_contexts(cfg, cond, compute_dtype, use_cfg, rows3=edit)
     cross_kv = precompute_cross_kv(unet_params, cfg.unet_config(), ctx2)
     cross_kv = _merge_ip(cross_kv, ip, cfg, cond, compute_dtype, use_cfg)
     cc = concat_channels
     if cc is not None and use_cfg and not cfg.is_refiner:
-        cc = jnp.concatenate([cc, cc], axis=0)
+        if edit:  # ip2p rows: [no image | image | image]
+            cc = jnp.concatenate([jnp.zeros_like(cc), cc, cc], axis=0)
+        else:
+            cc = jnp.concatenate([cc, cc], axis=0)
+    img_scale = image_guidance_scale if (edit and use_cfg) else None
     ctrl, ctrl_kv = _control_setup(control_params, control_cfg, control_image,
                                    ctx2, compute_dtype, use_cfg, cfg.is_refiner)
     cscales = _control_window_scales(int(ts.shape[0]), control_scale,
@@ -1287,6 +1430,7 @@ def k_diffuse_latent(
     first = jnp.arange(ts.shape[0]) == 0
     unipc = method == "unipc"
     heun = method == "heun"
+    m3 = method == "dpmpp_3m_sde"
     if unipc:
         # per-step order masks + sig[i-2] for the predictor-corrector
         sig_prev2, u_corr, c_o2, p_o2 = unipc_scan_extras(sig)
@@ -1296,6 +1440,9 @@ def k_diffuse_latent(
         # the final entry is a masked dummy (sigma_next = 0 -> plain Euler)
         tsj = jnp.asarray(ts)
         extras = (jnp.concatenate([tsj[1:], tsj[-1:]]),)
+    elif m3:
+        # sig[i-2] + second-step flag for the 3rd-order history
+        extras = m3_scan_extras(sig)
     else:
         extras = ()
 
@@ -1315,6 +1462,10 @@ def k_diffuse_latent(
                 lat, m_prev, m_prev2, last_sample, cache = carry
                 (t, sigma, sigma_next, sigma_prev, is_first, k,
                  sigma_prev2, uc, c2, p2, is_full) = inp
+            elif m3:
+                lat, den1, den2, cache = carry
+                (t, sigma, sigma_next, sigma_prev, is_first, k,
+                 sigma_prev2, is_second, is_full) = inp
             else:
                 lat, old_denoised, cache = carry
                 t, sigma, sigma_next, sigma_prev, is_first, k, is_full = inp
@@ -1333,6 +1484,12 @@ def k_diffuse_latent(
                     lat, denoised, m_prev, m_prev2, last_sample,
                     sigma, sigma_next, sigma_prev, sigma_prev2, uc, c2, p2)
                 return (new_lat, denoised, m_prev, x_c, cache), None
+            if m3:
+                snoise = _scan_normal(_scan_fold(k, 1), lat.shape)
+                new_lat = dpmpp_3m_sde_update(
+                    lat, denoised, den1, den2, sigma, sigma_next,
+                    sigma_prev, sigma_prev2, is_first, is_second, snoise)
+                return (new_lat, denoised, den1, cache), None
             snoise = (_scan_normal(_scan_fold(k, 1), lat.shape)
                       if stochastic else None)
             new_lat = k_step_update(method, lat, denoised, old_denoised,
@@ -1342,6 +1499,7 @@ def k_diffuse_latent(
 
         z = jnp.zeros_like(latent)
         carry0 = ((latent, z, z, latent, cache0) if unipc
+                  else (latent, z, z, cache0) if m3
                   else (latent, z, cache0))
         inputs = ((jnp.asarray(ts), sig, sig_next, sig_prev, first, keys)
                   + extras + (full_flags,))
@@ -1358,6 +1516,10 @@ def k_diffuse_latent(
         elif heun:
             lat, old_denoised = carry
             t, sigma, sigma_next, sigma_prev, is_first, k, t_nx, cs = inp
+        elif m3:
+            lat, den1, den2 = carry
+            (t, sigma, sigma_next, sigma_prev, is_first, k,
+             sigma_prev2, is_second, cs) = inp
         else:
             lat, old_denoised = carry
             t, sigma, sigma_next, sigma_prev, is_first, k, cs = inp
@@ -1372,7 +1534,8 @@ def k_diffuse_latent(
                        use_cfg=use_cfg, guidance_rescale=guidance_rescale,
                        concat=cc, control=ctrl, control_cfg=control_cfg,
                        control_kv=ctrl_kv, control_scale=cs,
-                       pag_scale=pag_scale, return_uncond=cfgpp)
+                       pag_scale=pag_scale, return_uncond=cfgpp,
+                       image_scale=img_scale)
         if cfgpp:
             eps, eps_u = eps
         denoised = lat - sigma * eps
@@ -1388,6 +1551,12 @@ def k_diffuse_latent(
                 lat, denoised, m_prev, m_prev2, last_sample,
                 sigma, sigma_next, sigma_prev, sigma_prev2, uc, c2, p2)
             return (new_lat, denoised, m_prev, x_c), None
+        if m3:
+            snoise = _scan_normal(_scan_fold(k, 1), lat.shape)
+            new_lat = dpmpp_3m_sde_update(
+                lat, denoised, den1, den2, sigma, sigma_next,
+                sigma_prev, sigma_prev2, is_first, is_second, snoise)
+            return (new_lat, denoised, den1), None
         if heun:
             x_2 = heun_proposal(lat, denoised, sigma, sigma_next)
             sn = jnp.maximum(sigma_next, 1e-10)
@@ -1398,7 +1567,7 @@ def k_diffuse_latent(
                              guidance_rescale=guidance_rescale, concat=cc,
                              control=ctrl, control_cfg=control_cfg,
                              control_kv=ctrl_kv, control_scale=cs,
-                             pag_scale=pag_scale)
+                             pag_scale=pag_scale, image_scale=img_scale)
             denoised_2 = x_2 - sn * eps_2
             new_lat = heun_combine(lat, denoised, x_2, denoised_2,
                                    sigma, sigma_next)
@@ -1411,7 +1580,8 @@ def k_diffuse_latent(
         return (new_lat, denoised), None
 
     z = jnp.zeros_like(latent)
-    carry0 = (latent, z, z, latent) if unipc else (latent, z)
+    carry0 = ((latent, z, z, latent) if unipc
+              else (latent, z, z) if m3 else (latent, z))
     inputs = ((jnp.asarray(ts), sig, sig_next, sig_prev, first, keys)
               + extras + (cscales,))
     if head_steps:  # expert head: the full schedule's prefix
@@ -1480,7 +1650,11 @@ def _k_segment(
 
     method="heun" takes seg_extras = (ts_next,) — this segment's slice of
     the FULL next-timestep array, so the 2nd model eval at a segment's
-    last step is conditioned exactly like the unsegmented scan's."""
+    last step is conditioned exactly like the unsegmented scan's.
+
+    method="dpmpp_3m_sde" carries the second history slot in `m_prev2`
+    (den2) and takes seg_extras = this segment's (sig_prev2, is_second)
+    slices (m3_scan_extras over the FULL schedule); returns a 3-carry."""
     ctx2, ch2 = _cfg_contexts(cfg, cond, compute_dtype, use_cfg)
     cross_kv = precompute_cross_kv(unet_params, cfg.unet_config(), ctx2)
     cross_kv = _merge_ip(cross_kv, ip, cfg, cond, compute_dtype, use_cfg)
@@ -1494,6 +1668,7 @@ def _k_segment(
 
     unipc = method == "unipc"
     heun = method == "heun"
+    m3 = method == "dpmpp_3m_sde"
     cfgpp = method == "euler_cfgpp" and use_cfg and not cfg.is_refiner
     if method == "euler_cfgpp" and not cfgpp:
         method = "euler"  # unguided CFG++ IS Euler (k_diffuse_latent)
@@ -1503,6 +1678,10 @@ def _k_segment(
             lat, old_denoised, m_p2, last_s = carry
             (t, sigma, sigma_next, sigma_prev, is_first, k,
              sigma_prev2, uc, c2, p2, cs) = inp
+        elif m3:
+            lat, old_denoised, den2 = carry
+            (t, sigma, sigma_next, sigma_prev, is_first, k,
+             sigma_prev2, is_second, cs) = inp
         elif heun:
             lat, old_denoised = carry
             t, sigma, sigma_next, sigma_prev, is_first, k, t_nx, cs = inp
@@ -1530,6 +1709,12 @@ def _k_segment(
                 lat, denoised, old_denoised, m_p2, last_s,
                 sigma, sigma_next, sigma_prev, sigma_prev2, uc, c2, p2)
             return (new_lat, denoised, old_denoised, x_c), None
+        if m3:
+            snoise = _scan_normal(_scan_fold(k, 1), lat.shape)
+            new_lat = dpmpp_3m_sde_update(
+                lat, denoised, old_denoised, den2, sigma, sigma_next,
+                sigma_prev, sigma_prev2, is_first, is_second, snoise)
+            return (new_lat, denoised, old_denoised), None
         if heun:
             x_2 = heun_proposal(lat, denoised, sigma, sigma_next)
             sn = jnp.maximum(sigma_next, 1e-10)
@@ -1553,6 +1738,10 @@ def _k_segment(
 
     if unipc:
         carry0 = (lat, old_denoised, m_prev2, last_sample)
+        inputs = (ts, sig, sig_next, sig_prev, first, keys) + tuple(
+            seg_extras) + (control_scales,)
+    elif m3:
+        carry0 = (lat, old_denoised, m_prev2)  # m_prev2 rides as den2
         inputs = (ts, sig, sig_next, sig_prev, first, keys) + tuple(
             seg_extras) + (control_scales,)
     elif heun:
@@ -1629,6 +1818,7 @@ def k_diffuse_latent_preview(
     old = jnp.zeros_like(lat)
     unipc = method == "unipc"
     heun = method == "heun"
+    m3 = method == "dpmpp_3m_sde"
     if unipc:
         # FULL-schedule extras, sliced per segment below, so segment
         # boundaries don't reset the order masks / sig[i-2] history
@@ -1638,11 +1828,19 @@ def k_diffuse_latent_preview(
         # full next-timestep array, sliced per segment (a segment's last
         # step conditions its 2nd eval exactly like the unsegmented scan)
         full_extras = (jnp.asarray(np.concatenate([ts[1:], ts[-1:]])),)
+    elif m3:
+        # sig[i-2] + second-step flags over the FULL schedule, so segment
+        # boundaries don't reset the 3rd-order history
+        full_extras = m3_scan_extras(jnp.asarray(sig))
+        old2 = jnp.zeros_like(lat)
     done = 0
     while done < total:
         end = min(done + preview_every, total)
         if unipc:
             seg = dict(m_prev2=old2, last_sample=last,
+                       seg_extras=tuple(e[done:end] for e in full_extras))
+        elif m3:
+            seg = dict(m_prev2=old2,
                        seg_extras=tuple(e[done:end] for e in full_extras))
         elif heun:
             seg = dict(seg_extras=tuple(e[done:end] for e in full_extras))
@@ -1663,6 +1861,8 @@ def k_diffuse_latent_preview(
         )
         if unipc:
             lat, old, old2, last = carry
+        elif m3:
+            lat, old, old2 = carry
         else:
             lat, old = carry
         done = end
@@ -1700,13 +1900,16 @@ def euler_sample_latent(
     deepcache: Optional[Tuple[int, int]] = None,
     pag_scale: float = 0.0,
     head_steps: int = 0,
+    edit: bool = False,
+    image_guidance_scale: float = 1.5,
 ) -> jnp.ndarray:
     """txt2img (+ optional inpainting) with a k-diffusion sampler.
 
     The scan key (inpaint pin + stochastic-method step noise) is the
     second split of `key`; step_keys overrides it with per-image keys.
     head_steps > 0: ensemble-of-experts base stage (see k_diffuse_latent)
-    — returns the still-noisy sigma-space handoff latent."""
+    — returns the still-noisy sigma-space handoff latent.
+    edit=True: InstructPix2Pix (see k_diffuse_latent)."""
     noise_key, inpaint_key = jax.random.split(key)
     sigma_max = k_sigma_max(alphas_cumprod, n_steps, schedule)
     latent = (initial_noise if initial_noise is not None
@@ -1714,7 +1917,8 @@ def euler_sample_latent(
     ctl = dict(control_params=control_params, control_image=control_image,
                control_scale=control_scale, control_cfg=control_cfg,
                control_window=control_window, ip=ip, deepcache=deepcache,
-               pag_scale=pag_scale, head_steps=head_steps)
+               pag_scale=pag_scale, head_steps=head_steps, edit=edit,
+               image_guidance_scale=image_guidance_scale)
     if reference is not None:
         return k_diffuse_latent(
             unet_params, cfg, alphas_cumprod, latent, cond, guidance_scale,
@@ -2112,19 +2316,23 @@ def sample_latent(
     deepcache: Optional[Tuple[int, int]] = None,
     pag_scale: float = 0.0,
     head_steps: int = 0,
+    edit: bool = False,
+    image_guidance_scale: float = 1.5,
 ) -> jnp.ndarray:
     """txt2img (+ optional latent-mask inpainting) (mod.rs:316-353).
 
     initial_noise overrides the key-derived starting noise (per-image
     seeds, gen_noise_per_seed). head_steps > 0: ensemble-of-experts base
-    stage (see diffuse_latent) — returns the still-noisy handoff latent."""
+    stage (see diffuse_latent) — returns the still-noisy handoff latent.
+    edit=True: InstructPix2Pix (see diffuse_latent)."""
     noise_key, inpaint_key = jax.random.split(key)
     latent = initial_noise if initial_noise is not None else gen_noise(
         noise_key, cond)
     ctl = dict(control_params=control_params, control_image=control_image,
                control_scale=control_scale, control_cfg=control_cfg,
                control_window=control_window, ip=ip, deepcache=deepcache,
-               pag_scale=pag_scale, head_steps=head_steps)
+               pag_scale=pag_scale, head_steps=head_steps, edit=edit,
+               image_guidance_scale=image_guidance_scale)
     if reference is not None:
         return diffuse_latent(
             unet_params, cfg, alphas_cumprod, latent, cond, guidance_scale,
@@ -2139,6 +2347,71 @@ def sample_latent(
         use_cfg=use_cfg, guidance_rescale=guidance_rescale,
         concat_channels=concat_channels, **ctl,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "compute_dtype", "use_cfg"),
+    donate_argnames=("latent",),
+)
+def ddim_invert_latent(
+    unet_params,
+    cfg: DiffuserConfig,
+    alphas_cumprod: jnp.ndarray,
+    latent: jnp.ndarray,  # clean VP latent (x0)
+    cond: Conditioning,
+    guidance_scale: float = 1.0,
+    n_steps: int = 50,
+    compute_dtype=jnp.bfloat16,
+    use_cfg: bool = False,
+) -> jnp.ndarray:
+    """DDIM inversion: walk the deterministic DDIM chain BACKWARD from a
+    clean latent to the noise that (approximately) generates it.
+
+    The standard recipe (diffusers' DDIMInverseScheduler / the
+    null-text-inversion `next_step` loop, arXiv:2211.09794): visit the
+    sampling grid ASCENDING; at each grid point t evaluate the model at t
+    and step from alpha(t - step_size) to alpha(t):
+
+        eps = model(x, t)
+        x0  = (x - sqrt(1 - a_src) * eps) / sqrt(a_src)
+        x   = sqrt(a_dst) * x0 + sqrt(1 - a_dst) * eps
+
+    — the exact inverse of the sampling update under the first-order
+    approximation eps(x_t) ~= eps(x_{t+dt}) (exact when eps is constant
+    in x, which tests/test_sampler.py exploits as an identity). Feeding
+    the result to txt2img(initial_latent=...) with the SAME n_steps and
+    sampler="ddim" reconstructs the input image; denoising with a
+    DIFFERENT prompt is the classic inversion-editing workflow.
+
+    guidance_scale is usually 1 for faithful inversion (use_cfg=False —
+    CFG breaks the approximation badly at high scales); use_cfg=True
+    inverts the guided field for prompt-aware editing experiments."""
+    n_train = alphas_cumprod.shape[0]
+    if cfg.n_steps != n_train:
+        raise ValueError(
+            f"DiffuserConfig.n_steps={cfg.n_steps} does not match the "
+            f"alphas_cumprod table length {n_train}"
+        )
+    step_size = n_train // n_steps
+    ts = jnp.asarray(ddim_timesteps(0, n_steps, n_train)[::-1].copy())
+    a_dst = alphas_cumprod[ts]
+    a_src = jnp.where(ts >= step_size, alphas_cumprod[ts - step_size], 1.0)
+
+    latent = latent.astype(jnp.float32)
+    ctx2, ch2 = _cfg_contexts(cfg, cond, compute_dtype, use_cfg)
+    cross_kv = precompute_cross_kv(unet_params, cfg.unet_config(), ctx2)
+
+    def step(lat, inp):
+        t, alpha_src, alpha_dst = inp
+        eps = _cfg_eps(unet_params, cfg, lat, t, ctx2, ch2, guidance_scale,
+                       compute_dtype, cross_kv, alpha_src, use_cfg=use_cfg)
+        x0 = (lat - eps * jnp.sqrt(1.0 - alpha_src)) / jnp.sqrt(alpha_src)
+        lat = x0 * jnp.sqrt(alpha_dst) + eps * jnp.sqrt(1.0 - alpha_dst)
+        return lat, None
+
+    latent, _ = jax.lax.scan(step, latent, (ts, a_src, a_dst))
+    return latent
 
 
 def refiner_noise_per_seed(seeds, latent_shape) -> jnp.ndarray:
@@ -2381,4 +2654,136 @@ def diffuse_latent_preview(
         if preview_callback is not None and done < total:
             preview_callback(done, total,
                              latent_to_preview(lat, preview_factors))
+    return lat
+
+
+def scheduled_sample_latent(
+    unet_params,
+    cfg: DiffuserConfig,
+    alphas_cumprod,
+    conds,            # one Conditioning per segment
+    seg_lens,         # steps per segment; sum == n_steps
+    key,
+    guidance_scale: float = 7.5,
+    n_steps: int = 30,
+    compute_dtype=jnp.bfloat16,
+    method: str = "ddim",
+    schedule: str = "linear",
+    use_cfg: bool = True,
+    guidance_rescale: float = 0.0,
+    initial_noise: Optional[jnp.ndarray] = None,
+    step_keys: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Prompt-scheduled txt2img (A1111 prompt editing, see
+    pipeline/prompt_schedule.py): the ONE schedule grid is split at the
+    prompt switch points and each slice runs with its own conditioning —
+    the same segmented scans the step previews use, so step math, noise
+    keys, and (for the multistep k-samplers) the carried history are
+    identical to an unscheduled run; a single segment reproduces
+    sample_latent / euler_sample_latent bitwise.
+
+    Capability extension (the reference's prompt is fixed for the whole
+    run, mod.rs:660-696). The k multistep history crossing a prompt
+    switch was computed under the previous prompt — exactly A1111's
+    behavior (scheduler state persists across conditioning swaps)."""
+    if sum(seg_lens) != n_steps or len(conds) != len(seg_lens):
+        raise ValueError(f"segment lengths {seg_lens} must cover "
+                         f"n_steps={n_steps} with one conditioning each")
+    noise_key, scan_key = jax.random.split(key)
+    noise0 = (initial_noise if initial_noise is not None
+              else gen_noise(noise_key, conds[0]))
+
+    if method == "ddim":
+        n_train = alphas_cumprod.shape[0]
+        if cfg.n_steps != n_train:
+            raise ValueError(
+                f"DiffuserConfig.n_steps={cfg.n_steps} does not match the "
+                f"alphas_cumprod table length {n_train}")
+        step_size = n_train // n_steps
+        ts = ddim_timesteps(0, n_steps, n_train)
+        a_t = np.asarray(alphas_cumprod)[ts]
+        a_prev = np.where(
+            ts >= step_size,
+            np.asarray(alphas_cumprod)[np.maximum(ts - step_size, 0)],
+            1.0).astype(np.float32)
+        total = len(ts)
+        keys = jnp.zeros((total, 2), dtype=jnp.uint32)
+        # the 31-iteration quirk (mod.rs:400-406): the grid can exceed
+        # n_steps; the extra steps extend the LAST prompt's segment
+        seg_lens = list(seg_lens[:-1]) + [seg_lens[-1] + (total - n_steps)]
+        lat = noise0.astype(jnp.float32)
+        done = 0
+        for cond, n_seg in zip(conds, seg_lens):
+            end = done + n_seg
+            lat = _ddim_segment(
+                unet_params, cfg, lat, cond, guidance_scale,
+                jnp.asarray(ts[done:end]), jnp.asarray(a_t[done:end]),
+                jnp.asarray(a_prev[done:end]), keys[done:end],
+                compute_dtype=compute_dtype, use_cfg=use_cfg,
+                guidance_rescale=guidance_rescale,
+            )
+            done = end
+        return lat
+
+    if method not in K_SAMPLERS:
+        raise ValueError(f"unknown sampler {method!r}")
+    ts, sigmas = k_schedule(alphas_cumprod, 0, n_steps, schedule)
+    ts = np.asarray(ts)
+    sigmas = np.asarray(sigmas)
+    sig, sig_next = sigmas[:-1], sigmas[1:]
+    sig_prev = np.concatenate([sigmas[:1], sigmas[:-2]])
+    first = np.arange(len(ts)) == 0
+    total = len(ts)
+    seg_lens = list(seg_lens[:-1]) + [seg_lens[-1] + (total - n_steps)]
+    if step_keys is not None:
+        keys = step_keys
+    elif method in K_STOCHASTIC:
+        keys = jax.random.split(scan_key, total)
+    else:
+        keys = jnp.zeros((total, 2), dtype=jnp.uint32)
+    zeros_cs = jnp.zeros((total,), jnp.float32)
+
+    unipc = method == "unipc"
+    heun = method == "heun"
+    m3 = method == "dpmpp_3m_sde"
+    if unipc:
+        full_extras = unipc_scan_extras(jnp.asarray(sig))
+    elif heun:
+        full_extras = (jnp.asarray(np.concatenate([ts[1:], ts[-1:]])),)
+    elif m3:
+        full_extras = m3_scan_extras(jnp.asarray(sig))
+
+    lat = (noise0 * float(sigmas[0])).astype(jnp.float32)
+    old = jnp.zeros_like(lat)
+    old2, last = jnp.zeros_like(lat), lat
+    done = 0
+    for cond, n_seg in zip(conds, seg_lens):
+        end = done + n_seg
+        if unipc:
+            seg = dict(m_prev2=old2, last_sample=last,
+                       seg_extras=tuple(e[done:end] for e in full_extras))
+        elif m3:
+            seg = dict(m_prev2=old2,
+                       seg_extras=tuple(e[done:end] for e in full_extras))
+        elif heun:
+            seg = dict(seg_extras=tuple(e[done:end] for e in full_extras))
+        else:
+            seg = {}
+        carry = _k_segment(
+            unet_params, cfg, lat, old, cond, guidance_scale,
+            jnp.asarray(ts[done:end]), jnp.asarray(sig[done:end]),
+            jnp.asarray(sig_next[done:end]), jnp.asarray(sig_prev[done:end]),
+            jnp.asarray(first[done:end]), keys[done:end],
+            compute_dtype=compute_dtype, method=method, use_cfg=use_cfg,
+            guidance_rescale=guidance_rescale,
+            control_scales=zeros_cs[done:end],
+            **seg,
+        )
+        if unipc:
+            lat, old, old2, last = carry
+        elif m3:
+            lat, old, old2 = carry
+        else:
+            lat, old = carry
+        done = end
     return lat

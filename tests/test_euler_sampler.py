@@ -365,10 +365,69 @@ def test_cfgpp_unguided_degrades_to_euler_exactly():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_dpmpp_3m_sde_scan_matches_sequential_transcription():
+    """The 3M SDE scan (3rd-order history den1/den2 + grid-reconstructed
+    h_1/h_2 + per-step noise keys) against a literal sequential driver
+    written with independent jax.random calls and explicit history
+    carries — a mis-shifted history slot or wrong warmup order fails."""
+    from sdxl_tpu.pipeline.sampler import (
+        _cfg_contexts,
+        _cfg_eps,
+        dpmpp_3m_sde_update,
+        k_diffuse_latent,
+        k_schedule,
+    )
+
+    params, alphas, cond = _setup()
+    gs = 7.5
+    n_steps = 6
+    key = jax.random.PRNGKey(17)
+    sigma_max = float(jnp.sqrt((1 - alphas[-1]) / alphas[-1]))
+    x0 = sigma_max * jax.random.normal(
+        jax.random.PRNGKey(4), (1, 8, 8, 4), jnp.float32
+    )
+
+    got = k_diffuse_latent(
+        params, TINY_BASE, alphas, jnp.array(x0, copy=True), cond, gs,
+        "dpmpp_3m_sde", 0, n_steps, jnp.float32, key=key,
+    )
+    ts, sigmas = k_schedule(alphas, 0, n_steps, "linear")
+    ts = np.asarray(ts, np.float32)
+    sigmas = np.asarray(sigmas, np.float32)
+    keys = jax.random.split(key, len(ts))
+    ctx2, ch2 = _cfg_contexts(TINY_BASE, cond, jnp.float32)
+    x = x0
+    den1 = jnp.zeros_like(x)
+    den2 = jnp.zeros_like(x)
+    for i in range(len(ts)):
+        sigma = float(sigmas[i])
+        scaled = x / np.sqrt(sigma**2 + 1.0)
+        eps = _cfg_eps(params, TINY_BASE, scaled, jnp.float32(ts[i]),
+                       ctx2, ch2, gs, jnp.float32, None,
+                       1.0 / (sigma**2 + 1.0))
+        denoised = x - sigma * eps
+        noise = jax.random.normal(
+            jax.random.fold_in(keys[i], 1), x.shape, jnp.float32
+        )
+        x = dpmpp_3m_sde_update(
+            x, denoised, den1, den2,
+            jnp.float32(sigma), jnp.float32(sigmas[i + 1]),
+            jnp.float32(sigmas[0] if i == 0 else sigmas[i - 1]),
+            jnp.float32(sigmas[0] if i < 2 else sigmas[i - 2]),
+            jnp.bool_(i == 0), jnp.bool_(i == 1), noise,
+        )
+        den2 = den1
+        den1 = denoised
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(x), rtol=2e-4, atol=2e-4,
+        err_msg="dpmpp_3m_sde scan vs sequential wiring",
+    )
+
+
 def test_stochastic_samplers_determinism_and_key_sensitivity():
     params, alphas, cond = _setup()
     k = jax.random.PRNGKey(7)
-    for method in ("euler_a", "dpmpp_sde"):
+    for method in ("euler_a", "dpmpp_sde", "dpmpp_3m_sde"):
         a = euler_sample_latent(params, TINY_BASE, alphas, cond, k, 7.5, 5,
                                 jnp.float32, method=method)
         b = euler_sample_latent(params, TINY_BASE, alphas, cond, k, 7.5, 5,
@@ -392,7 +451,7 @@ def test_stochastic_refiner_tail_runs():
 
     params, alphas, cond = _setup()
     lat = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 4), jnp.float32)
-    for method in ("euler_a", "dpmpp_sde"):
+    for method in ("euler_a", "dpmpp_sde", "dpmpp_3m_sde"):
         out = k_refine_latent(
             params, TINY_BASE, alphas, lat, cond, jax.random.PRNGKey(5),
             7.5, 800, 30, jnp.float32, method=method, schedule="karras",

@@ -224,7 +224,8 @@ def test_preview_segmented_matches_unsegmented(pipe):
     assert seen[0][2] == (1, 8, 8, 3)  # latent-resolution preview
 
 
-@pytest.mark.parametrize("sampler", ["euler", "dpmpp", "unipc", "heun"])
+@pytest.mark.parametrize("sampler", ["euler", "dpmpp", "unipc", "heun",
+                                     "dpmpp_3m_sde"])
 def test_k_preview_segmented_matches_unsegmented(pipe, sampler):
     """Previews generalize to the k-samplers: the segmented scan (with the
     DPM++ multistep history carried across boundaries) must reproduce the

@@ -637,3 +637,51 @@ def test_lora_swap_without_reload_path(tiny_pipe):
     srv = GenerationServer(tiny_pipe, default_cfg=TINY_CFG)
     out = srv.request_swap([("x", 1.0)])
     assert not out["ok"] and out["status"] == 400
+
+
+# ---------------------------------------------------------------------------
+# InstructPix2Pix serving (/v1/edit for the UNet families)
+# ---------------------------------------------------------------------------
+
+
+def test_ip2p_edit_request(tokenizer_dir):
+    """/v1/edit on a UNet-family pipeline routes to pipe.ip2p: an
+    8-channel edit checkpoint serves it solo; a 4-channel one reports a
+    clear error; the image_guidance_scale config key changes the output."""
+    import dataclasses
+
+    from sdxl_tpu.pipeline.pipeline import random_pipeline
+
+    pipe8 = random_pipeline(
+        embedder_cfg=TINY_EMBEDDER,
+        diffuser_cfg=dataclasses.replace(TINY_DIFFUSER, in_channels=8),
+        vae_cfg=TINY_VAE, compute_dtype=jnp.float32,
+        param_dtype_unet=jnp.float32, tokenizer_dir=tokenizer_dir,
+    )
+    img = (np.random.default_rng(2).random((64, 64, 3)) * 255).astype(
+        np.uint8)
+    r = GenRequest("make it blue", TINY_CFG, seed=3, edit_image=img)
+    assert r.solo
+    srv = GenerationServer(pipe8, default_cfg=TINY_CFG)
+    srv.start(warmup=False)
+    a = srv.submit(GenRequest("make it blue", TINY_CFG, seed=3,
+                              edit_image=img), timeout=300)
+    cfg_hi = dataclasses.replace(TINY_CFG, image_guidance_scale=3.0)
+    b = srv.submit(GenRequest("make it blue", cfg_hi, seed=3,
+                              edit_image=img), timeout=300)
+    srv.stop()
+    assert a.error is None, a.error
+    assert b.error is None, b.error
+    assert _png_shape(a.result[0]) == (64, 64, 3)
+    assert a.result[0] != b.result[0]  # image guidance is live
+
+
+def test_ip2p_edit_rejected_on_four_channel_model(tiny_pipe):
+    img = (np.random.default_rng(2).random((64, 64, 3)) * 255).astype(
+        np.uint8)
+    srv = GenerationServer(tiny_pipe, default_cfg=TINY_CFG)
+    srv.start(warmup=False)
+    r = srv.submit(GenRequest("edit", TINY_CFG, seed=0, edit_image=img),
+                   timeout=300)
+    srv.stop()
+    assert r.error is not None and "8-channel" in r.error

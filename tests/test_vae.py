@@ -182,3 +182,52 @@ def test_tiled_decode_blends_overlapping_tiles():
 
     with _pytest.raises(ValueError, match="overlap"):
         decode_latent_tiled(params, cfg, lat, tile=8, overlap=8)
+
+
+def test_tiled_encode_matches_full_when_single_tile():
+    """encode_images_tiled with tile >= latent size takes the exact
+    whole-image path (bit-equal)."""
+    import jax
+
+    from sdxl_tpu.pipeline.latent import (
+        encode_images_tiled,
+        encode_images_to_latent,
+    )
+
+    cfg = TINY
+    params = init_autoencoder(jax.random.PRNGKey(2), cfg)
+    img = (np.random.default_rng(5).random((1, 24, 24, 3)) * 255).astype(
+        np.uint8)
+    full = encode_images_to_latent(params, cfg, jnp.asarray(img), 0.13025)
+    tiled = encode_images_tiled(params, cfg, jnp.asarray(img), 0.13025,
+                                tile=16)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(tiled))
+
+
+def test_tiled_encode_blends_overlapping_tiles():
+    """Real tiling: latent shape/units match the full encode; values track
+    it closely (per-tile GroupNorm stats are the standard approximation)."""
+    import jax
+
+    from sdxl_tpu.pipeline.latent import (
+        encode_images_tiled,
+        encode_images_to_latent,
+    )
+
+    cfg = TINY  # f = 2: 48px image -> 24px latent
+    params = init_autoencoder(jax.random.PRNGKey(2), cfg)
+    img = (np.random.default_rng(6).random((1, 48, 48, 3)) * 255).astype(
+        np.uint8)
+    full = np.asarray(encode_images_to_latent(params, cfg, jnp.asarray(img),
+                                              0.13025))
+    tiled = np.asarray(encode_images_tiled(params, cfg, jnp.asarray(img),
+                                           0.13025, tile=16, overlap=8))
+    assert tiled.shape == full.shape
+    assert np.isfinite(tiled).all()
+    scale = np.abs(full).mean()
+    assert np.abs(tiled - full).mean() < 2.0 * scale
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        encode_images_tiled(params, cfg, jnp.asarray(img), tile=8, overlap=8)
