@@ -53,6 +53,16 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("attn", "all-linear"),
                    help="attn = q/k/v/out of every attention (standard); "
                         "all-linear adds the GEGLU MLPs + proj_in/out")
+    p.add_argument("--train-text-encoder", action="store_true",
+                   help="SDXL-family LoRA: also train both CLIP towers "
+                        "(kohya's recipe) — the towers run in-graph from "
+                        "token ids with their own factor leaves; exports "
+                        "lora_te1_/lora_te2_ (kohya) or text_encoder./"
+                        "text_encoder_2. (peft) keys that --lora merges "
+                        "back")
+    p.add_argument("--te-lr", type=float, default=None,
+                   help="Separate text-encoder learning rate (default: "
+                        "--lr; kohya commonly uses ~half the UNet lr)")
     # full-parameter fine-tune (train/full.py)
     p.add_argument("--full", action="store_true",
                    help="Full-parameter fine-tune instead of LoRA "
@@ -301,6 +311,15 @@ def main(argv=None) -> int:
         log("--full cannot train a quantized tower; drop --quantize "
             "(QLoRA is the quantized-base recipe)")
         return 2
+    if args.train_text_encoder:
+        if args.family != "sdxl":
+            log("--train-text-encoder is the SDXL dual-tower LoRA recipe "
+                "(--family sdxl)")
+            return 2
+        if args.full or args.textual_inversion or args.train_controlnet:
+            log("--train-text-encoder is a LoRA mode; not combinable with "
+                "--full / --textual-inversion / --train-controlnet")
+            return 2
     if args.textual_inversion and args.family in ("sd3", "flux"):
         log("--textual-inversion supports the CLIP-conditioned UNet "
             "families (sdxl/sd1/sd2)")
@@ -406,6 +425,7 @@ def main(argv=None) -> int:
 
     cfg = FinetuneConfig(
         rank=args.rank, targets=args.targets, steps=args.steps,
+        train_text_encoder=args.train_text_encoder, te_lr=args.te_lr,
         full=args.full,
         optimizer=args.optimizer or ("adafactor" if args.full else "adamw"),
         master_dtype=args.master_dtype,

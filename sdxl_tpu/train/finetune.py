@@ -135,6 +135,15 @@ class EncodedDataset:
     # uint8 [N, res, res, 3] at PIXEL resolution — converted to f32 [0,1]
     # (the diffusers control-image convention) at batch-gather time
     control: Optional[np.ndarray] = None
+    # text-encoder training (SDXL family): single-chunk token ids so the
+    # towers can run IN-GRAPH with LoRA factors (the cached ctx/label
+    # above were computed by the frozen towers and go stale the moment a
+    # TE factor trains)
+    tok_clip: Optional[np.ndarray] = None        # [N, 77] int32
+    tok_oc: Optional[np.ndarray] = None          # [N, 77] int32
+    uncond_tok_clip: Optional[np.ndarray] = None  # [77] ("" ids)
+    uncond_tok_oc: Optional[np.ndarray] = None
+    size_hw: Optional[tuple] = None              # (h, w) pixel dims
 
     @property
     def n(self) -> int:
@@ -187,6 +196,29 @@ def _encode_items(
         return np.tile(c, (1, reps, 1))[:, :t_max]
 
     ctx = np.concatenate([pad_t(c) for c in ctx_chunks], 0)
+
+    # single-chunk token ids for in-graph text-encoder training (SDXL
+    # family: both tokenizers present). Cheap to store; unused unless
+    # --train-text-encoder puts the towers in the step graph.
+    tok_clip = tok_oc = u_tc = u_to = None
+    if (getattr(pipe, "clip_tokenizer", None) is not None
+            and getattr(pipe, "open_clip_tokenizer", None) is not None
+            and hasattr(getattr(pipe, "embedder_cfg", None),
+                        "clip_config")):
+        from ..tokenizer.bpe import tokenize_text
+
+        n_ctx = pipe.embedder_cfg.clip_config.n_ctx
+        tok_clip = np.asarray(
+            [tokenize_text(c, pipe.clip_tokenizer, n_ctx)
+             for _, c in items], np.int32)
+        tok_oc = np.asarray(
+            [tokenize_text(c, pipe.open_clip_tokenizer, n_ctx)
+             for _, c in items], np.int32)
+        u_tc = np.asarray(tokenize_text("", pipe.clip_tokenizer, n_ctx),
+                          np.int32)
+        u_to = np.asarray(tokenize_text("", pipe.open_clip_tokenizer,
+                                        n_ctx), np.int32)
+
     return EncodedDataset(
         latents=np.concatenate(lat_chunks, 0),
         ctx=ctx,
@@ -197,6 +229,9 @@ def _encode_items(
             if uncond.channel_context is not None else None),
         captions=[c for _, c in items],
         control=control,
+        tok_clip=tok_clip, tok_oc=tok_oc,
+        uncond_tok_clip=u_tc, uncond_tok_oc=u_to,
+        size_hw=hw,
     )
 
 
@@ -275,14 +310,30 @@ def sample_batch(
     idx = rng.integers(0, data.n, (batch_size,))
     ctx = data.ctx[idx]
     label = data.label[idx] if data.label is not None else None
-    if caption_dropout > 0.0:
-        drop = rng.random(batch_size) < caption_dropout
+    drop = (rng.random(batch_size) < caption_dropout
+            if caption_dropout > 0.0 else None)
+    if drop is not None:
         ctx = np.where(drop[:, None, None], data.uncond_ctx[None], ctx)
         if label is not None:
             label = np.where(drop[:, None], data.uncond_label[None], label)
     batch = {"latents": data.latents[idx], "ctx": ctx}
     if label is not None:
         batch["label"] = label
+    if data.tok_clip is not None:
+        # token ids for in-graph conditioning (--train-text-encoder);
+        # caption dropout swaps in the "" ids, mirroring the cached-ctx
+        # dropout above
+        tc, to = data.tok_clip[idx], data.tok_oc[idx]
+        if drop is not None:
+            tc = np.where(drop[:, None], data.uncond_tok_clip[None], tc)
+            to = np.where(drop[:, None], data.uncond_tok_oc[None], to)
+        batch["tok_clip"], batch["tok_oc"] = tc, to
+        h, w = data.size_hw
+        size = np.broadcast_to(
+            np.array([[h, w]], np.int32), (batch_size, 2)).copy()
+        batch["size"] = size
+        batch["crop"] = np.zeros((batch_size, 2), np.int32)
+        batch["ar"] = size.copy()
     if data.control is not None:
         # caption dropout keeps the control image: at inference the CFG
         # uncond branch ALSO receives control residuals (diffusers'
@@ -386,6 +437,11 @@ def ensure_class_images(
 class FinetuneConfig:
     rank: int = 16
     targets: str = "attn"          # train/lora.py preset
+    # SDXL-family LoRA: also train both CLIP towers (kohya's
+    # --train-text-encoder). The towers run IN-GRAPH from token ids with
+    # their own factor leaves; te_lr overrides the tower learning rate
+    train_text_encoder: bool = False
+    te_lr: Optional[float] = None
     full: bool = False             # full-parameter FT (train/full.py)
     optimizer: str = "adamw"       # "adamw" | "adafactor" (full FT)
     master_dtype: str = "f32"      # full FT master weights: "f32" | "bf16"
@@ -441,11 +497,23 @@ def frozen_tower(pipe) -> Tuple[dict, str]:
 
 def _unet_loss_fn(pipe, cfg: FinetuneConfig):
     """loss(trainable, frozen, batch, key) for the UNet families
-    (SDXL / SD1 / SD2)."""
+    (SDXL / SD1 / SD2).
+
+    cfg.train_text_encoder: `frozen` is the composite
+    {"unet", "clip", "open_clip"} tree and the batch carries single-chunk
+    token ids + size/crop/ar — conditioning is recomputed IN-GRAPH by
+    the factor-injected towers (pipeline/conditioning._embed_one, the
+    same program inference runs), so tower gradients flow through the
+    UNet's cross-attention into the TE factors."""
     from ..models.unet import unet_forward
 
     ucfg = pipe.diffuser_cfg.unet_config()
     alphas = jnp.asarray(pipe.alphas_cumprod)
+    te = cfg.train_text_encoder
+    if te:
+        from ..pipeline.conditioning import AESTHETIC_SCORE, _embed_one
+
+        e_cfg = pipe.embedder_cfg
     fwd = unet_forward
     if cfg.remat:
         fwd = jax.checkpoint(
@@ -454,9 +522,20 @@ def _unet_loss_fn(pipe, cfg: FinetuneConfig):
 
     def apply_fn(trainable, x_t, t, batch):
         params = set_leaves(apply_fn.frozen, trainable)
-        return fwd(params, ucfg, x_t.astype(pipe.compute_dtype), t,
-                   batch["ctx"].astype(pipe.compute_dtype),
-                   batch.get("label"))
+        if te:
+            emb = {"clip": params["clip"], "open_clip": params["open_clip"]}
+            aesthetic = jnp.full((batch["size"].shape[0], 1),
+                                 AESTHETIC_SCORE, batch["size"].dtype)
+            ctx, _, label, _ = _embed_one(
+                emb, e_cfg, batch["tok_clip"][:, None, :],
+                batch["tok_oc"][:, None, :], batch["size"], batch["crop"],
+                batch["ar"], aesthetic)
+            unet_p = params["unet"]
+        else:
+            ctx, label = batch["ctx"], batch.get("label")
+            unet_p = params
+        return fwd(unet_p, ucfg, x_t.astype(pipe.compute_dtype), t,
+                   ctx.astype(pipe.compute_dtype), label)
 
     def loss_fn(trainable, frozen, batch, key):
         apply_fn.frozen = frozen
@@ -670,16 +749,50 @@ def finetune_lora(
     if loss_builder is None:
         loss_builder = loss_builder_for(pipe)
     frozen, _tower = frozen_tower(pipe)
+    if cfg.train_text_encoder:
+        if _tower != "unet" or not hasattr(
+                getattr(pipe, "embedder_cfg", None), "clip_config"):
+            raise ValueError(
+                "--train-text-encoder is the SDXL-family dual-tower "
+                "recipe (UNet pipelines with a clip+open_clip embedder)")
+        if pipe.diffuser_cfg.prediction_type == "v":
+            raise ValueError("--train-text-encoder with v-prediction is "
+                             "untested; train the UNet alone")
+        # composite frozen tree: the preset regex matches the towers'
+        # attn/mlp linears through the prefix (paths are searched, not
+        # anchored), so one init_lora covers all three towers
+        frozen = {"unet": frozen,
+                  "clip": pipe.embedder_params["clip"],
+                  "open_clip": pipe.embedder_params["open_clip"]}
     flat = init_lora(
         frozen, cfg.rank, jax.random.PRNGKey(cfg.seed),
         targets=cfg.targets)
     n_factors = sum(int(np.prod(v.shape)) for v in flat.values())
-    log(f"lora: rank {cfg.rank}, {len(flat) // 2} sites, "
-        f"{n_factors / 1e6:.2f}M trainable params (targets={cfg.targets})")
+    n_te = sum(1 for k in flat if not k.startswith("unet.")) // 2 \
+        if cfg.train_text_encoder else 0
+    log(f"lora: rank {cfg.rank}, {len(flat) // 2} sites"
+        + (f" ({n_te} text-encoder)" if n_te else "")
+        + f", {n_factors / 1e6:.2f}M trainable params "
+        f"(targets={cfg.targets})")
 
     tx = adamw_cosine(
         cfg.lr, cfg.schedule_steps or cfg.steps, warmup=cfg.warmup,
         weight_decay=cfg.weight_decay, grad_clip=cfg.grad_clip)
+    if cfg.train_text_encoder and cfg.te_lr and cfg.te_lr != cfg.lr:
+        # kohya's separate text-encoder LR: per-group AdamW chains (the
+        # global-norm clip becomes per-group — the standard multi-lr
+        # tradeoff)
+        import optax
+
+        tx = optax.multi_transform(
+            {"unet": tx,
+             "te": adamw_cosine(
+                 cfg.te_lr, cfg.schedule_steps or cfg.steps,
+                 warmup=cfg.warmup, weight_decay=cfg.weight_decay,
+                 grad_clip=cfg.grad_clip)},
+            {k: ("unet" if k.startswith("unet.") else "te")
+             for k in flat},
+        )
     state = TrainState.create(flat, tx, ema=cfg.ema_decay is not None)
     state, start = _maybe_resume(state, cfg)
 
@@ -767,7 +880,41 @@ def finetune_full(
 def export_adapter(path: str, factors: dict, pipe, fmt: str = "kohya",
                    metadata: Optional[dict] = None) -> None:
     """Write trained factors as a .safetensors the inference `--lora`
-    path loads back exactly (round-trip tested in test_train_lora.py)."""
-    tree, tower = frozen_tower(pipe)
-    export_lora(path, factors, {tower: tree}, fmt=fmt, metadata=metadata)
+    path loads back exactly (round-trip tested in test_train_lora.py).
+
+    Composite --train-text-encoder factors (keys prefixed unet./clip./
+    open_clip.) export each tower separately — te1 and te2 have
+    IDENTICAL relative paths (blocks.i.attn.q), so they cannot share one
+    lora_state_dict call — and merge into one file with the ecosystem
+    prefixes (kohya lora_unet_/lora_te1_/lora_te2_, peft unet./
+    text_encoder./text_encoder_2.)."""
+    from safetensors.numpy import save_file
+
+    from .lora import lora_state_dict
+
+    if any(k.startswith(("clip.", "open_clip.")) for k in factors):
+        tree, _ = frozen_tower(pipe)
+        groups = {"unet": {}, "te1": {}, "te2": {}}
+        for k, v in factors.items():
+            if k.startswith("unet."):
+                groups["unet"][k[len("unet."):]] = v
+            elif k.startswith("clip."):
+                groups["te1"][k[len("clip."):]] = v
+            elif k.startswith("open_clip."):
+                groups["te2"][k[len("open_clip."):]] = v
+            else:
+                raise KeyError(f"unroutable composite factor {k}")
+        trees = {"unet": tree,
+                 "te1": pipe.embedder_params["clip"],
+                 "te2": pipe.embedder_params["open_clip"]}
+        tensors = {}
+        for tower, flat in groups.items():
+            if flat:
+                tensors.update(
+                    lora_state_dict(flat, {tower: trees[tower]}, fmt=fmt))
+        save_file(tensors, path, metadata=metadata or {"format": "pt"})
+    else:
+        tree, tower = frozen_tower(pipe)
+        export_lora(path, factors, {tower: tree}, fmt=fmt,
+                    metadata=metadata)
     log(f"wrote LoRA adapter: {path}")

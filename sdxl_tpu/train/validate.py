@@ -79,7 +79,29 @@ def make_validation_sampler(pipe, cfg: FinetuneConfig, mode: str,
 
     def val(step: int, state):
         flat = jax.device_get(_state_flat(state))
-        if mode == "lora":
+        if mode == "lora" and any(k.startswith(("clip.", "open_clip."))
+                                  for k in flat):
+            # --train-text-encoder: composite factors — inject into the
+            # UNet AND both towers (runtime, unmerged), render, restore.
+            # The cached uncond conditioning was computed by the frozen
+            # towers and must be invalidated around the swap.
+            frozen, _ = frozen_tower(pipe)
+            composite = {"unet": frozen,
+                         "clip": pipe.embedder_params["clip"],
+                         "open_clip": pipe.embedder_params["open_clip"]}
+            injected = set_leaves(composite, flat)
+            saved = (getattr(pipe, attr), pipe.embedder_params)
+            setattr(pipe, attr, injected["unet"])
+            pipe.embedder_params = {"clip": injected["clip"],
+                                    "open_clip": injected["open_clip"]}
+            pipe._uncond_cache.clear()
+            try:
+                _save(pipe, cfg, step, out_dir)
+            finally:
+                setattr(pipe, attr, saved[0])
+                pipe.embedder_params = saved[1]
+                pipe._uncond_cache.clear()
+        elif mode == "lora":
             frozen, _ = frozen_tower(pipe)
             saved = getattr(pipe, attr)
             setattr(pipe, attr, set_leaves(frozen, flat))
