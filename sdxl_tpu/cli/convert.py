@@ -33,7 +33,8 @@ def main(argv=None) -> int:
              "first contact with a real burn artifact",
     )
     p.add_argument("--output-dir", type=str)
-    p.add_argument("--to", choices=["native", "mpk"], default="native")
+    p.add_argument("--to", choices=["native", "mpk", "diffusers"],
+                   default="native")
     p.add_argument("--skip-refiner", action="store_true")
     args = p.parse_args(argv)
 
@@ -118,6 +119,47 @@ def main(argv=None) -> int:
             r_cfg, r_unet, _ = ckpt.load_diffuser_mpk(args.mpk_dir, "refiner", jnp.float16)
         log("loading latent decoder (mpk)...")
         l_cfg, vae = ckpt.load_latent_decoder_mpk(args.mpk_dir)
+
+    if args.to == "diffusers":
+        # full diffusers-layout pipeline export (unet/ vae/ text_encoder*/
+        # tokenizer*/ scheduler/ model_index.json) — the ecosystem interop
+        # inverse of the diffusers-dir loader. The refiner has no place in
+        # a StableDiffusionXLPipeline dir (diffusers ships it as its own
+        # repo); exported separately would be its own pipeline class.
+        from types import SimpleNamespace
+
+        from ..io.diffusers_write import write_diffusers_pipeline_dir
+        from ..tokenizer import ClipTokenizer, OpenClipTokenizer
+
+        if r_unet is not None:
+            log("note: the refiner is NOT part of a diffusers "
+                "StableDiffusionXLPipeline dir and is skipped "
+                "(diffusers ships it as a separate repo)")
+        a_cfg_path = (os.path.join(args.native_dir, "autoencoder.cfg")
+                      if args.native_dir else None)
+        if a_cfg_path and os.path.isfile(a_cfg_path):
+            from ..configs import AutoencoderConfig, load_cfg as _lc
+
+            v_cfg = _lc(a_cfg_path, AutoencoderConfig)
+        else:
+            from ..configs import AutoencoderConfig
+
+            v_cfg = AutoencoderConfig()
+        log("writing diffusers pipeline dir...")
+        write_diffusers_pipeline_dir(
+            out,
+            SimpleNamespace(
+                diffuser_cfg=d_cfg, unet_params=unet,
+                embedder_cfg=e_cfg, embedder_params=e_params,
+                vae_cfg=v_cfg, vae_params=vae,
+                scale_factor=l_cfg.scale_factor,
+                alphas_cumprod=np.asarray(alphas),
+                clip_tokenizer=ClipTokenizer(),
+                open_clip_tokenizer=OpenClipTokenizer(),
+            ),
+        )
+        log(f"done -> {out}")
+        return 0
 
     if args.to == "mpk":
         from ..io import burn_mpk_write as w

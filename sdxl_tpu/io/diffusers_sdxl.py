@@ -380,6 +380,7 @@ def load_sdxl_diffusers_dir(
     diffuser_cfg,
     embedder_cfg=None,
     unet_dtype=jnp.bfloat16,
+    vae_cfg=None,
 ):
     """Load a diffusers-layout SDXL directory.
 
@@ -407,7 +408,7 @@ def load_sdxl_diffusers_dir(
         unet_dtype,
     )
     vae = build_vae_from_diffusers(
-        _load_safetensors_dir(os.path.join(model_dir, "vae"))
+        _load_safetensors_dir(os.path.join(model_dir, "vae")), vae_cfg
     )
 
     embedder = None
@@ -521,3 +522,140 @@ def load_sd1_diffusers_dir(
             scale = json.load(f).get("scaling_factor")
 
     return clip, unet, vae, alphas, scale, diffuser_cfg
+
+
+# ---------------------------------------------------------------------------
+# config inference from the directory's own config.json files
+# ---------------------------------------------------------------------------
+
+
+def _read_json(path):
+    if os.path.isfile(path):
+        with open(path) as f:
+            return json.load(f)
+    return None
+
+
+def _clip_cfg_from_hf_meta(meta, default: CLIPConfig) -> CLIPConfig:
+    if meta is None:
+        return default
+    act = meta.get("hidden_act",
+                   "quick_gelu" if default.quick_gelu else "gelu")
+    return CLIPConfig(
+        n_vocab=meta.get("vocab_size", default.n_vocab),
+        n_state=meta.get("hidden_size", default.n_state),
+        embed_dim=meta.get("projection_dim", default.embed_dim),
+        n_head=meta.get("num_attention_heads", default.n_head),
+        n_ctx=meta.get("max_position_embeddings", default.n_ctx),
+        n_layer=meta.get("num_hidden_layers", default.n_layer),
+        quick_gelu=act == "quick_gelu",
+    )
+
+
+def _heads_from_meta(meta, boc):
+    """(n_heads, num_head_channels) from a UNet2DConditionModel config.
+    diffusers' naming quirk: `attention_head_dim` historically holds the
+    HEAD COUNT (SDXL ships [5, 10, 20] = channels/64; SD1.5 ships 8 =
+    fixed heads); `num_attention_heads`, when present, wins."""
+    heads = meta.get("num_attention_heads")
+    if heads is None:
+        heads = meta.get("attention_head_dim", 8)
+    if isinstance(heads, (list, tuple)):
+        widths = {boc[i] // int(h) for i, h in enumerate(heads)}
+        if len(widths) != 1:
+            raise ValueError(
+                f"per-level head counts {heads} imply non-constant head "
+                f"widths {sorted(widths)} over channels {boc} — not "
+                f"representable by UNetConfig")
+        return 0, widths.pop()
+    return int(heads), 64
+
+
+def infer_sdxl_configs_from_diffusers_dir(model_dir: str):
+    """(EmbedderConfig, DiffuserConfig, AutoencoderConfig) derived from
+    the directory's own config.json files (unet/ vae/ text_encoder*/
+    scheduler/), falling back to the SDXL 1.0 presets where a file or
+    field is absent. Real stabilityai checkpoints resolve to exactly the
+    presets; fine-tuned or down-scaled exports (cli/convert
+    --to diffusers) resolve to their true hyperparameters, so
+    load_pipeline works on any self-consistent dir — the same
+    shape-inference stance as the SD3/Flux loaders."""
+    from ..configs import (
+        CLIP_VIT_L_CONFIG,
+        OPEN_CLIP_BIGG_CONFIG,
+        SDXL_BASE_DIFFUSER,
+        EmbedderConfig,
+    )
+    import dataclasses
+
+    e_cfg = EmbedderConfig(
+        clip_config=_clip_cfg_from_hf_meta(
+            _read_json(os.path.join(model_dir, "text_encoder",
+                                    "config.json")),
+            CLIP_VIT_L_CONFIG),
+        open_clip_config=_clip_cfg_from_hf_meta(
+            _read_json(os.path.join(model_dir, "text_encoder_2",
+                                    "config.json")),
+            OPEN_CLIP_BIGG_CONFIG),
+    )
+
+    d_cfg = SDXL_BASE_DIFFUSER
+    um = _read_json(os.path.join(model_dir, "unet", "config.json"))
+    if um is not None:
+        boc = [int(c) for c in um.get("block_out_channels",
+                                      [320, 640, 1280])]
+        mc = boc[0]
+        mults = tuple(c // mc for c in boc)
+        down = um.get("down_block_types") or []
+        t_levels = (tuple(i for i, t in enumerate(down) if "CrossAttn" in t)
+                    if down else d_cfg.transformer_levels)
+        tl = um.get("transformer_layers_per_block", 1)
+        depths = (tuple(int(v) for v in tl)
+                  if isinstance(tl, (list, tuple)) else (int(tl),) * len(boc))
+        n_heads, nhc = _heads_from_meta(um, boc)
+        adm = (um.get("projection_class_embeddings_input_dim") or 0
+               if um.get("addition_embed_type") == "text_time" else 0)
+        d_cfg = dataclasses.replace(
+            d_cfg,
+            adm_in_channels=int(adm),
+            model_channels=mc,
+            channel_mults=mults,
+            num_head_channels=nhc,
+            transformer_depths=depths,
+            context_dim=int(um.get("cross_attention_dim",
+                                   d_cfg.context_dim)),
+            transformer_levels=t_levels,
+            n_heads=n_heads,
+            in_channels=int(um.get("in_channels", 4)),
+            time_cond_proj_dim=int(um.get("time_cond_proj_dim") or 0),
+        )
+
+    sm = _read_json(os.path.join(model_dir, "scheduler",
+                                 "scheduler_config.json"))
+    if sm is not None:
+        pred = sm.get("prediction_type", "epsilon")
+        d_cfg = dataclasses.replace(
+            d_cfg,
+            prediction_type="v" if pred == "v_prediction" else "eps",
+            n_steps=int(sm.get("num_train_timesteps", d_cfg.n_steps)),
+        )
+
+    v_cfg = AutoencoderConfig()
+    vm = _read_json(os.path.join(model_dir, "vae", "config.json"))
+    if vm is not None:
+        boc = [int(c) for c in vm.get("block_out_channels",
+                                      [128, 256, 512, 512])]
+        rev = list(reversed(boc))
+        lc = int(vm.get("latent_channels", 4))
+        v_cfg = AutoencoderConfig(
+            encoder_channels=tuple(
+                (boc[i - 1] if i else boc[0], boc[i])
+                for i in range(len(boc))),
+            decoder_channels=tuple(
+                (rev[j - 1] if j else rev[0], rev[j])
+                for j in range(len(rev))),
+            n_group=int(vm.get("norm_num_groups", 32)),
+            n_channels_out=2 * lc,
+            latent_channels=lc,
+        )
+    return e_cfg, d_cfg, v_cfg

@@ -60,6 +60,19 @@ def _inv_norm(out: Dict[str, np.ndarray], key: str, p: dict) -> None:
     out[f"{key}.bias"] = _arr(p["beta"])
 
 
+def _head_dim_field(cfg: UNetConfig):
+    """diffusers' `attention_head_dim` historically holds the HEAD COUNT
+    (the famous naming quirk UNet2DConditionModel preserves:
+    num_attention_heads defaults to attention_head_dim) — real SDXL
+    configs ship [5, 10, 20] (= channels/64 per level) and SD1.5 ships 8
+    (fixed heads). Emit the same quirk-compatible form so diffusers
+    instantiates the right head counts."""
+    if cfg.n_heads:
+        return cfg.n_heads
+    return [cfg.model_channels * m // cfg.n_head_channels
+            for m in cfg.channel_mults]
+
+
 def _inv_res(out, key: str, p: dict) -> None:
     _inv_norm(out, f"{key}.norm1", p["norm_in"])
     _inv_conv(out, f"{key}.conv1", p["conv_in"])
@@ -264,7 +277,7 @@ def write_diffusers_controlnet_dir(
             "layers_per_block": 2,
             "transformer_layers_per_block": list(cfg.transformer_depths),
             "cross_attention_dim": cfg.context_dim,
-            "attention_head_dim": cfg.n_head_channels,
+            "attention_head_dim": _head_dim_field(cfg),
             "addition_embed_type": ("text_time" if cfg.adm_in_channels
                                     else None),
             "projection_class_embeddings_input_dim":
@@ -322,7 +335,7 @@ def write_diffusers_unet_dir(
             "layers_per_block": 2,
             "transformer_layers_per_block": list(cfg.transformer_depths),
             "cross_attention_dim": cfg.context_dim,
-            "attention_head_dim": cfg.n_head_channels,
+            "attention_head_dim": _head_dim_field(cfg),
             "addition_embed_type": ("text_time" if cfg.adm_in_channels
                                     else None),
             "projection_class_embeddings_input_dim":
@@ -331,3 +344,265 @@ def write_diffusers_unet_dir(
     with open(cfg_path, "w") as f:
         json.dump(meta, f, indent=2)
     return unet_dir
+
+
+# ---------------------------------------------------------------------------
+# text towers / VAE / full pipeline (the tensor inverses of
+# io/hf_sdxl.build_clip_from_hf and io/diffusers_sdxl.build_vae_from_diffusers)
+# ---------------------------------------------------------------------------
+
+
+def clip_to_hf(params: dict, with_projection: bool = False
+               ) -> Dict[str, np.ndarray]:
+    """Flat HF-transformers CLIPTextModel tensors for a models/clip.py
+    tree — the exact inverse of io/hf_sdxl.build_clip_from_hf (linears
+    transposed back to torch [out, in]; text_projection, when present,
+    emitted at the TOP level like HF CLIPTextModelWithProjection —
+    the loader re-prefixes it)."""
+    out: Dict[str, np.ndarray] = {}
+    pre = "text_model"
+    out[f"{pre}.embeddings.token_embedding.weight"] = _arr(
+        params["token_embedding"])
+    out[f"{pre}.embeddings.position_embedding.weight"] = _arr(
+        params["position_embedding"])
+    for i, blk in enumerate(params["blocks"]):
+        s = f"{pre}.encoder.layers.{i}"
+        _inv_linear(out, f"{s}.self_attn.q_proj", blk["attn"]["q"])
+        _inv_linear(out, f"{s}.self_attn.k_proj", blk["attn"]["k"])
+        _inv_linear(out, f"{s}.self_attn.v_proj", blk["attn"]["v"])
+        _inv_linear(out, f"{s}.self_attn.out_proj", blk["attn"]["out"])
+        _inv_norm(out, f"{s}.layer_norm1", blk["attn_ln"])
+        _inv_linear(out, f"{s}.mlp.fc1", blk["mlp"]["fc1"])
+        _inv_linear(out, f"{s}.mlp.fc2", blk["mlp"]["fc2"])
+        _inv_norm(out, f"{s}.layer_norm2", blk["mlp_ln"])
+    _inv_norm(out, f"{pre}.final_layer_norm", params["layer_norm"])
+    if with_projection:
+        proj = params.get("text_projection")
+        if proj is None:
+            raise ValueError("with_projection=True but the tower has no "
+                             "text_projection (not a bigG/pooled tower?)")
+        out["text_projection.weight"] = np.ascontiguousarray(_arr(proj).T)
+    return out
+
+
+def _inv_vae_attn_linear(out, key: str, p: dict) -> None:
+    # ours: 1x1 conv [1,1,in,out] (ldm layout); diffusers: Linear [out,in]
+    w = _arr(p["w"])[0, 0]  # [in, out]
+    out[f"{key}.weight"] = np.ascontiguousarray(w.T)
+    if p.get("b") is not None:
+        out[f"{key}.bias"] = _arr(p["b"])
+
+
+def _inv_vae_res(out, key: str, p: dict) -> None:
+    _inv_norm(out, f"{key}.norm1", p["norm1"])
+    _inv_conv(out, f"{key}.conv1", p["conv1"])
+    _inv_norm(out, f"{key}.norm2", p["norm2"])
+    _inv_conv(out, f"{key}.conv2", p["conv2"])
+    if "nin_shortcut" in p:
+        _inv_conv(out, f"{key}.conv_shortcut", p["nin_shortcut"])
+
+
+def _inv_vae_mid(out, key: str, p: dict) -> None:
+    _inv_vae_res(out, f"{key}.resnets.0", p["block_1"])
+    a = p["attn"]
+    _inv_norm(out, f"{key}.attentions.0.group_norm", a["norm"])
+    _inv_vae_attn_linear(out, f"{key}.attentions.0.to_q", a["q"])
+    _inv_vae_attn_linear(out, f"{key}.attentions.0.to_k", a["k"])
+    _inv_vae_attn_linear(out, f"{key}.attentions.0.to_v", a["v"])
+    _inv_vae_attn_linear(out, f"{key}.attentions.0.to_out.0",
+                         a["proj_out"])
+    _inv_vae_res(out, f"{key}.resnets.1", p["block_2"])
+
+
+def vae_to_diffusers(params: dict) -> Dict[str, np.ndarray]:
+    """Flat diffusers AutoencoderKL tensors for a models/vae.py tree —
+    the tensor inverse of io/diffusers_sdxl.build_vae_from_diffusers."""
+    out: Dict[str, np.ndarray] = {}
+    enc = params["encoder"]
+    _inv_conv(out, "encoder.conv_in", enc["conv_in"])
+    for i, bp in enumerate(enc["blocks"]):
+        s = f"encoder.down_blocks.{i}"
+        _inv_vae_res(out, f"{s}.resnets.0", bp["res1"])
+        _inv_vae_res(out, f"{s}.resnets.1", bp["res2"])
+        if "downsampler" in bp:
+            _inv_conv(out, f"{s}.downsamplers.0.conv", bp["downsampler"])
+    _inv_vae_mid(out, "encoder.mid_block", enc["mid"])
+    _inv_norm(out, "encoder.conv_norm_out", enc["norm_out"])
+    _inv_conv(out, "encoder.conv_out", enc["conv_out"])
+
+    dec = params["decoder"]
+    _inv_conv(out, "decoder.conv_in", dec["conv_in"])
+    _inv_vae_mid(out, "decoder.mid_block", dec["mid"])
+    for i, bp in enumerate(dec["blocks"]):
+        s = f"decoder.up_blocks.{i}"
+        _inv_vae_res(out, f"{s}.resnets.0", bp["res1"])
+        _inv_vae_res(out, f"{s}.resnets.1", bp["res2"])
+        _inv_vae_res(out, f"{s}.resnets.2", bp["res3"])
+        if "upsampler" in bp:
+            _inv_conv(out, f"{s}.upsamplers.0.conv", bp["upsampler"])
+    _inv_norm(out, "decoder.conv_norm_out", dec["norm_out"])
+    _inv_conv(out, "decoder.conv_out", dec["conv_out"])
+    if params.get("quant_conv") is not None:
+        _inv_conv(out, "quant_conv", params["quant_conv"])
+    if params.get("post_quant_conv") is not None:
+        _inv_conv(out, "post_quant_conv", params["post_quant_conv"])
+    return out
+
+
+def _write_tokenizer_dir(path: str, tokenizer, pad_token: str) -> None:
+    """vocab.json + merges.txt (+ the HF sidecar configs) from the
+    package's own BPE tables — the OpenAI merges.txt format diffusers'
+    CLIPTokenizer reads."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "vocab.json"), "w") as f:
+        json.dump(tokenizer.encoder, f, ensure_ascii=False)
+    merges = sorted(tokenizer.bpe_ranks.items(), key=lambda kv: kv[1])
+    with open(os.path.join(path, "merges.txt"), "w") as f:
+        f.write("#version: 0.2\n")
+        for (a, b), _ in merges:
+            f.write(f"{a} {b}\n")
+    with open(os.path.join(path, "special_tokens_map.json"), "w") as f:
+        json.dump({
+            "bos_token": "<|startoftext|>",
+            "eos_token": "<|endoftext|>",
+            "pad_token": pad_token,
+            "unk_token": "<|endoftext|>",
+        }, f)
+    with open(os.path.join(path, "tokenizer_config.json"), "w") as f:
+        json.dump({
+            "add_prefix_space": False,
+            "do_lower_case": True,
+            "model_max_length": 77,
+            "tokenizer_class": "CLIPTokenizer",
+        }, f)
+
+
+def write_diffusers_pipeline_dir(
+    out_dir: str,
+    pipe,
+    dtype: Optional[np.dtype] = None,
+) -> str:
+    """Export a whole SDXL pipeline to the diffusers checkpoint layout:
+    unet/ vae/ text_encoder/ text_encoder_2/ tokenizer/ tokenizer_2/
+    scheduler/ + model_index.json — loadable by BOTH this package
+    (load_pipeline format detection) and the diffusers ecosystem. The
+    interop inverse of io/diffusers_sdxl.load_sdxl_diffusers_dir: merged
+    or fine-tuned checkpoints (cli/merge, --full training) become
+    standard ecosystem artifacts.
+
+    The UNet must be in inference-ready but UNSTACKED/UNFOLDED form;
+    stacked transformer scans and phase-decomposed upsample kernels are
+    reverted by the caller (cli/convert does this). Quantized trees
+    cannot export (dequantize first — _inv_linear raises)."""
+    from safetensors.numpy import save_file
+
+    from ..models.unet import unfold_unet_upsample, unfuse_unet_qkv
+
+    os.makedirs(out_dir, exist_ok=True)
+    ucfg = pipe.diffuser_cfg.unet_config()
+    unet = unfold_unet_upsample(unfuse_unet_qkv(pipe.unet_params))
+    write_diffusers_unet_dir(out_dir, unet, ucfg, dtype=dtype)
+
+    vae_dir = os.path.join(out_dir, "vae")
+    os.makedirs(vae_dir, exist_ok=True)
+    flat = vae_to_diffusers(pipe.vae_params)
+    if dtype is not None:
+        flat = {k: v.astype(dtype) for k, v in flat.items()}
+    save_file(flat,
+              os.path.join(vae_dir, "diffusion_pytorch_model.safetensors"))
+    v = pipe.vae_cfg
+    # vae/config.json carries only block_out_channels; diffusers derives
+    # the decoder from its REVERSE (AutoencoderKL's up_blocks loop), so a
+    # decoder plan that isn't that derivation cannot be represented —
+    # refuse rather than write a config that silently mismatches the
+    # exported tensors
+    boc = [c[1] for c in v.encoder_channels]
+    rev = list(reversed(boc))
+    canonical = tuple((rev[j - 1] if j else rev[0], rev[j])
+                      for j in range(len(rev)))
+    if tuple(v.decoder_channels) != canonical:
+        raise ValueError(
+            f"decoder_channels {tuple(v.decoder_channels)} is not the "
+            f"diffusers-canonical derivation {canonical} of "
+            f"block_out_channels {boc}; this VAE cannot export to the "
+            f"AutoencoderKL config layout")
+    with open(os.path.join(vae_dir, "config.json"), "w") as f:
+        json.dump({
+            "_class_name": "AutoencoderKL",
+            "in_channels": 3,
+            "out_channels": 3,
+            "latent_channels": 4,
+            "block_out_channels": [c[1] for c in v.encoder_channels],
+            "down_block_types": ["DownEncoderBlock2D"]
+            * len(v.encoder_channels),
+            "up_block_types": ["UpDecoderBlock2D"]
+            * len(v.decoder_channels),
+            "layers_per_block": 2,
+            "norm_num_groups": v.n_group,
+            "sample_size": 1024,
+            "scaling_factor": float(pipe.scale_factor),
+        }, f, indent=2)
+
+    e_cfg = pipe.embedder_cfg
+    for sub, tower, cfgc, proj in (
+        ("text_encoder", "clip", e_cfg.clip_config, False),
+        ("text_encoder_2", "open_clip", e_cfg.open_clip_config, True),
+    ):
+        d = os.path.join(out_dir, sub)
+        os.makedirs(d, exist_ok=True)
+        flat = clip_to_hf(pipe.embedder_params[tower], with_projection=proj)
+        if dtype is not None:
+            flat = {k: v.astype(dtype) for k, v in flat.items()}
+        save_file(flat, os.path.join(d, "model.safetensors"))
+        with open(os.path.join(d, "config.json"), "w") as f:
+            json.dump({
+                "architectures": ["CLIPTextModelWithProjection" if proj
+                                  else "CLIPTextModel"],
+                "model_type": "clip_text_model",
+                "hidden_size": cfgc.n_state,
+                "intermediate_size": cfgc.n_state * 4,
+                "num_attention_heads": cfgc.n_head,
+                "num_hidden_layers": cfgc.n_layer,
+                "max_position_embeddings": cfgc.n_ctx,
+                "vocab_size": cfgc.n_vocab,
+                "projection_dim": cfgc.embed_dim,
+                "hidden_act": ("quick_gelu" if cfgc.quick_gelu
+                               else "gelu"),
+            }, f, indent=2)
+
+    # tokenizer data from the package's own BPE tables (CLIP pads with
+    # EOT, OpenCLIP with id 0 — the "!" token, matching the HF repos)
+    _write_tokenizer_dir(os.path.join(out_dir, "tokenizer"),
+                         pipe.clip_tokenizer, "<|endoftext|>")
+    _write_tokenizer_dir(os.path.join(out_dir, "tokenizer_2"),
+                         pipe.open_clip_tokenizer, "!")
+
+    sched_dir = os.path.join(out_dir, "scheduler")
+    os.makedirs(sched_dir, exist_ok=True)
+    with open(os.path.join(sched_dir, "scheduler_config.json"), "w") as f:
+        json.dump({
+            "_class_name": "EulerDiscreteScheduler",
+            "beta_schedule": "scaled_linear",
+            "beta_start": 0.00085,
+            "beta_end": 0.012,
+            "num_train_timesteps": int(pipe.alphas_cumprod.shape[0]),
+            "prediction_type": pipe.diffuser_cfg.prediction_type
+            if pipe.diffuser_cfg.prediction_type != "eps" else "epsilon",
+            "steps_offset": 1,
+            "timestep_spacing": "leading",
+        }, f, indent=2)
+
+    with open(os.path.join(out_dir, "model_index.json"), "w") as f:
+        json.dump({
+            "_class_name": "StableDiffusionXLPipeline",
+            "force_zeros_for_empty_prompt": False,
+            "scheduler": ["diffusers", "EulerDiscreteScheduler"],
+            "text_encoder": ["transformers", "CLIPTextModel"],
+            "text_encoder_2": ["transformers",
+                               "CLIPTextModelWithProjection"],
+            "tokenizer": ["transformers", "CLIPTokenizer"],
+            "tokenizer_2": ["transformers", "CLIPTokenizer"],
+            "unet": ["diffusers", "UNet2DConditionModel"],
+            "vae": ["diffusers", "AutoencoderKL"],
+        }, f, indent=2)
+    return out_dir

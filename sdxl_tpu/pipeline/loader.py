@@ -180,12 +180,17 @@ def load_pipeline(
     qbits = parse_quantize_spec(quantize)
 
     if fmt == "diffusers":
-        from ..io.diffusers_sdxl import load_sdxl_diffusers_dir
+        from ..io.diffusers_sdxl import (
+            infer_sdxl_configs_from_diffusers_dir,
+            load_sdxl_diffusers_dir,
+        )
 
-        e_cfg = SDXL_EMBEDDER
-        d_cfg = SDXL_BASE_DIFFUSER
+        # hyperparameters come from the dir's own config.json files
+        # (stabilityai checkpoints resolve to exactly the SDXL presets;
+        # fine-tuned/down-scaled exports resolve to their true dims)
+        e_cfg, d_cfg, v_cfg = infer_sdxl_configs_from_diffusers_dir(model_dir)
         e_params, unet, vae, alphas_np, scale, d_cfg = load_sdxl_diffusers_dir(
-            model_dir, d_cfg, e_cfg, compute_dtype
+            model_dir, d_cfg, e_cfg, compute_dtype, vae_cfg=v_cfg
         )
         if e_params is None:
             raise FileNotFoundError(f"text encoders missing under {model_dir}")
@@ -204,7 +209,7 @@ def load_pipeline(
             diffuser_cfg=d_cfg,
             unet_params=_maybe_stack(unet, stack_transformers, qbits),
             alphas_cumprod=alphas,
-            vae_cfg=AutoencoderConfig(),
+            vae_cfg=v_cfg,
             vae_params=vae,
             scale_factor=scale or 0.13025,
             clip_tokenizer=ClipTokenizer(tokenizer_dir),

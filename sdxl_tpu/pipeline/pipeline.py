@@ -1281,6 +1281,71 @@ class SDXLPipeline:
             fence(images)
         return images if device_output else np.asarray(images)
 
+    def outpaint(
+        self,
+        prompts,
+        reference_images: np.ndarray,  # [B, H, W, 3] uint8
+        pad: Tuple[int, int, int, int] = (0, 0, 0, 0),  # left,right,top,bottom
+        fill: str = "edge",
+        **kw,
+    ) -> np.ndarray:
+        """Outpainting: extend the canvas by `pad` pixels per side and
+        generate the new border region (capability extension — the
+        composition of canvas padding with the reference's crop_out
+        inpainting mode, sample/main.rs:186-190: the original image
+        occupies the crop window and everything OUTSIDE it is
+        generated).
+
+        fill: initial content of the new region before VAE encoding —
+        "edge" (replicate border rows/cols, the standard seed for
+        outpainting) or "noise" (uniform random u8). Pads must keep the
+        padded canvas a multiple of 8. Accepts every inpaint/txt2img
+        kwarg (sampler, steps, seed, ...); use a high step count like
+        inpainting."""
+        left, right, top, bottom = pad
+        if min(pad) < 0 or max(pad) == 0:
+            raise ValueError("pad needs at least one positive side "
+                             "(left, right, top, bottom)")
+        reference_images = np.asarray(reference_images)
+        if reference_images.ndim == 3:
+            reference_images = reference_images[None]
+        b, h, w, _ = reference_images.shape
+        nh, nw = h + top + bottom, w + left + right
+        if nh % 8 or nw % 8:
+            raise ValueError(
+                f"padded canvas {nh}x{nw} must be a multiple of 8 "
+                "(adjust the pad sizes)")
+        if fill == "edge":
+            canvas = np.pad(
+                reference_images,
+                ((0, 0), (top, bottom), (left, right), (0, 0)),
+                mode="edge")
+        elif fill == "noise":
+            rng = np.random.default_rng(int(kw.get("seed", 0) or 0)
+                                        if isinstance(kw.get("seed", 0),
+                                                      (int, np.integer))
+                                        else 0)
+            canvas = rng.integers(0, 256, (b, nh, nw, 3),
+                                  dtype=np.uint8)
+            canvas[:, top:top + h, left:left + w] = reference_images
+        else:
+            raise ValueError(f"unknown fill {fill!r} (edge|noise)")
+        # a padded canvas rarely lands on a trained bucket; degrade to the
+        # warning (quality note) instead of the strict inpaint error —
+        # plain inpaint keeps the reference's strict validation
+        saved_strict = self.strict_resolutions
+        self.strict_resolutions = False
+        try:
+            return self.inpaint(
+                prompts, canvas,
+                crop_left=left, crop_right=left + w,
+                crop_top=top, crop_bottom=top + h,
+                crop_out=True,  # generate OUTSIDE the original window
+                **kw,
+            )
+        finally:
+            self.strict_resolutions = saved_strict
+
     def ddim_invert(
         self,
         prompts,

@@ -118,3 +118,208 @@ def test_unfold_unet_upsample_roundtrip_and_export():
     flat = unet_to_diffusers(unfolded, ucfg)
     rebuilt = build_unet_from_diffusers(flat, ucfg, jnp.float32)
     _tree_equal(unfolded, rebuilt)
+
+
+# ---------------------------------------------------------------------------
+# full pipeline export (write_diffusers_pipeline_dir)
+# ---------------------------------------------------------------------------
+
+
+def test_clip_tower_roundtrip_through_hf_importer():
+    """clip_to_hf is the exact tensor inverse of build_clip_from_hf —
+    incl. the top-level text_projection placement of the bigG tower
+    (the loader's non-text_model prefix wrap)."""
+    from sdxl_tpu.configs import CLIPConfig
+    from sdxl_tpu.io.diffusers_write import clip_to_hf
+    from sdxl_tpu.io.hf_sdxl import build_clip_from_hf
+    from sdxl_tpu.models.clip import init_clip
+
+    cfg = CLIPConfig(n_state=32, embed_dim=32, n_head=4, n_layer=2)
+    params = init_clip(jax.random.PRNGKey(0), cfg, jnp.float32)
+    flat = clip_to_hf(params, with_projection=True)
+    assert "text_projection.weight" in flat  # top level, per HF layout
+    back = build_clip_from_hf(
+        {(k if k.startswith("text_model") else f"text_model.{k}"): v
+         for k, v in flat.items()},
+        cfg, prefix="text_model")
+    _tree_equal(params, back)
+
+
+def test_vae_roundtrip_through_diffusers_importer():
+    from sdxl_tpu.configs import AutoencoderConfig
+    from sdxl_tpu.io.diffusers_sdxl import build_vae_from_diffusers
+    from sdxl_tpu.io.diffusers_write import vae_to_diffusers
+    from sdxl_tpu.models.vae import init_autoencoder
+
+    cfg = AutoencoderConfig(
+        encoder_channels=((16, 16), (16, 32), (32, 32), (32, 32)),
+        decoder_channels=((32, 32), (32, 32), (32, 16), (16, 16)),
+        n_group=4,
+    )
+    params = init_autoencoder(jax.random.PRNGKey(1), cfg)
+    flat = vae_to_diffusers(params)
+    back = build_vae_from_diffusers(flat, cfg, jnp.float32)
+    _tree_equal(params, back)
+
+
+def test_full_pipeline_dir_roundtrip(tmp_path, tokenizer_dir):
+    """write_diffusers_pipeline_dir -> detect_format == diffusers ->
+    load_sdxl_diffusers_dir reproduces every tower bitwise, the scale
+    factor, and the scheduler's alpha-bar table; the exported tokenizer
+    tables re-load through the package's own BPE machinery and encode
+    identically."""
+    from sdxl_tpu.configs import AutoencoderConfig
+    from sdxl_tpu.io.diffusers_sdxl import load_sdxl_diffusers_dir
+    from sdxl_tpu.io.diffusers_write import write_diffusers_pipeline_dir
+    from sdxl_tpu.models.unet import unfold_unet_upsample, unfuse_unet_qkv
+    from sdxl_tpu.pipeline.loader import detect_format
+    from sdxl_tpu.pipeline.pipeline import random_pipeline
+    from tests.test_pipeline_e2e import TINY_DIFFUSER, TINY_EMBEDDER
+
+    # diffusers-canonical decoder plan (the exporter validates it: the
+    # config layout cannot represent any other decoder derivation)
+    tiny_vae = AutoencoderConfig(
+        encoder_channels=((16, 16), (16, 32), (32, 32), (32, 32)),
+        decoder_channels=((32, 32), (32, 32), (32, 32), (32, 16)),
+        n_group=4,
+    )
+    pipe = random_pipeline(
+        embedder_cfg=TINY_EMBEDDER, diffuser_cfg=TINY_DIFFUSER,
+        vae_cfg=tiny_vae, compute_dtype=jnp.float32,
+        param_dtype_unet=jnp.float32, tokenizer_dir=tokenizer_dir,
+    )
+    # SDXL's first tower contributes hidden states only (no projection
+    # in real CLIPTextModel checkpoints)
+    pipe.embedder_params["clip"]["text_projection"] = None
+
+    out = str(tmp_path / "exported")
+    write_diffusers_pipeline_dir(out, pipe)
+    assert detect_format(out) == "diffusers"
+    for sub in ("unet", "vae", "text_encoder", "text_encoder_2",
+                "tokenizer", "tokenizer_2", "scheduler"):
+        assert os.path.isdir(os.path.join(out, sub)), sub
+    assert os.path.isfile(os.path.join(out, "model_index.json"))
+
+    emb, unet, vae, alphas, scale, d_cfg = load_sdxl_diffusers_dir(
+        out, TINY_DIFFUSER, TINY_EMBEDDER, jnp.float32)
+    want_unet = unfold_unet_upsample(unfuse_unet_qkv(pipe.unet_params))
+    _tree_equal(want_unet, unet)
+    _tree_equal(pipe.vae_params, vae)
+    _tree_equal(pipe.embedder_params["clip"], emb["clip"])
+    _tree_equal(pipe.embedder_params["open_clip"], emb["open_clip"])
+    assert scale == pytest.approx(float(pipe.scale_factor))
+    np.testing.assert_allclose(np.asarray(alphas),
+                               np.asarray(pipe.alphas_cumprod),
+                               rtol=1e-6, atol=1e-7)
+
+    # tokenizer tables: the exported HF vocab.json/merges.txt rebuild a
+    # BPE that encodes identically to the package's own
+    from sdxl_tpu.tokenizer.bpe import Tokenizer
+
+    def rebuild(sub, cache_specials):
+        with open(os.path.join(out, sub, "merges.txt")) as f:
+            lines = f.read().splitlines()
+        assert lines[0].startswith("#version")
+        merges = [tuple(ln.split(" ")) for ln in lines[1:] if ln]
+        with open(os.path.join(out, sub, "vocab.json")) as f:
+            v = json.load(f)
+        vocab = [w for w, _ in sorted(v.items(), key=lambda kv: kv[1])]
+        assert len(vocab) == len(v)  # ids are dense
+        return Tokenizer(merges, vocab, cache_specials)
+
+    t1 = rebuild("tokenizer", True)
+    t2 = rebuild("tokenizer_2", False)
+    for text in ("a photo of a crab", "Hello, WORLD!!"):
+        assert t1.encode(text) == pipe.clip_tokenizer.encode(text)
+        assert t2.encode(text) == pipe.open_clip_tokenizer.encode(text)
+
+
+def test_config_inference_resolves_sdxl_presets(tmp_path):
+    """An empty dir (no config.json files) and the real stabilityai
+    config fields both resolve to the SDXL presets; the diffusers
+    attention_head_dim head-count quirk ([5,10,20] = heads per level)
+    is decoded to num_head_channels=64."""
+    from sdxl_tpu.configs import SDXL_BASE_DIFFUSER, SDXL_EMBEDDER
+    from sdxl_tpu.io.diffusers_sdxl import (
+        infer_sdxl_configs_from_diffusers_dir,
+    )
+
+    e, d, v = infer_sdxl_configs_from_diffusers_dir(str(tmp_path))
+    assert e == SDXL_EMBEDDER and d == SDXL_BASE_DIFFUSER
+
+    # the real stabilityai/stable-diffusion-xl-base-1.0 unet config fields
+    os.makedirs(tmp_path / "unet")
+    with open(tmp_path / "unet" / "config.json", "w") as f:
+        json.dump({
+            "block_out_channels": [320, 640, 1280],
+            "down_block_types": ["DownBlock2D", "CrossAttnDownBlock2D",
+                                 "CrossAttnDownBlock2D"],
+            "transformer_layers_per_block": [1, 2, 10],
+            "attention_head_dim": [5, 10, 20],
+            "num_attention_heads": None,
+            "cross_attention_dim": 2048,
+            "addition_embed_type": "text_time",
+            "projection_class_embeddings_input_dim": 2816,
+            "in_channels": 4,
+        }, f)
+    _, d2, _ = infer_sdxl_configs_from_diffusers_dir(str(tmp_path))
+    assert d2 == SDXL_BASE_DIFFUSER
+    assert d2.num_head_channels == 64 and d2.n_heads == 0
+
+
+def test_exported_dir_loads_through_load_pipeline(tmp_path, tokenizer_dir):
+    """The CLI path: cli/convert --to diffusers output loads back through
+    load_pipeline's format detection + config INFERENCE (no caller
+    configs) and reproduces the towers bitwise — the failure mode this
+    pins was a real one (default SDXL configs applied to a tiny dir)."""
+    from sdxl_tpu.configs import AutoencoderConfig
+    from sdxl_tpu.io.diffusers_write import write_diffusers_pipeline_dir
+    from sdxl_tpu.models.unet import unfold_unet_upsample, unfuse_unet_qkv
+    from sdxl_tpu.pipeline.loader import load_pipeline
+    from sdxl_tpu.pipeline.pipeline import random_pipeline
+    from tests.test_pipeline_e2e import TINY_DIFFUSER, TINY_EMBEDDER
+
+    # diffusers-canonical tiny VAE: the decoder plan follows the
+    # AutoencoderKL rule (pairs over reversed block_out_channels) — the
+    # only decoder layout vae/config.json can represent
+    tiny_vae = AutoencoderConfig(
+        encoder_channels=((16, 16), (16, 32), (32, 32), (32, 32)),
+        decoder_channels=((32, 32), (32, 32), (32, 32), (32, 16)),
+        n_group=4,
+    )
+    pipe = random_pipeline(
+        embedder_cfg=TINY_EMBEDDER, diffuser_cfg=TINY_DIFFUSER,
+        vae_cfg=tiny_vae, compute_dtype=jnp.float32,
+        param_dtype_unet=jnp.float32, tokenizer_dir=tokenizer_dir,
+    )
+    pipe.embedder_params["clip"]["text_projection"] = None
+    out = str(tmp_path / "exported")
+    write_diffusers_pipeline_dir(out, pipe)
+
+    loaded = load_pipeline(out, compute_dtype=jnp.float32,
+                           tokenizer_dir=tokenizer_dir,
+                           stack_transformers=False)
+    assert loaded.embedder_cfg == TINY_EMBEDDER
+    assert loaded.diffuser_cfg == TINY_DIFFUSER
+    assert loaded.vae_cfg == tiny_vae
+    want_unet = unfold_unet_upsample(unfuse_unet_qkv(pipe.unet_params))
+    # load_pipeline re-fuses qkv and phase-folds the upsample convs at
+    # build; undo both — the fold/unfold round-trip costs ~1 ulp on the
+    # upsample kernels, so allclose (not bitwise) there
+    got_unet = unfold_unet_upsample(unfuse_unet_qkv(loaded.unet_params))
+    fa = jax.tree_util.tree_flatten_with_path(want_unet)[0]
+    fb = jax.tree_util.tree_flatten_with_path(got_unet)[0]
+    assert len(fa) == len(fb)
+    for (pa, la), (pb, lb) in zip(fa, fb):
+        assert pa == pb, (pa, pb)
+        np.testing.assert_allclose(
+            np.asarray(la, np.float32), np.asarray(lb, np.float32),
+            rtol=1e-6, atol=1e-7, err_msg=str(pa))
+    _tree_equal(pipe.vae_params, loaded.vae_params)
+    _tree_equal(pipe.embedder_params["clip"],
+                loaded.embedder_params["clip"])
+    _tree_equal(pipe.embedder_params["open_clip"],
+                loaded.embedder_params["open_clip"])
+    np.testing.assert_allclose(np.asarray(loaded.alphas_cumprod),
+                               np.asarray(pipe.alphas_cumprod),
+                               rtol=1e-6, atol=1e-7)

