@@ -134,6 +134,128 @@ def sample_euler_ancestral(model, x, sigmas, noises, eta=1.0):
     return x, torch.stack(traj)
 
 
+def sample_dpm_2(model, x, sigmas):
+    """k-diffusion sample_dpm_2, s_churn=0 (gamma=0) path, verbatim:
+    second model eval at the log-space midpoint sigma."""
+    traj = [x.clone()]
+    for i in range(len(sigmas) - 1):
+        denoised = model(x, sigmas[i])
+        d = to_d(x, sigmas[i], denoised)
+        if sigmas[i + 1] == 0:
+            dt = sigmas[i + 1] - sigmas[i]
+            x = x + d * dt
+        else:
+            sigma_mid = sigmas[i].log().lerp(sigmas[i + 1].log(), 0.5).exp()
+            dt_1 = sigma_mid - sigmas[i]
+            dt_2 = sigmas[i + 1] - sigmas[i]
+            x_2 = x + d * dt_1
+            denoised_2 = model(x_2, sigma_mid)
+            d_2 = to_d(x_2, sigma_mid, denoised_2)
+            x = x + d_2 * dt_2
+        traj.append(x.clone())
+    return x, torch.stack(traj)
+
+
+def sample_dpm_2_ancestral(model, x, sigmas, noises, eta=1.0):
+    """k-diffusion sample_dpm_2_ancestral (s_noise=1), verbatim, with the
+    per-step noise draws injected."""
+    traj = [x.clone()]
+    for i in range(len(sigmas) - 1):
+        denoised = model(x, sigmas[i])
+        sigma_down, sigma_up = get_ancestral_step(
+            float(sigmas[i]), float(sigmas[i + 1]), eta)
+        d = to_d(x, sigmas[i], denoised)
+        if sigma_down == 0:
+            dt = sigma_down - sigmas[i]
+            x = x + d * dt
+        else:
+            sigma_mid = (
+                sigmas[i].log().lerp(torch.tensor(sigma_down).log(), 0.5)
+            ).exp()
+            dt_1 = sigma_mid - sigmas[i]
+            dt_2 = sigma_down - sigmas[i]
+            x_2 = x + d * dt_1
+            denoised_2 = model(x_2, sigma_mid)
+            d_2 = to_d(x_2, sigma_mid, denoised_2)
+            x = x + d_2 * dt_2
+            x = x + noises[i] * sigma_up
+        traj.append(x.clone())
+    return x, torch.stack(traj)
+
+
+def sample_dpmpp_2s_ancestral(model, x, sigmas, noises, eta=1.0):
+    """k-diffusion sample_dpmpp_2s_ancestral (s_noise=1), verbatim, with
+    the per-step noise draws injected."""
+    sigma_fn = lambda t: t.neg().exp()  # noqa: E731
+    t_fn = lambda sigma: sigma.log().neg()  # noqa: E731
+    traj = [x.clone()]
+    for i in range(len(sigmas) - 1):
+        denoised = model(x, sigmas[i])
+        sigma_down, sigma_up = get_ancestral_step(
+            float(sigmas[i]), float(sigmas[i + 1]), eta)
+        if sigma_down == 0:
+            d = to_d(x, sigmas[i], denoised)
+            dt = sigma_down - sigmas[i]
+            x = x + d * dt
+        else:
+            t, t_next = t_fn(sigmas[i]), t_fn(torch.tensor(sigma_down))
+            r = 1 / 2
+            h = t_next - t
+            s = t + r * h
+            x_2 = (sigma_fn(s) / sigma_fn(t)) * x - (-h * r).expm1() * denoised
+            denoised_2 = model(x_2, sigma_fn(s))
+            x = (sigma_fn(t_next) / sigma_fn(t)) * x \
+                - (-h).expm1() * denoised_2
+        if sigmas[i + 1] > 0:
+            x = x + noises[i] * sigma_up
+        traj.append(x.clone())
+    return x, torch.stack(traj)
+
+
+def linear_multistep_coeff(order, t, i, j):
+    """k-diffusion sampling.linear_multistep_coeff, verbatim (scipy
+    quad)."""
+    from scipy import integrate
+
+    if order - 1 > i:
+        raise ValueError(f"Order {order} too high for step {i}")
+
+    def fn(tau):
+        prod = 1.0
+        for k in range(order):
+            if j == k:
+                continue
+            prod *= (tau - t[i - k]) / (t[i - j] - t[i - k])
+        return prod
+
+    return integrate.quad(fn, t[i], t[i + 1], epsrel=1e-4)[0]
+
+
+def sample_lms(model, x, sigmas, order=4):
+    """k-diffusion sample_lms, verbatim loop."""
+    sigmas_cpu = sigmas.detach().cpu().numpy()
+    ds = []
+    traj = [x.clone()]
+    coeff_rows = []
+    for i in range(len(sigmas) - 1):
+        denoised = model(x, sigmas[i])
+        d = to_d(x, sigmas[i], denoised)
+        ds.append(d)
+        if len(ds) > order:
+            ds.pop(0)
+        cur_order = min(i + 1, order)
+        coeffs = [
+            linear_multistep_coeff(cur_order, sigmas_cpu, i, j)
+            for j in range(cur_order)
+        ]
+        coeff_rows.append(coeffs + [0.0] * (order - cur_order))
+        x = x + sum(
+            coeff * d for coeff, d in zip(coeffs, reversed(ds))
+        )
+        traj.append(x.clone())
+    return x, torch.stack(traj), np.asarray(coeff_rows, np.float64)
+
+
 def sample_dpmpp_2m_sde(model, x, sigmas, noises, eta=1.0, solver_type="midpoint"):
     """k-diffusion sample_dpmpp_2m_sde (s_noise=1, solver_type='midpoint'),
     verbatim loop structure, with the noise sampler replaced by injected
@@ -441,6 +563,23 @@ def main():
     upc3_x, upc3_traj = sample_unipc(synth_model, x0.clone(), sig3)
     upc2_x, upc2_traj = sample_unipc(synth_model, x0.clone(), sig2)
 
+    # 5. mid-eval samplers (dpm2 / dpm2_a / dpmpp_2s_a) + LMS: the same
+    # synthetic model is evaluated at the MID sigmas too, so the goldens
+    # pin the midpoint construction (geometric-mean sigma) as well
+    dp2_x, dp2_traj = sample_dpm_2(synth_model, x0.clone(), sig8)
+    dp2a_x, dp2a_traj = sample_dpm_2_ancestral(
+        synth_model, x0.clone(), sig8, noises
+    )
+    s2a_x, s2a_traj = sample_dpmpp_2s_ancestral(
+        synth_model, x0.clone(), sig8, noises
+    )
+    lms_x, lms_traj, lms_coeffs = sample_lms(synth_model, x0.clone(), sig8)
+    # a longer grid exercises the full order-4 steady state
+    sig12 = get_sigmas_karras(12, sigma_min, sigma_max)
+    lms12_x, lms12_traj, lms12_coeffs = sample_lms(
+        synth_model, x0.clone(), sig12
+    )
+
     np.savez(
         OUT / "k_goldens.npz",
         sigma_min=np.float32(sigma_min),
@@ -470,6 +609,19 @@ def main():
         sigmas_2=sig2.numpy(),
         unipc2_final=upc2_x.numpy(),
         unipc2_traj=upc2_traj.numpy(),
+        dpm2_final=dp2_x.numpy(),
+        dpm2_traj=dp2_traj.numpy(),
+        dpm2_a_final=dp2a_x.numpy(),
+        dpm2_a_traj=dp2a_traj.numpy(),
+        dpmpp_2s_a_final=s2a_x.numpy(),
+        dpmpp_2s_a_traj=s2a_traj.numpy(),
+        lms_final=lms_x.numpy(),
+        lms_traj=lms_traj.numpy(),
+        lms_coeffs=lms_coeffs,
+        sigmas_12=sig12.numpy(),
+        lms12_final=lms12_x.numpy(),
+        lms12_traj=lms12_traj.numpy(),
+        lms12_coeffs=lms12_coeffs,
     )
     print(f"wrote {OUT / 'k_goldens.npz'}")
     print("sigma_min/max:", sigma_min, sigma_max)

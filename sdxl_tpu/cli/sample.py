@@ -87,7 +87,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sampler", type=str, default="ddim",
                    choices=["ddim", "euler", "dpmpp", "euler_a", "dpmpp_sde",
                             "dpmpp_3m_sde", "unipc", "heun", "euler_cfgpp",
-                            "lcm"],
+                            "dpm2", "dpm2_a", "dpmpp_2s_a", "lms", "lcm"],
                    help="Sampler: deterministic DDIM (reference), Euler, "
                         "DPM-Solver++ 2M (best quality at low step counts), "
                         "UniPC, Heun (2nd-order, two UNet evals/step), "
@@ -95,7 +95,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "along the uncond direction; use small scales ~1-2), "
                         "or the stochastic ancestral Euler / DPM++ 2M SDE / "
                         "DPM++ 3M SDE (third-order multistep; pair with "
-                        "--schedule karras); "
+                        "--schedule karras), DPM2/DPM2-a/DPM++ 2S-a "
+                        "(2nd-order, two UNet evals/step at the log-mid "
+                        "sigma), lms (order-4 linear multistep); "
                         "valid on every path (txt2img/inpaint/img2img/refiner). "
                         "lcm (4-8 steps) is for LCM-distilled checkpoints / "
                         "LCM-LoRA (use gs 1-2, or the baked-in guidance "
@@ -173,6 +175,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "InstructPix2Pix (needs an 8-channel ip2p "
                         "checkpoint, e.g. timbrooks/instruct-pix2pix; "
                         "see --image-guidance-scale)")
+    p.add_argument("--outpaint", type=str, default=None, metavar="L,R,T,B",
+                   help="Outpainting (with --reference-img): extend the "
+                        "canvas by this many pixels per side "
+                        "(left,right,top,bottom; padded dims must stay "
+                        "multiples of 8) and generate the border — the "
+                        "crop_out inpainting mode over an edge-padded "
+                        "canvas. Use a high step count like inpainting")
+    p.add_argument("--outpaint-fill", type=str, default="edge",
+                   choices=["edge", "noise"],
+                   help="Seed content for the new border before VAE "
+                        "encoding (default edge-replicate)")
     p.add_argument("--invert-img", type=str, default=None, metavar="PNG",
                    help="DDIM inversion editing (UNet families, any "
                         "checkpoint): invert this image's DDIM chain under "
@@ -330,6 +343,7 @@ def _run_sd3(args, dtype) -> int:
         ("--true-cfg-scale", args.true_cfg_scale != 1.0),
         ("--edit-image", args.edit_image is not None),
         ("--invert-img", args.invert_img is not None),
+        ("--outpaint", args.outpaint is not None),
         ("--zsnr", args.zsnr),
     ]
     bad = [name for name, hit in unsupported if hit]
@@ -442,6 +456,7 @@ def _run_flux(args, dtype) -> int:
         ("--no-t5", args.no_t5),
         ("--vae-bf16", args.vae_bf16),
         ("--invert-img", args.invert_img is not None),
+        ("--outpaint", args.outpaint is not None),
         ("--zsnr", args.zsnr),
     ]
     bad = [name for name, hit in unsupported if hit]
@@ -774,6 +789,12 @@ def main(argv=None) -> int:
             return 1
         control_kw["pag_scale"] = args.pag_scale
 
+    if args.outpaint is not None and (
+            args.reference_img is None or args.img2img_strength is not None):
+        print("error: --outpaint extends --reference-img (and is not an "
+              "--img2img-strength mode)", file=sys.stderr)
+        return 1
+
     if args.hires_scale is not None:
         if args.reference_img is not None or args.use_refiner:
             print("error: --hires-scale is a txt2img feature (no "
@@ -876,6 +897,35 @@ def main(argv=None) -> int:
             no_cfg=args.no_cfg,
             **control_kw,
         )
+    elif args.reference_img is not None and args.outpaint is not None:
+        try:
+            pad = tuple(int(v) for v in args.outpaint.split(","))
+            if len(pad) != 4:
+                raise ValueError
+        except ValueError:
+            print("error: --outpaint takes L,R,T,B pixel counts",
+                  file=sys.stderr)
+            return 1
+        ref = load_images([args.reference_img])
+        try:
+            images = pipe.outpaint(
+                prompts,
+                ref,
+                pad=pad,
+                fill=args.outpaint_fill,
+                n_steps=args.n_diffusion_steps,
+                guidance_scale=args.unconditional_guidance_scale,
+                seed=args.seed,
+                negative_prompt=args.negative_prompt,
+                sampler=args.sampler,
+                schedule=args.schedule,
+                guidance_rescale=args.guidance_rescale,
+                no_cfg=args.no_cfg,
+                **control_kw,
+            )
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
     elif args.reference_img is not None:
         ref = load_images([args.reference_img])
         images = pipe.inpaint(

@@ -782,7 +782,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sampler", type=str, default="ddim",
                    choices=["ddim", "euler", "dpmpp", "euler_a", "dpmpp_sde",
                             "dpmpp_3m_sde", "unipc", "heun", "euler_cfgpp",
-                            "lcm"])
+                            "dpm2", "dpm2_a", "dpmpp_2s_a", "lms", "lcm"])
     p.add_argument("--zsnr", action="store_true",
                    help="Rescale the alpha-bar table(s) to zero terminal "
                         "SNR at boot (UNet families; see sample --zsnr)")

@@ -50,8 +50,14 @@ N_STEPS_TOTAL = 1000  # DDPM table length (stablediffusion/mod.rs:282)
 # only DDIM). Stochastic methods draw per-step noise inside the scan.
 # "heun" runs TWO model evals per step (the public 2nd-order scheme).
 K_SAMPLERS = ("euler", "dpmpp", "euler_a", "dpmpp_sde", "dpmpp_3m_sde",
-              "unipc", "heun", "euler_cfgpp")
-K_STOCHASTIC = ("euler_a", "dpmpp_sde", "dpmpp_3m_sde")
+              "unipc", "heun", "euler_cfgpp", "dpm2", "dpm2_a",
+              "dpmpp_2s_a", "lms")
+K_STOCHASTIC = ("euler_a", "dpmpp_sde", "dpmpp_3m_sde", "dpm2_a",
+                "dpmpp_2s_a")
+# methods with a SECOND model eval at a mid sigma between grid points
+# (k-diffusion sample_dpm_2 / sample_dpm_2_ancestral /
+# sample_dpmpp_2s_ancestral)
+K_MID = ("dpm2", "dpm2_a", "dpmpp_2s_a")
 
 
 def scaled_linear_alphas_cumprod(n_steps: int = N_STEPS_TOTAL) -> np.ndarray:
@@ -1129,6 +1135,141 @@ def heun_proposal(lat, denoised, sigma, sigma_next):
     return lat + d * (sigma_next - sigma)
 
 
+def ancestral_step_sigmas(sig, sig_next, eta: float = 1.0):
+    """k-diffusion sampling.get_ancestral_step, vectorized:
+    (sigma_down, sigma_up) with sigma_up = min(sigma_next,
+    eta*sqrt(sig_next^2*(sig^2-sig_next^2)/sig^2)). sigma_next = 0 gives
+    (0, 0) (the guards keep every intermediate finite for debug_nans)."""
+    var = sig_next**2 * (sig**2 - sig_next**2) / sig**2
+    sigma_up = jnp.minimum(sig_next, eta * jnp.sqrt(jnp.maximum(var, 0.0)))
+    sigma_down = jnp.sqrt(jnp.maximum(sig_next**2 - sigma_up**2, 0.0))
+    return sigma_down, sigma_up
+
+
+def mid_scan_extras(method: str, sigmas, sigmas_full, eta: float = 1.0):
+    """Static per-step inputs for the mid-eval samplers (K_MID):
+    (t_mid, sig_mid, sig_down, sig_up), each [n].
+
+    The second model eval happens at the log-space midpoint sigma —
+    sample_dpm_2's sigmas[i].log().lerp(target.log(), 0.5).exp() ==
+    sqrt(sig * target), where target is sigma_next (dpm2) or the
+    ancestral sigma_down (dpm2_a / dpmpp_2s_a; dpmpp_2s_ancestral's
+    s = t + h/2 in t = -log(sigma) space is the same geometric mean).
+    t_mid interpolates the fractional UNet timestep from log-sigma,
+    exactly like the karras schedule's fractional conditioning
+    (k-diffusion DiscreteSchedule.sigma_to_t). The final row (target 0)
+    is a masked dummy — mid_combine's wheres never use it."""
+    sig, sig_next = sigmas[:-1], sigmas[1:]
+    if method == "dpm2":
+        sig_down, sig_up = sig_next, jnp.zeros_like(sig_next)
+    else:
+        sig_down, sig_up = ancestral_step_sigmas(sig, sig_next, eta)
+    sig_mid = jnp.sqrt(sig * jnp.maximum(sig_down, 1e-20))
+    n_train = sigmas_full.shape[0]
+    t_mid = jnp.interp(
+        jnp.log(jnp.maximum(sig_mid, 1e-10)), jnp.log(sigmas_full),
+        jnp.arange(n_train, dtype=jnp.float32),
+    )
+    return t_mid, sig_mid, sig_down, sig_up
+
+
+def mid_proposal(method: str, lat, denoised, sigma, sig_mid, sig_down):
+    """The point x_2 where the K_MID samplers' SECOND model eval happens
+    (at sig_mid): dpm2 / dpm2_a take the Euler half-step x + d*(sig_mid
+    - sigma); dpmpp_2s_a takes the DPM-Solver++ exponential half-step
+    (sigma_fn(s)/sigma_fn(t))*x - expm1(-h/2)*denoised with
+    h = log(sigma/sigma_down) (k-diffusion sample_dpmpp_2s_ancestral,
+    r = 1/2). Pinned against literal transcriptions in
+    tests/test_k_goldens.py."""
+    if method == "dpmpp_2s_a":
+        h = jnp.log(sigma / jnp.maximum(sig_down, 1e-10))
+        return (sig_mid / sigma) * lat - jnp.expm1(-0.5 * h) * denoised
+    d = (lat - denoised) / sigma
+    return lat + d * (sig_mid - sigma)
+
+
+def mid_combine(method: str, lat, denoised, x_2, denoised_2, sigma,
+                sigma_next, sig_mid, sig_down, sig_up, noise=None):
+    """Second-stage update of the K_MID samplers, exactly the public
+    loops' operation order:
+
+    dpm2   (sample_dpm_2):           x += d_2*(sigma_next - sigma) with
+      d_2 the derivative at (x_2, sig_mid); plain Euler on the final
+      (sigma_next = 0) step.
+    dpm2_a (sample_dpm_2_ancestral): x += d_2*(sigma_down - sigma), then
+      + noise*sigma_up — both only when sigma_down > 0 (the final step is
+      plain Euler to 0, no noise, per the public if/else).
+    dpmpp_2s_a (sample_dpmpp_2s_ancestral): x = (sigma_down/sigma)*x -
+      expm1(-h)*denoised_2 (h = log(sigma/sigma_down)); Euler fallback
+      when sigma_down == 0; then + noise*sigma_up whenever
+      sigma_next > 0 (the noise line sits OUTSIDE the branch there).
+    """
+    d = (lat - denoised) / sigma
+    sm = jnp.maximum(sig_mid, 1e-10)
+    if method == "dpm2":
+        d_2 = (x_2 - denoised_2) / sm
+        x = lat + d_2 * (sigma_next - sigma)
+        euler = lat + d * (sigma_next - sigma)
+        return jnp.where(sigma_next > 0, x, euler)
+    if method == "dpm2_a":
+        d_2 = (x_2 - denoised_2) / sm
+        x = lat + d_2 * (sig_down - sigma) + noise * sig_up
+        euler = lat + d * (sig_down - sigma)
+        return jnp.where(sig_down > 0, x, euler)
+    # dpmpp_2s_a
+    h = jnp.log(sigma / jnp.maximum(sig_down, 1e-10))
+    x = (sig_down / sigma) * lat - jnp.expm1(-h) * denoised_2
+    euler = lat + d * (sig_down - sigma)
+    x = jnp.where(sig_down > 0, x, euler)
+    return jnp.where(sigma_next > 0, x + noise * sig_up, x)
+
+
+def lms_scan_coeffs(sigmas, order: int = 4):
+    """Linear-multistep coefficients over the sigma grid — k-diffusion
+    sample_lms's linear_multistep_coeff (order 4, the A1111 'LMS'
+    sampler): coeff[i, j] = ∫_{sig[i]}^{sig[i+1]} Π_{k≠j, k<cur}
+    (τ - sig[i-k]) / (sig[i-j] - sig[i-k]) dτ with cur = min(i+1,
+    order); the update is x += Σ_j coeff[i, j] · d_{i-j}.
+
+    The public code integrates with scipy.integrate.quad; the integrand
+    is a polynomial of degree < order, which Gauss-Kronrod evaluates
+    exactly, so the EXACT expansion computed here matches it to machine
+    precision (asserted against the literal transcription in
+    tests/test_k_goldens.py). The polynomial is expanded in the shifted
+    variable u = τ - sig[i] (every root offset is O(local grid spacing))
+    so the f32 evaluation stays cancellation-free. Rows are 0 for
+    j >= cur — the scan's unused history slots (whose carry is zeros).
+    """
+    sig = sigmas[:-1]
+    n = sig.shape[0]
+    idx = jnp.arange(n)
+    # r[k, i] = sig[i] - sig[i-k] (clamped at the head; masked below)
+    r = jnp.stack([sig - sig[jnp.maximum(idx - k, 0)] for k in range(order)])
+    cur = jnp.minimum(idx + 1, order)
+    dt = sigmas[1:] - sig
+    cols = []
+    for j in range(order):
+        # poly(u) = Π_{k≠j, k<cur} (u - r[k]) / (r[j] - r[k]); note
+        # τ - sig[i-k] = u + (sig[i] - sig[i-k])... with r[k] =
+        # sig[i] - sig[i-k] the factor is (u + r[k]), and the
+        # denominator sig[i-j] - sig[i-k] = r[k] - r[j].
+        c = [jnp.ones(n)] + [jnp.zeros(n)] * (order - 1)
+        for k in range(order):
+            if k == j:
+                continue
+            active = cur > k
+            denom = jnp.where(active, r[k] - r[j], 1.0)
+            nc = []
+            for deg in range(order):
+                term = (c[deg - 1] if deg else 0.0) + r[k] * c[deg]
+                nc.append(jnp.where(active, term / denom, c[deg]))
+            c = nc
+        integ = sum(c[deg] * dt ** (deg + 1) / (deg + 1)
+                    for deg in range(order))
+        cols.append(jnp.where(cur > j, integ, 0.0))
+    return jnp.stack(cols, axis=1)  # [n, order]
+
+
 def heun_combine(lat, denoised, x_2, denoised_2, sigma, sigma_next):
     """k-diffusion sample_heun's 2nd-order combine (s_churn=0 path):
     average the derivative at (x, sigma) with the derivative at the Euler
@@ -1431,6 +1572,8 @@ def k_diffuse_latent(
     unipc = method == "unipc"
     heun = method == "heun"
     m3 = method == "dpmpp_3m_sde"
+    mid_ = method in K_MID
+    lms_ = method == "lms"
     if unipc:
         # per-step order masks + sig[i-2] for the predictor-corrector
         sig_prev2, u_corr, c_o2, p_o2 = unipc_scan_extras(sig)
@@ -1443,12 +1586,23 @@ def k_diffuse_latent(
     elif m3:
         # sig[i-2] + second-step flag for the 3rd-order history
         extras = m3_scan_extras(sig)
+    elif mid_:
+        # the 2nd model eval is conditioned at the log-space mid sigma
+        sigmas_full = jnp.sqrt(
+            (1.0 - alphas_cumprod.astype(jnp.float32)) / alphas_cumprod)
+        extras = mid_scan_extras(method, sigmas, sigmas_full)
+    elif lms_:
+        # per-step linear-multistep coefficient rows over the sigma grid
+        extras = (lms_scan_coeffs(sigmas),)
     else:
         extras = ()
 
-    if heun and deepcache is not None:
-        raise ValueError("heun (two UNet evals per step) is not combinable "
-                         "with deepcache")
+    if (heun or mid_) and deepcache is not None:
+        raise ValueError(f"{method} (two UNet evals per step) is not "
+                         "combinable with deepcache")
+    if lms_ and deepcache is not None:
+        raise ValueError("lms (4-deep derivative history) is not "
+                         "combinable with deepcache")
 
     if deepcache is not None:
         interval, branch = _deepcache_validate(deepcache, control_params,
@@ -1520,6 +1674,13 @@ def k_diffuse_latent(
             lat, den1, den2 = carry
             (t, sigma, sigma_next, sigma_prev, is_first, k,
              sigma_prev2, is_second, cs) = inp
+        elif mid_:
+            lat, old_denoised = carry
+            (t, sigma, sigma_next, sigma_prev, is_first, k,
+             t_mid, s_mid, s_down, s_up, cs) = inp
+        elif lms_:
+            lat, d1, d2, d3 = carry
+            t, sigma, sigma_next, sigma_prev, is_first, k, co, cs = inp
         else:
             lat, old_denoised = carry
             t, sigma, sigma_next, sigma_prev, is_first, k, cs = inp
@@ -1572,6 +1733,28 @@ def k_diffuse_latent(
             new_lat = heun_combine(lat, denoised, x_2, denoised_2,
                                    sigma, sigma_next)
             return (new_lat, denoised), None
+        if mid_:
+            x_2 = mid_proposal(method, lat, denoised, sigma, s_mid, s_down)
+            sm = jnp.maximum(s_mid, 1e-10)
+            scaled_2 = x_2 / jnp.sqrt(sm**2 + 1.0)
+            eps_2 = _cfg_eps(unet_params, cfg, scaled_2, t_mid, ctx2, ch2,
+                             guidance_scale, compute_dtype, cross_kv,
+                             1.0 / (sm**2 + 1.0), use_cfg=use_cfg,
+                             guidance_rescale=guidance_rescale, concat=cc,
+                             control=ctrl, control_cfg=control_cfg,
+                             control_kv=ctrl_kv, control_scale=cs,
+                             pag_scale=pag_scale, image_scale=img_scale)
+            denoised_2 = x_2 - sm * eps_2
+            snoise = (_scan_normal(_scan_fold(k, 1), lat.shape)
+                      if stochastic else None)
+            new_lat = mid_combine(method, lat, denoised, x_2, denoised_2,
+                                  sigma, sigma_next, s_mid, s_down, s_up,
+                                  noise=snoise)
+            return (new_lat, denoised), None
+        if lms_:
+            d = (lat - denoised) / sigma
+            new_lat = lat + co[0] * d + co[1] * d1 + co[2] * d2 + co[3] * d3
+            return (new_lat, d, d1, d2), None
         snoise = (_scan_normal(_scan_fold(k, 1), lat.shape)
                   if stochastic else None)
         new_lat = k_step_update(method, lat, denoised, old_denoised,
@@ -1581,7 +1764,8 @@ def k_diffuse_latent(
 
     z = jnp.zeros_like(latent)
     carry0 = ((latent, z, z, latent) if unipc
-              else (latent, z, z) if m3 else (latent, z))
+              else (latent, z, z) if m3
+              else (latent, z, z, z) if lms_ else (latent, z))
     inputs = ((jnp.asarray(ts), sig, sig_next, sig_prev, first, keys)
               + extras + (cscales,))
     if head_steps:  # expert head: the full schedule's prefix
@@ -1669,6 +1853,8 @@ def _k_segment(
     unipc = method == "unipc"
     heun = method == "heun"
     m3 = method == "dpmpp_3m_sde"
+    mid_ = method in K_MID
+    lms_ = method == "lms"
     cfgpp = method == "euler_cfgpp" and use_cfg and not cfg.is_refiner
     if method == "euler_cfgpp" and not cfgpp:
         method = "euler"  # unguided CFG++ IS Euler (k_diffuse_latent)
@@ -1685,6 +1871,13 @@ def _k_segment(
         elif heun:
             lat, old_denoised = carry
             t, sigma, sigma_next, sigma_prev, is_first, k, t_nx, cs = inp
+        elif mid_:
+            lat, old_denoised = carry
+            (t, sigma, sigma_next, sigma_prev, is_first, k,
+             t_mid, s_mid, s_down, s_up, cs) = inp
+        elif lms_:
+            lat, d1, d2, d3 = carry
+            t, sigma, sigma_next, sigma_prev, is_first, k, co, cs = inp
         else:
             lat, old_denoised = carry
             t, sigma, sigma_next, sigma_prev, is_first, k, cs = inp
@@ -1729,6 +1922,27 @@ def _k_segment(
             new_lat = heun_combine(lat, denoised, x_2, denoised_2,
                                    sigma, sigma_next)
             return (new_lat, denoised), None
+        if mid_:
+            x_2 = mid_proposal(method, lat, denoised, sigma, s_mid, s_down)
+            sm = jnp.maximum(s_mid, 1e-10)
+            scaled_2 = x_2 / jnp.sqrt(sm**2 + 1.0)
+            eps_2 = _cfg_eps(unet_params, cfg, scaled_2, t_mid, ctx2, ch2,
+                             guidance_scale, compute_dtype, cross_kv,
+                             1.0 / (sm**2 + 1.0), use_cfg=use_cfg,
+                             guidance_rescale=guidance_rescale, concat=cc,
+                             control=ctrl, control_cfg=control_cfg,
+                             control_kv=ctrl_kv, control_scale=cs)
+            denoised_2 = x_2 - sm * eps_2
+            snoise = (_scan_normal(_scan_fold(k, 1), lat.shape)
+                      if method in K_STOCHASTIC else None)
+            new_lat = mid_combine(method, lat, denoised, x_2, denoised_2,
+                                  sigma, sigma_next, s_mid, s_down, s_up,
+                                  noise=snoise)
+            return (new_lat, denoised), None
+        if lms_:
+            d = (lat - denoised) / sigma
+            new_lat = lat + co[0] * d + co[1] * d1 + co[2] * d2 + co[3] * d3
+            return (new_lat, d, d1, d2), None
         snoise = (_scan_normal(_scan_fold(k, 1), lat.shape)
                   if method in K_STOCHASTIC else None)
         new_lat = k_step_update(method, lat, denoised, old_denoised,
@@ -1744,8 +1958,15 @@ def _k_segment(
         carry0 = (lat, old_denoised, m_prev2)  # m_prev2 rides as den2
         inputs = (ts, sig, sig_next, sig_prev, first, keys) + tuple(
             seg_extras) + (control_scales,)
-    elif heun:
+    elif heun or mid_:
         carry0 = (lat, old_denoised)
+        inputs = (ts, sig, sig_next, sig_prev, first, keys) + tuple(
+            seg_extras) + (control_scales,)
+    elif lms_:
+        # 4-deep derivative history rides (old_denoised, m_prev2,
+        # last_sample) as (d1, d2, d3); seg_extras = this segment's
+        # coefficient-row slice of the FULL schedule's lms_scan_coeffs
+        carry0 = (lat, old_denoised, m_prev2, last_sample)
         inputs = (ts, sig, sig_next, sig_prev, first, keys) + tuple(
             seg_extras) + (control_scales,)
     else:
@@ -1833,16 +2054,28 @@ def k_diffuse_latent_preview(
         # boundaries don't reset the 3rd-order history
         full_extras = m3_scan_extras(jnp.asarray(sig))
         old2 = jnp.zeros_like(lat)
+    elif method in K_MID:
+        # mid-sigma eval points over the full schedule (stateless rows)
+        sigmas_full = jnp.sqrt(
+            (1.0 - alphas_cumprod.astype(jnp.float32)) / alphas_cumprod)
+        full_extras = mid_scan_extras(method, jnp.asarray(sigmas),
+                                      sigmas_full)
+    elif method == "lms":
+        # FULL-schedule coefficient rows + the 4-deep derivative history
+        # carried across segment boundaries (old/old2/last ride as
+        # d1/d2/d3), so segmented == unsegmented bitwise
+        full_extras = (lms_scan_coeffs(jnp.asarray(sigmas)),)
+        old2, last = jnp.zeros_like(lat), jnp.zeros_like(lat)
     done = 0
     while done < total:
         end = min(done + preview_every, total)
-        if unipc:
+        if unipc or method == "lms":
             seg = dict(m_prev2=old2, last_sample=last,
                        seg_extras=tuple(e[done:end] for e in full_extras))
         elif m3:
             seg = dict(m_prev2=old2,
                        seg_extras=tuple(e[done:end] for e in full_extras))
-        elif heun:
+        elif heun or method in K_MID:
             seg = dict(seg_extras=tuple(e[done:end] for e in full_extras))
         else:
             seg = {}
@@ -1859,7 +2092,7 @@ def k_diffuse_latent_preview(
             control_scales=cscales[done:end], control_cfg=control_cfg,
             **seg,
         )
-        if unipc:
+        if unipc or method == "lms":
             lat, old, old2, last = carry
         elif m3:
             lat, old, old2 = carry
@@ -2746,26 +2979,36 @@ def scheduled_sample_latent(
     unipc = method == "unipc"
     heun = method == "heun"
     m3 = method == "dpmpp_3m_sde"
+    lms_ = method == "lms"
     if unipc:
         full_extras = unipc_scan_extras(jnp.asarray(sig))
     elif heun:
         full_extras = (jnp.asarray(np.concatenate([ts[1:], ts[-1:]])),)
     elif m3:
         full_extras = m3_scan_extras(jnp.asarray(sig))
+    elif method in K_MID:
+        sigmas_full = jnp.sqrt(
+            (1.0 - alphas_cumprod.astype(jnp.float32)) / alphas_cumprod)
+        full_extras = mid_scan_extras(method, jnp.asarray(sigmas),
+                                      sigmas_full)
+    elif lms_:
+        full_extras = (lms_scan_coeffs(jnp.asarray(sigmas)),)
 
     lat = (noise0 * float(sigmas[0])).astype(jnp.float32)
     old = jnp.zeros_like(lat)
     old2, last = jnp.zeros_like(lat), lat
+    if lms_:
+        last = jnp.zeros_like(lat)  # d3 history starts empty
     done = 0
     for cond, n_seg in zip(conds, seg_lens):
         end = done + n_seg
-        if unipc:
+        if unipc or lms_:
             seg = dict(m_prev2=old2, last_sample=last,
                        seg_extras=tuple(e[done:end] for e in full_extras))
         elif m3:
             seg = dict(m_prev2=old2,
                        seg_extras=tuple(e[done:end] for e in full_extras))
-        elif heun:
+        elif heun or method in K_MID:
             seg = dict(seg_extras=tuple(e[done:end] for e in full_extras))
         else:
             seg = {}
@@ -2779,7 +3022,7 @@ def scheduled_sample_latent(
             control_scales=zeros_cs[done:end],
             **seg,
         )
-        if unipc:
+        if unipc or lms_:
             lat, old, old2, last = carry
         elif m3:
             lat, old, old2 = carry

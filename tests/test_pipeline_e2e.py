@@ -225,7 +225,7 @@ def test_preview_segmented_matches_unsegmented(pipe):
 
 
 @pytest.mark.parametrize("sampler", ["euler", "dpmpp", "unipc", "heun",
-                                     "dpmpp_3m_sde"])
+                                     "dpmpp_3m_sde", "dpm2_a", "lms"])
 def test_k_preview_segmented_matches_unsegmented(pipe, sampler):
     """Previews generalize to the k-samplers: the segmented scan (with the
     DPM++ multistep history carried across boundaries) must reproduce the
