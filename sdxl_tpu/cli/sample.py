@@ -46,6 +46,25 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Bottom-most pixel of the crop window")
     p.add_argument("--crop-out", action="store_true",
                    help="Crop outside or inside the specified crop window?")
+    p.add_argument("--mask-img", type=str, default=None, metavar="PNG",
+                   help="Inpainting mask IMAGE instead of a crop window "
+                        "(any >127 pixel in an 8x8 cell marks the cell "
+                        "generated); all families")
+    p.add_argument("--mask-blur", type=float, default=0.0, metavar="SIGMA",
+                   help="Soft inpainting: gaussian sigma (pixels) to "
+                        "feather the mask boundary; the per-step pin "
+                        "blends instead of selecting (A1111 mask_blur). "
+                        "0 = the reference's exact hard mask")
+    p.add_argument("--ddim-eta", type=float, default=0.0,
+                   help="Stochastic DDIM (diffusers DDIMScheduler eta; "
+                        "1.0 ~ DDPM ancestral) — sampler ddim only; "
+                        "0 = the reference's deterministic update")
+    p.add_argument("--no-strict-resolution", action="store_true",
+                   help="Accept inpainting references at any "
+                        "multiple-of-8 size with a quality warning "
+                        "instead of the reference's hard "
+                        "trained-bucket check (diffusers/A1111 "
+                        "semantics; useful for finetuned checkpoints)")
     p.add_argument("--unconditional-guidance-scale", "-gs", type=float,
                    default=7.5,
                    help="Controls the strength of the adherence to the prompt")
@@ -344,6 +363,10 @@ def _run_sd3(args, dtype) -> int:
         ("--edit-image", args.edit_image is not None),
         ("--invert-img", args.invert_img is not None),
         ("--outpaint", args.outpaint is not None),
+        ("--mask-img/--mask-blur with --img2img-strength",
+         args.img2img_strength is not None
+         and (args.mask_img is not None or args.mask_blur > 0)),
+        ("--ddim-eta", args.ddim_eta > 0),
         ("--zsnr", args.zsnr),
     ]
     bad = [name for name, hit in unsupported if hit]
@@ -402,6 +425,7 @@ def _run_sd3(args, dtype) -> int:
                 prompts, ref, crop_left=args.crop_left,
                 crop_right=args.crop_right, crop_top=args.crop_top,
                 crop_bottom=args.crop_bottom, crop_out=args.crop_out,
+                mask_image=_load_mask(args), mask_blur=args.mask_blur,
                 n_steps=args.n_diffusion_steps,
                 guidance_scale=args.unconditional_guidance_scale,
                 seed=args.seed, negative_prompt=args.negative_prompt,
@@ -457,6 +481,10 @@ def _run_flux(args, dtype) -> int:
         ("--vae-bf16", args.vae_bf16),
         ("--invert-img", args.invert_img is not None),
         ("--outpaint", args.outpaint is not None),
+        ("--mask-img/--mask-blur with --img2img-strength",
+         args.img2img_strength is not None
+         and (args.mask_img is not None or args.mask_blur > 0)),
+        ("--ddim-eta", args.ddim_eta > 0),
         ("--zsnr", args.zsnr),
     ]
     bad = [name for name, hit in unsupported if hit]
@@ -530,6 +558,7 @@ def _run_flux(args, dtype) -> int:
                 prompts, ref, crop_left=args.crop_left,
                 crop_right=args.crop_right, crop_top=args.crop_top,
                 crop_bottom=args.crop_bottom, crop_out=args.crop_out,
+                mask_image=_load_mask(args), mask_blur=args.mask_blur,
                 **common)
     else:
         images = pipe.txt2img(
@@ -541,6 +570,15 @@ def _run_flux(args, dtype) -> int:
     log(f"throughput: {60.0 * len(prompts) / total:.2f} images/min "
         f"(p50-equivalent latency {total / len(prompts):.2f}s/image)")
     return 0
+
+
+def _load_mask(args):
+    """--mask-img PNG -> [H, W, 3] u8 array (None when not given)."""
+    if args.mask_img is None:
+        return None
+    from ..io.images import load_images
+
+    return load_images([args.mask_img])[0]
 
 
 def main(argv=None) -> int:
@@ -665,6 +703,8 @@ def main(argv=None) -> int:
         pipe.vae_dtype = jnp.bfloat16
     if args.vae_tile:
         pipe.vae_tile = args.vae_tile
+    if args.no_strict_resolution:
+        pipe.strict_resolutions = False
     if args.zsnr:
         pipe.rescale_zsnr()
         log("zsnr: alpha-bar table rescaled to zero terminal SNR "
@@ -795,6 +835,13 @@ def main(argv=None) -> int:
               "--img2img-strength mode)", file=sys.stderr)
         return 1
 
+    if (args.mask_img is not None or args.mask_blur > 0) and (
+            args.reference_img is None or args.img2img_strength is not None):
+        print("error: --mask-img/--mask-blur are inpainting flags (need "
+              "--reference-img, not an --img2img-strength mode)",
+              file=sys.stderr)
+        return 1
+
     if args.hires_scale is not None:
         if args.reference_img is not None or args.use_refiner:
             print("error: --hires-scale is a txt2img feature (no "
@@ -895,6 +942,7 @@ def main(argv=None) -> int:
             schedule=args.schedule,
             guidance_rescale=args.guidance_rescale,
             no_cfg=args.no_cfg,
+            ddim_eta=args.ddim_eta,
             **control_kw,
         )
     elif args.reference_img is not None and args.outpaint is not None:
@@ -921,6 +969,7 @@ def main(argv=None) -> int:
                 schedule=args.schedule,
                 guidance_rescale=args.guidance_rescale,
                 no_cfg=args.no_cfg,
+                ddim_eta=args.ddim_eta,
                 **control_kw,
             )
         except ValueError as e:
@@ -936,6 +985,8 @@ def main(argv=None) -> int:
             crop_top=args.crop_top,
             crop_bottom=args.crop_bottom,
             crop_out=args.crop_out,
+            mask_image=_load_mask(args),
+            mask_blur=args.mask_blur,
             n_steps=args.n_diffusion_steps,
             guidance_scale=args.unconditional_guidance_scale,
             seed=args.seed,
@@ -945,6 +996,7 @@ def main(argv=None) -> int:
             schedule=args.schedule,
             guidance_rescale=args.guidance_rescale,
             no_cfg=args.no_cfg,
+            ddim_eta=args.ddim_eta,
             **control_kw,
         )
     else:
@@ -968,6 +1020,7 @@ def main(argv=None) -> int:
             schedule=args.schedule,
             guidance_rescale=args.guidance_rescale,
             no_cfg=args.no_cfg,
+            ddim_eta=args.ddim_eta,
             preview_every=args.preview_every,
             preview_callback=preview_cb,
             **control_kw,

@@ -43,7 +43,8 @@ Endpoints:
                        pixel-space crop window {"crop_left", "crop_right",
                        "crop_top", "crop_bottom", "crop_out"} OR a
                        {"mask": "<base64 png>"} image (>127 = generate);
-                       runs unbatched
+                       optional {"mask_blur": sigma_px} feathers the
+                       boundary (soft inpainting); runs unbatched
      responds {"images": ["<base64 png>", ...], "seed": N, "latency_s": x}
      (or a raw PNG body with Accept: image/png)
 
@@ -102,6 +103,8 @@ class GenConfig:
     # InstructPix2Pix image guidance (UNet families' /v1/edit; the
     # checkpoint must be an 8-channel edit UNet)
     image_guidance_scale: float = 1.5
+    # stochastic DDIM (diffusers eta; sampler "ddim" only)
+    ddim_eta: float = 0.0
 
 
 @dataclass
@@ -118,6 +121,9 @@ class GenRequest:
     # (>127 = generate); also runs alone
     crop: Optional[tuple] = None
     mask_image: Optional[object] = None
+    # soft inpainting: gaussian sigma (pixels) feathering the mask
+    # boundary (A1111 mask_blur); 0 = the hard reference mask
+    mask_blur: float = 0.0
     # ControlNet-guided txt2img (server boot must have loaded one via
     # --controlnet): per-request conditioning image; also runs alone
     control_image: Optional[object] = None
@@ -373,6 +379,7 @@ class GenerationServer:
                     schedule=cfg.schedule,
                     guidance_rescale=cfg.guidance_rescale,
                     pag_scale=cfg.pag_scale,
+                    ddim_eta=cfg.ddim_eta,
                 )
             else:
                 control_kw = {}
@@ -399,6 +406,7 @@ class GenerationServer:
                     schedule=cfg.schedule,
                     guidance_rescale=cfg.guidance_rescale,
                     pag_scale=cfg.pag_scale,
+                    ddim_eta=cfg.ddim_eta,
                     **control_kw,
                 )
             images = np.asarray(images)
@@ -444,7 +452,7 @@ class GenerationServer:
             if r0.mask_image is not None:
                 return self.pipe.inpaint(
                     [r0.prompt], ref, mask_image=np.asarray(r0.mask_image),
-                    **common)
+                    mask_blur=r0.mask_blur, **common)
             left, right, top, bottom, crop_out = r0.crop
             return self.pipe.inpaint(
                 [r0.prompt], ref, crop_left=left, crop_right=right,
@@ -493,7 +501,7 @@ class GenerationServer:
             if r0.mask_image is not None:
                 return self.pipe.inpaint(
                     [r0.prompt], ref, mask_image=np.asarray(r0.mask_image),
-                    **common)
+                    mask_blur=r0.mask_blur, **common)
             left, right, top, bottom, crop_out = r0.crop
             return self.pipe.inpaint(
                 [r0.prompt], ref, crop_left=left, crop_right=right,
@@ -528,34 +536,21 @@ class GenerationServer:
             seed=r.seed, negative_prompt=cfg.negative_prompt,
             sampler=cfg.sampler, schedule=cfg.schedule,
             guidance_rescale=cfg.guidance_rescale,
-            pag_scale=cfg.pag_scale,
+            pag_scale=cfg.pag_scale, ddim_eta=cfg.ddim_eta,
         )
         ref = np.asarray(r.image)[None]
         if r.mask_image is not None:
-            import jax.numpy as jnp
-
-            h, w = ref.shape[1:3]
-            m = np.asarray(r.mask_image)
-            if m.shape[:2] != (h, w):
-                raise ValueError(
-                    f"mask {m.shape[:2]} does not match image {(h, w)}"
-                )
-            if m.ndim == 3:
-                m = m.max(axis=-1)
-            lh, lw = h // 8, w // 8
-            cells = (m[: lh * 8, : lw * 8].reshape(lh, 8, lw, 8)
-                     .max(axis=(1, 3)) > 127)
-            mask = jnp.asarray(
-                np.broadcast_to(cells[None, :, :, None], (1, lh, lw, 4))
-            )
-            return self.pipe.txt2img(
-                [r.prompt], resolution=(h, w), inpaint_reference=ref,
-                inpaint_mask=mask, **common,
+            # pipe.inpaint owns both mask surfaces (identical cell
+            # semantics to the old in-server construction)
+            return self.pipe.inpaint(
+                [r.prompt], ref, mask_image=np.asarray(r.mask_image),
+                mask_blur=r.mask_blur, **common,
             )
         left, right, top, bottom, crop_out = r.crop
         return self.pipe.inpaint(
             [r.prompt], ref, crop_left=left, crop_right=right,
-            crop_top=top, crop_bottom=bottom, crop_out=crop_out, **common,
+            crop_top=top, crop_bottom=bottom, crop_out=crop_out,
+            mask_blur=r.mask_blur, **common,
         )
 
     def info(self) -> dict:
@@ -661,6 +656,7 @@ def make_handler(server: GenerationServer):
                         payload.get("guidance_rescale", d.guidance_rescale)
                     ),
                     pag_scale=float(payload.get("pag_scale", d.pag_scale)),
+                    ddim_eta=float(payload.get("ddim_eta", d.ddim_eta)),
                     slg_scale=float(payload.get("slg_scale", d.slg_scale)),
                     true_cfg_scale=float(
                         payload.get("true_cfg_scale", d.true_cfg_scale)),
@@ -673,6 +669,7 @@ def make_handler(server: GenerationServer):
                 strength = 0.3
                 crop = None
                 mask_image = None
+                mask_blur = 0.0
                 control_image = None
                 control_scale = 1.0
                 ip_image = None
@@ -692,6 +689,7 @@ def make_handler(server: GenerationServer):
                 elif self.path == "/v1/inpaint":
                     image = self._decode_image(payload)
                     h, w = image.shape[:2]
+                    mask_blur = float(payload.get("mask_blur", 0.0))
                     if "mask" in payload:
                         mask_image = self._decode_image(payload, "mask")
                     elif any(
@@ -716,6 +714,7 @@ def make_handler(server: GenerationServer):
             req = server.submit(
                 GenRequest(prompt, cfg, seed, image=image, strength=strength,
                            crop=crop, mask_image=mask_image,
+                           mask_blur=mask_blur,
                            control_image=control_image,
                            control_scale=control_scale,
                            ip_image=ip_image, ip_scale=ip_scale,

@@ -439,6 +439,7 @@ class FluxPipeline:
         crop_top: Optional[int] = None,
         crop_bottom: Optional[int] = None,
         crop_out: bool = False,
+        mask_blur: float = 0.0,
         strength: float = 1.0,
         n_steps: int = 28,
         guidance_scale: float = 3.5,
@@ -460,7 +461,7 @@ class FluxPipeline:
                              "multiple of 16 (2x2-packed 16-ch latent)")
         mask = build_latent_mask(height, width, mask_image, crop_left,
                                  crop_right, crop_top, crop_bottom,
-                                 crop_out)
+                                 crop_out, mask_blur=mask_blur)
         ctx, pooled = self.conditioning(prompts)
         with self.timer.stage("vae_encode"):
             x = (jnp.asarray(reference_images).astype(jnp.float32) / 255.0

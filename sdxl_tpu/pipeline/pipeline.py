@@ -518,8 +518,14 @@ class SDXLPipeline:
         deepcache: Optional[Tuple[int, int]] = None,
         pag_scale: float = 0.0,
         initial_latent: Optional[jnp.ndarray] = None,
+        ddim_eta: float = 0.0,
     ) -> np.ndarray:
         """Full pipeline; returns [B, H, W, 3] uint8.
+
+        ddim_eta > 0 (sampler="ddim" only): stochastic DDIM — diffusers
+        DDIMScheduler's eta (eta=1 ~ DDPM ancestral); per-image seeds
+        keep their own step-noise streams like the stochastic
+        k-samplers. eta=0 is the reference's deterministic path bitwise.
 
         initial_latent ([B,h,w,4] VP-space latent at the schedule's first
         timestep, e.g. from ddim_invert): starts the DDIM chain from a
@@ -632,7 +638,7 @@ class SDXLPipeline:
             return self._txt2img_scheduled(
                 sched, resolution, n_steps, guidance_scale, seed,
                 negative_prompt, sampler, schedule, guidance_rescale,
-                no_cfg, device_output, profile_stages)
+                no_cfg, device_output, profile_stages, ddim_eta=ddim_eta)
 
         cond = self.conditioning(
             prompts, resolution, negative_prompt=negative_prompt,
@@ -676,14 +682,21 @@ class SDXLPipeline:
             from .sampler import gen_noise_per_seed
 
             initial_noise = gen_noise_per_seed(seeds, cond_half)
-            if sampler in K_STOCHASTIC or sampler == "lcm":
-                # stochastic samplers (euler_a/dpmpp_sde/lcm) draw noise
-                # every step: per-image scan keys keep image i's full
-                # noise stream a function of seeds[i] alone (fused
-                # serving contract)
-                from .sampler import k_step_keys_per_seed
+            if (sampler in K_STOCHASTIC or sampler == "lcm"
+                    or (sampler == "ddim" and ddim_eta > 0)):
+                # stochastic samplers (euler_a/dpmpp_sde/lcm/ddim-eta)
+                # draw noise every step: per-image scan keys keep image
+                # i's full noise stream a function of seeds[i] alone
+                # (fused serving contract)
+                from .sampler import ddim_timesteps, k_step_keys_per_seed
 
-                step_keys = k_step_keys_per_seed(seeds, n_steps)
+                n_keys = n_steps
+                if sampler == "ddim":
+                    # the DDIM grid can exceed n_steps (the 31-iteration
+                    # quirk, mod.rs:400-406) — keys must cover it
+                    n_keys = len(ddim_timesteps(
+                        0, n_steps, int(self.alphas_cumprod.shape[0])))
+                step_keys = k_step_keys_per_seed(seeds, n_keys)
 
         reference_latent = None
         concat_channels = None
@@ -719,6 +732,9 @@ class SDXLPipeline:
 
         if sampler not in SAMPLERS:
             raise ValueError(f"unknown sampler {sampler!r} ({'|'.join(SAMPLERS)})")
+        if ddim_eta and sampler != "ddim":
+            raise ValueError("ddim_eta applies to sampler='ddim' only (the "
+                             "k-samplers have their own ancestral variants)")
         if schedule != "linear" and sampler in ("ddim", "lcm"):
             raise ValueError(
                 "--schedule applies to the euler/dpmpp samplers; the DDIM "
@@ -821,7 +837,8 @@ class SDXLPipeline:
                     key=inpaint_key, use_cfg=use_cfg,
                     guidance_rescale=guidance_rescale,
                     concat_channels=concat_channels,
-                    preview_factors=self.preview_factors, ip=ipd, **ctl,
+                    preview_factors=self.preview_factors, ip=ipd,
+                    ddim_eta=ddim_eta, step_keys=step_keys, **ctl,
                 )
             elif sampler == "lcm":
                 from .sampler import lcm_sample_latent
@@ -868,7 +885,8 @@ class SDXLPipeline:
                     concat_channels=concat_channels,
                     initial_noise=initial_noise, ip=ipd,
                     deepcache=deepcache, pag_scale=pag_scale,
-                    head_steps=head_steps, **ctl,
+                    head_steps=head_steps, ddim_eta=ddim_eta,
+                    step_keys=step_keys, **ctl,
                 )
             if profile_stages:
                 fence(latent)
@@ -928,13 +946,22 @@ class SDXLPipeline:
 
                     refiner_noise = refiner_noise_per_seed(
                         seeds, latent.shape)
-                if sampler in K_STOCHASTIC:
+                if sampler in K_STOCHASTIC or (sampler == "ddim"
+                                               and ddim_eta > 0):
                     # per-image step noise for the refiner scan (stream 3);
                     # the tail schedule runs fewer steps than n_steps
-                    from .sampler import k_step_keys_per_seed, k_timesteps
+                    from .sampler import (
+                        ddim_timesteps,
+                        k_step_keys_per_seed,
+                        k_timesteps,
+                    )
 
                     if expert:
                         n_tail = grid_total - head_steps
+                    elif sampler == "ddim":
+                        n_tail = len(ddim_timesteps(
+                            refiner_step_start, n_steps,
+                            int(refiner_alphas.shape[0])))
                     else:
                         n_tail = len(k_timesteps(
                             refiner_step_start, n_steps,
@@ -973,6 +1000,8 @@ class SDXLPipeline:
                         deepcache=deepcache,
                         renoise=not expert,
                         tail_from=head_steps if expert else 0,
+                        ddim_eta=ddim_eta,
+                        step_keys=refiner_step_keys,
                     )
                 if profile_stages:
                     fence(latent)
@@ -1003,6 +1032,7 @@ class SDXLPipeline:
         no_cfg,
         device_output,
         profile_stages,
+        ddim_eta: float = 0.0,
     ) -> np.ndarray:
         """Prompt-editing txt2img (pipeline/prompt_schedule.py): one
         conditioning per schedule segment, chained segmented scans
@@ -1042,10 +1072,15 @@ class SDXLPipeline:
             from .sampler import gen_noise_per_seed
 
             initial_noise = gen_noise_per_seed(seeds, conds[0])
-            if sampler in K_STOCHASTIC:
-                from .sampler import k_step_keys_per_seed
+            if sampler in K_STOCHASTIC or (sampler == "ddim"
+                                           and ddim_eta > 0):
+                from .sampler import ddim_timesteps, k_step_keys_per_seed
 
-                step_keys = k_step_keys_per_seed(seeds, n_steps)
+                n_keys = n_steps
+                if sampler == "ddim":
+                    n_keys = len(ddim_timesteps(
+                        0, n_steps, int(self.alphas_cumprod.shape[0])))
+                step_keys = k_step_keys_per_seed(seeds, n_keys)
 
         from .sampler import scheduled_sample_latent
 
@@ -1061,6 +1096,7 @@ class SDXLPipeline:
                 schedule=schedule, use_cfg=use_cfg,
                 guidance_rescale=guidance_rescale,
                 initial_noise=initial_noise, step_keys=step_keys,
+                ddim_eta=ddim_eta,
             )
             if profile_stages:
                 fence(latent)
@@ -1202,6 +1238,7 @@ class SDXLPipeline:
         ip_adapter_scale: float = 0.6,
         deepcache: Optional[Tuple[int, int]] = None,
         pag_scale: float = 0.0,
+        ddim_eta: float = 0.0,
     ) -> np.ndarray:
         """Strength-based image-to-image (capability extension).
 
@@ -1226,6 +1263,9 @@ class SDXLPipeline:
 
         if sampler not in SAMPLERS:
             raise ValueError(f"unknown sampler {sampler!r} ({'|'.join(SAMPLERS)})")
+        if ddim_eta and sampler != "ddim":
+            raise ValueError("ddim_eta applies to sampler='ddim' only (the "
+                             "k-samplers have their own ancestral variants)")
         if schedule != "linear" and sampler in ("ddim", "lcm"):
             raise ValueError(
                 "--schedule applies to the euler/dpmpp samplers; the DDIM "
@@ -1273,7 +1313,8 @@ class SDXLPipeline:
                     latent, cond, jax.random.PRNGKey(seed), guidance_scale,
                     step_start, n_steps, self.compute_dtype,
                     use_cfg=use_cfg, guidance_rescale=guidance_rescale,
-                    ip=ipd, deepcache=deepcache, pag_scale=pag_scale, **ctl,
+                    ip=ipd, deepcache=deepcache, pag_scale=pag_scale,
+                    ddim_eta=ddim_eta, **ctl,
                 )
 
         with self.timer.stage("vae_decode"):
@@ -1516,9 +1557,18 @@ class SDXLPipeline:
         crop_top: Optional[int] = None,
         crop_bottom: Optional[int] = None,
         crop_out: bool = False,
+        mask_image: Optional[np.ndarray] = None,
+        mask_blur: float = 0.0,
         **kw,
     ) -> np.ndarray:
-        """Crop-window latent inpainting (sample/main.rs:135-197)."""
+        """Crop-window latent inpainting (sample/main.rs:135-197), plus
+        the mask-IMAGE surface (any >127 pixel in an 8x8 cell marks the
+        cell generated — same semantics as the server's /v1/inpaint and
+        the SD3/Flux families) and soft inpainting: mask_blur > 0
+        (gaussian sigma, pixels) feathers the mask boundary and the
+        per-step pin LERPS instead of selecting (sampler.inpaint_pin;
+        A1111's mask_blur). mask_blur == 0 keeps the reference's exact
+        hard-mask path bitwise."""
         _, height, width, _ = reference_images.shape
         if not validate_resolution(height, width):
             if self.strict_resolutions:
@@ -1528,26 +1578,37 @@ class SDXLPipeline:
                 )
             log(f"warning: {height}x{width} is not an SDXL-trained bucket "
                 "(ok for this model family)")
-        crop_left = 0 if crop_left is None else crop_left
-        crop_right = width if crop_right is None else crop_right
-        crop_top = 0 if crop_top is None else crop_top
-        crop_bottom = height if crop_bottom is None else crop_bottom
-        if not (
-            crop_right <= width and crop_bottom <= height
-            and (crop_left < crop_right or crop_top < crop_bottom)
-        ):
-            raise ValueError("Invalid crop parameters.")
-
-        # latent-space window (÷8), mask true = generated region
         lh, lw = height // 8, width // 8
-        scale = height // lh
-        l, r = crop_left // scale, crop_right // scale
-        t, b = crop_top // scale, crop_bottom // scale
-        mask = np.zeros((1, lh, lw, 1), dtype=bool)
-        mask[:, t:b, l:r, :] = True
-        if crop_out:
-            mask = ~mask
-        mask = jnp.asarray(np.broadcast_to(mask, (1, lh, lw, 4)))
+        if mask_image is not None or mask_blur > 0:
+            from .masks import build_latent_mask
+
+            mask = build_latent_mask(
+                height, width, mask_image, crop_left, crop_right,
+                crop_top, crop_bottom, crop_out, mask_blur=mask_blur)
+            if mask_blur <= 0:
+                # hard mask: keep the reference's exact bool pin path
+                mask = mask.astype(bool)
+            mask = jnp.broadcast_to(mask, (1, lh, lw, 4))
+        else:
+            crop_left = 0 if crop_left is None else crop_left
+            crop_right = width if crop_right is None else crop_right
+            crop_top = 0 if crop_top is None else crop_top
+            crop_bottom = height if crop_bottom is None else crop_bottom
+            if not (
+                crop_right <= width and crop_bottom <= height
+                and (crop_left < crop_right or crop_top < crop_bottom)
+            ):
+                raise ValueError("Invalid crop parameters.")
+
+            # latent-space window (÷8), mask true = generated region
+            scale = height // lh
+            l, r = crop_left // scale, crop_right // scale
+            t, b = crop_top // scale, crop_bottom // scale
+            mask = np.zeros((1, lh, lw, 1), dtype=bool)
+            mask[:, t:b, l:r, :] = True
+            if crop_out:
+                mask = ~mask
+            mask = jnp.asarray(np.broadcast_to(mask, (1, lh, lw, 4)))
 
         return self.txt2img(
             prompts,

@@ -587,12 +587,36 @@ def _merge_ip(cross_kv, ip, cfg: DiffuserConfig, cond: Conditioning,
                        ip["scale"])
 
 
+def ddim_sigma(alpha, alpha_prev, eta: float):
+    """diffusers DDIMScheduler._get_variance^0.5 * eta:
+    sigma_t = eta * sqrt((1-a_prev)/(1-a_t)) * sqrt(1 - a_t/a_prev).
+    0 at the a_prev = 1 tail; <= sqrt(1-a_prev) for eta <= 1 (the
+    direction term's sqrt stays real)."""
+    var = (1.0 - alpha_prev) / (1.0 - alpha) * (1.0 - alpha / alpha_prev)
+    return eta * jnp.sqrt(jnp.maximum(var, 0.0))
+
+
+def _ddim_update(x0, eps, alpha, alpha_prev, eta: float, k, shape):
+    """One DDIM latent update. eta == 0: the reference's deterministic
+    step (mod.rs:406-429, sigma hardcoded 0 at :402,448) — bit-identical
+    to the historical code path. eta > 0: diffusers DDIMScheduler.step's
+    stochastic variant, x = sqrt(a_prev)*x0 +
+    sqrt(1-a_prev-sigma^2)*eps + sigma*noise, with the step noise drawn
+    from stream 1 of the scan key (stream 0 is the inpaint pin)."""
+    if eta <= 0:
+        return x0 * jnp.sqrt(alpha_prev) + eps * jnp.sqrt(1.0 - alpha_prev)
+    sig = ddim_sigma(alpha, alpha_prev, eta)
+    dirn = jnp.sqrt(jnp.maximum(1.0 - alpha_prev - sig**2, 0.0))
+    noise = _scan_normal(_scan_fold(k, 1), shape)
+    return x0 * jnp.sqrt(alpha_prev) + dirn * eps + sig * noise
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "step_start", "n_steps", "compute_dtype", "inpaint",
                      "use_cfg", "guidance_rescale", "control_cfg",
                      "control_window", "deepcache", "pag_scale", "head_steps",
-                     "tail_from", "edit"),
+                     "tail_from", "edit", "ddim_eta"),
     donate_argnames=("latent",),
 )
 def diffuse_latent(
@@ -624,8 +648,21 @@ def diffuse_latent(
     tail_from: int = 0,
     edit: bool = False,
     image_guidance_scale: float = 1.5,
+    ddim_eta: float = 0.0,
+    step_keys: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """DDIM loop as one lax.scan (diffuse_latent, mod.rs:390-483).
+
+    ddim_eta > 0: stochastic DDIM (diffusers DDIMScheduler's eta; eta=1
+    is DDPM-like ancestral sampling): per step
+    sigma_t = eta*sqrt((1-a_prev)/(1-a_t))*sqrt(1-a_t/a_prev) and
+    x = sqrt(a_prev)*x0 + sqrt(1-a_prev-sigma_t^2)*eps + sigma_t*noise
+    — pinned against a literal transcription in tests/test_ddim_eta.py.
+    eta = 0 keeps the reference's deterministic update bitwise
+    (mod.rs:402,448 hardcodes sigma=0). Step noise draws from stream 1
+    of the scan keys (stream 0 is the inpaint pin); step_keys [T, B, 2]
+    overrides with PER-IMAGE keys so fused serving batches keep the
+    per-image-seed contract.
 
     edit=True (InstructPix2Pix): concat_channels is the UNSCALED
     edit-image latent [B,h,w,4] (in_channels == 8 models) and the CFG
@@ -697,6 +734,11 @@ def diffuse_latent(
     latent = latent.astype(jnp.float32)
     if inpaint:
         reference = reference.astype(jnp.float32)
+    if step_keys is not None:
+        keys = step_keys  # [T, B, 2]: per-image scan keys
+    elif inpaint or ddim_eta > 0:
+        if key is None:
+            raise ValueError("inpaint / ddim_eta > 0 needs a PRNG key")
         keys = jax.random.split(key, ts.shape[0])
     else:
         keys = jnp.zeros((ts.shape[0], 2), dtype=jnp.uint32)
@@ -732,10 +774,10 @@ def diffuse_latent(
             lat, cache = carry
             t, alpha, alpha_prev, k, is_full = inp
             if inpaint:
-                noise = jax.random.normal(k, lat.shape, jnp.float32)
+                noise = _scan_normal(k, lat.shape)
                 noised_ref = (reference * jnp.sqrt(alpha)
                               + noise * jnp.sqrt(1.0 - alpha))
-                lat = jnp.where(mask, lat, noised_ref)
+                lat = inpaint_pin(mask, lat, noised_ref)
             eps, cache = _cfg_eps_deepcache(
                 unet_params, cfg, lat, t, ctx2, ch2, guidance_scale,
                 compute_dtype, cross_kv, alpha, use_cfg, guidance_rescale,
@@ -743,7 +785,8 @@ def diffuse_latent(
             )
             sqrt_noise = jnp.sqrt(1.0 - alpha)
             x0 = (lat - eps * sqrt_noise) / jnp.sqrt(alpha)
-            lat = x0 * jnp.sqrt(alpha_prev) + eps * jnp.sqrt(1.0 - alpha_prev)
+            lat = _ddim_update(x0, eps, alpha, alpha_prev, ddim_eta, k,
+                               lat.shape)
             return (lat, cache), None
 
         inputs = (ts, a_t, a_prev, keys, full_flags)
@@ -755,9 +798,9 @@ def diffuse_latent(
     def step(lat, inp):
         t, alpha, alpha_prev, k, cs = inp
         if inpaint:
-            noise = jax.random.normal(k, lat.shape, jnp.float32)
+            noise = _scan_normal(k, lat.shape)
             noised_ref = reference * jnp.sqrt(alpha) + noise * jnp.sqrt(1.0 - alpha)
-            lat = jnp.where(mask, lat, noised_ref)
+            lat = inpaint_pin(mask, lat, noised_ref)
 
         eps = _cfg_eps(unet_params, cfg, lat, t, ctx2, ch2, guidance_scale,
                        compute_dtype, cross_kv, alpha,
@@ -767,7 +810,8 @@ def diffuse_latent(
                        pag_scale=pag_scale, image_scale=img_scale)
         sqrt_noise = jnp.sqrt(1.0 - alpha)
         x0 = (lat - eps * sqrt_noise) / jnp.sqrt(alpha)
-        lat = x0 * jnp.sqrt(alpha_prev) + eps * jnp.sqrt(1.0 - alpha_prev)
+        lat = _ddim_update(x0, eps, alpha, alpha_prev, ddim_eta, k,
+                           lat.shape)
         return lat, None
 
     inputs = (ts, a_t, a_prev, keys, cscales)
@@ -963,6 +1007,19 @@ def k_schedule(alphas_cumprod, step_start: int, n_steps: int,
             [sigmas_full[jnp.asarray(lin_ts)], jnp.zeros((1,), jnp.float32)]
         )
     return ts, sigmas
+
+
+def inpaint_pin(mask, lat, noised_ref):
+    """Per-step inpainting pin. Boolean masks take the reference's exact
+    mask_where path (mod.rs:462-465, bitwise-identical to the historical
+    behavior); float masks in [0, 1] blend soft-inpainting style
+    (m*lat + (1-m)*ref — A1111's mask-blur semantics; a {0,1}-valued
+    float mask reproduces the bool path bitwise because the f32
+    multiplies by exactly 0.0/1.0 are exact)."""
+    if mask.dtype == jnp.bool_:
+        return jnp.where(mask, lat, noised_ref)
+    m = mask.astype(lat.dtype)
+    return m * lat + (1.0 - m) * noised_ref
 
 
 def _scan_normal(k, shape):
@@ -1625,7 +1682,7 @@ def k_diffuse_latent(
                 t, sigma, sigma_next, sigma_prev, is_first, k, is_full = inp
             if inpaint:
                 noise = _scan_normal(k, lat.shape)
-                lat = jnp.where(mask, lat, reference + sigma * noise)
+                lat = inpaint_pin(mask, lat, reference + sigma * noise)
             scaled = lat / jnp.sqrt(sigma**2 + 1.0)
             eps, cache = _cfg_eps_deepcache(
                 unet_params, cfg, scaled, t, ctx2, ch2, guidance_scale,
@@ -1686,7 +1743,7 @@ def k_diffuse_latent(
             t, sigma, sigma_next, sigma_prev, is_first, k, cs = inp
         if inpaint:
             noise = _scan_normal(k, lat.shape)
-            lat = jnp.where(mask, lat, reference + sigma * noise)
+            lat = inpaint_pin(mask, lat, reference + sigma * noise)
 
         scaled = lat / jnp.sqrt(sigma**2 + 1.0)
         # in sigma space a-bar = 1/(sigma^2+1); needed for v-prediction
@@ -1883,7 +1940,7 @@ def _k_segment(
             t, sigma, sigma_next, sigma_prev, is_first, k, cs = inp
         if inpaint:
             noise = _scan_normal(k, lat.shape)
-            lat = jnp.where(mask, lat, reference + sigma * noise)
+            lat = inpaint_pin(mask, lat, reference + sigma * noise)
         scaled = lat / jnp.sqrt(sigma**2 + 1.0)
         eps = _cfg_eps(unet_params, cfg, scaled, t, ctx2, ch2, guidance_scale,
                        compute_dtype, cross_kv, 1.0 / (sigma**2 + 1.0),
@@ -2395,7 +2452,7 @@ def lcm_diffuse_latent(
             pin_noise = _scan_normal(_scan_fold(k, 1), lat.shape)
             noised_ref = (reference * jnp.sqrt(alpha)
                           + pin_noise * jnp.sqrt(1.0 - alpha))
-            lat = jnp.where(mask, lat, noised_ref)
+            lat = inpaint_pin(mask, lat, noised_ref)
         eps = _cfg_eps(unet_params, cfg, lat, t, ctx2, ch2, guidance_scale,
                        compute_dtype, cross_kv, alpha,
                        use_cfg=use_cfg, concat=cc, control=ctrl,
@@ -2551,13 +2608,17 @@ def sample_latent(
     head_steps: int = 0,
     edit: bool = False,
     image_guidance_scale: float = 1.5,
+    ddim_eta: float = 0.0,
+    step_keys: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """txt2img (+ optional latent-mask inpainting) (mod.rs:316-353).
 
     initial_noise overrides the key-derived starting noise (per-image
     seeds, gen_noise_per_seed). head_steps > 0: ensemble-of-experts base
     stage (see diffuse_latent) — returns the still-noisy handoff latent.
-    edit=True: InstructPix2Pix (see diffuse_latent)."""
+    edit=True: InstructPix2Pix (see diffuse_latent). ddim_eta > 0:
+    stochastic DDIM (see diffuse_latent); step_keys carries the
+    per-image scan keys for it."""
     noise_key, inpaint_key = jax.random.split(key)
     latent = initial_noise if initial_noise is not None else gen_noise(
         noise_key, cond)
@@ -2565,12 +2626,13 @@ def sample_latent(
                control_scale=control_scale, control_cfg=control_cfg,
                control_window=control_window, ip=ip, deepcache=deepcache,
                pag_scale=pag_scale, head_steps=head_steps, edit=edit,
-               image_guidance_scale=image_guidance_scale)
+               image_guidance_scale=image_guidance_scale,
+               ddim_eta=ddim_eta, step_keys=step_keys, key=inpaint_key)
     if reference is not None:
         return diffuse_latent(
             unet_params, cfg, alphas_cumprod, latent, cond, guidance_scale,
             0, n_steps, compute_dtype,
-            inpaint=True, reference=reference, mask=mask, key=inpaint_key,
+            inpaint=True, reference=reference, mask=mask,
             use_cfg=use_cfg, guidance_rescale=guidance_rescale,
             concat_channels=concat_channels, **ctl,
         )
@@ -2684,6 +2746,8 @@ def refine_latent(
     pag_scale: float = 0.0,
     renoise: bool = True,
     tail_from: int = 0,
+    ddim_eta: float = 0.0,
+    step_keys: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Refiner stage: re-noise at t = n_train - step_start, run the schedule
     tail (refine_latent, mod.rs:355-376).
@@ -2694,7 +2758,9 @@ def refine_latent(
     renoise=False + tail_from=h (ensemble-of-experts tail): `latent` is
     ALREADY the still-noisy VP-space handoff from a head_steps=h base
     run — continue the full schedule's suffix directly (pass
-    step_start=0; the suffix is sliced inside diffuse_latent)."""
+    step_start=0; the suffix is sliced inside diffuse_latent).
+    ddim_eta > 0: stochastic DDIM over the tail (see diffuse_latent);
+    the scan key is fold_in(key, 1), distinct from the re-noise draw."""
     if renoise:
         t = alphas_cumprod.shape[0] - step_start
         start_alpha = alphas_cumprod[t]
@@ -2714,6 +2780,8 @@ def refine_latent(
         control_scale=control_scale, control_cfg=control_cfg,
         control_window=control_window, ip=ip, deepcache=deepcache,
         pag_scale=pag_scale, tail_from=tail_from,
+        ddim_eta=ddim_eta, step_keys=step_keys,
+        key=jax.random.fold_in(key, 1) if key is not None else None,
     )
 
 
@@ -2748,7 +2816,7 @@ def latent_to_preview(latent, factors: Optional[np.ndarray] = None):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "compute_dtype", "inpaint", "use_cfg",
-                     "guidance_rescale", "control_cfg"),
+                     "guidance_rescale", "control_cfg", "ddim_eta"),
     donate_argnames=("latent",),
 )
 def _ddim_segment(
@@ -2773,12 +2841,15 @@ def _ddim_segment(
     control_scales: Optional[jnp.ndarray] = None,
     control_cfg=None,
     ip=None,
+    ddim_eta: float = 0.0,
 ) -> jnp.ndarray:
     """One contiguous slice of the DDIM schedule (same step math as
     diffuse_latent; the schedule arrays are traced inputs so equal-length
     segments share one executable). Used by diffuse_latent_preview.
     control_scales: per-step ControlNet scale slice aligned with ts (the
-    preview driver pre-applies the window)."""
+    preview driver pre-applies the window). ddim_eta > 0: stochastic
+    DDIM — the driver passes the FULL schedule's key slices, so
+    segmented == unsegmented bitwise."""
     ctx2, ch2 = _cfg_contexts(cfg, cond, compute_dtype, use_cfg)
     cross_kv = precompute_cross_kv(unet_params, cfg.unet_config(), ctx2)
     cross_kv = _merge_ip(cross_kv, ip, cfg, cond, compute_dtype, use_cfg)
@@ -2795,10 +2866,10 @@ def _ddim_segment(
     def step(lat, inp):
         t, alpha, alpha_prev, k, cs = inp
         if inpaint:
-            noise = jax.random.normal(k, lat.shape, jnp.float32)
+            noise = _scan_normal(k, lat.shape)
             noised_ref = (reference * jnp.sqrt(alpha)
                           + noise * jnp.sqrt(1.0 - alpha))
-            lat = jnp.where(mask, lat, noised_ref)
+            lat = inpaint_pin(mask, lat, noised_ref)
         eps = _cfg_eps(unet_params, cfg, lat, t, ctx2, ch2, guidance_scale,
                        compute_dtype, cross_kv, alpha,
                        use_cfg=use_cfg, guidance_rescale=guidance_rescale,
@@ -2806,7 +2877,8 @@ def _ddim_segment(
                        control_kv=ctrl_kv, control_scale=cs)
         sqrt_noise = jnp.sqrt(1.0 - alpha)
         x0 = (lat - eps * sqrt_noise) / jnp.sqrt(alpha)
-        lat = x0 * jnp.sqrt(alpha_prev) + eps * jnp.sqrt(1.0 - alpha_prev)
+        lat = _ddim_update(x0, eps, alpha, alpha_prev, ddim_eta, k,
+                           lat.shape)
         return lat, None
 
     latent, _ = jax.lax.scan(
@@ -2841,11 +2913,14 @@ def diffuse_latent_preview(
     control_cfg=None,
     control_window: Tuple[float, float] = (0.0, 1.0),
     ip=None,
+    ddim_eta: float = 0.0,
+    step_keys: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """diffuse_latent, segmented every `preview_every` steps: between
     segments, `preview_callback(done, total, rgb_u8 [B,h,w,3])` receives a
     cheap linear-map preview of the current latent. Identical step math
-    and schedule to diffuse_latent — the final latent is bit-equal."""
+    and schedule to diffuse_latent — the final latent is bit-equal
+    (incl. ddim_eta > 0 stochastic steps: same key layout)."""
     n_train = alphas_cumprod.shape[0]
     if cfg.n_steps != n_train:
         raise ValueError(
@@ -2861,7 +2936,9 @@ def diffuse_latent_preview(
                       np.asarray(alphas_cumprod)[np.maximum(ts - step_size, 0)],
                       1.0).astype(np.float32)
     total = len(ts)
-    if inpaint:
+    if step_keys is not None:
+        keys = step_keys
+    elif inpaint or ddim_eta > 0:
         keys = jax.random.split(key, total)
     else:
         keys = jnp.zeros((total, 2), dtype=jnp.uint32)
@@ -2881,7 +2958,7 @@ def diffuse_latent_preview(
             concat_channels=concat_channels,
             control_params=control_params, control_image=control_image,
             control_scales=cscales[done:end], control_cfg=control_cfg,
-            ip=ip,
+            ip=ip, ddim_eta=ddim_eta,
         )
         done = end
         if preview_callback is not None and done < total:
@@ -2906,6 +2983,7 @@ def scheduled_sample_latent(
     guidance_rescale: float = 0.0,
     initial_noise: Optional[jnp.ndarray] = None,
     step_keys: Optional[jnp.ndarray] = None,
+    ddim_eta: float = 0.0,
 ) -> jnp.ndarray:
     """Prompt-scheduled txt2img (A1111 prompt editing, see
     pipeline/prompt_schedule.py): the ONE schedule grid is split at the
@@ -2940,7 +3018,12 @@ def scheduled_sample_latent(
             np.asarray(alphas_cumprod)[np.maximum(ts - step_size, 0)],
             1.0).astype(np.float32)
         total = len(ts)
-        keys = jnp.zeros((total, 2), dtype=jnp.uint32)
+        if step_keys is not None:
+            keys = step_keys
+        elif ddim_eta > 0:
+            keys = jax.random.split(scan_key, total)
+        else:
+            keys = jnp.zeros((total, 2), dtype=jnp.uint32)
         # the 31-iteration quirk (mod.rs:400-406): the grid can exceed
         # n_steps; the extra steps extend the LAST prompt's segment
         seg_lens = list(seg_lens[:-1]) + [seg_lens[-1] + (total - n_steps)]
@@ -2953,7 +3036,7 @@ def scheduled_sample_latent(
                 jnp.asarray(ts[done:end]), jnp.asarray(a_t[done:end]),
                 jnp.asarray(a_prev[done:end]), keys[done:end],
                 compute_dtype=compute_dtype, use_cfg=use_cfg,
-                guidance_rescale=guidance_rescale,
+                guidance_rescale=guidance_rescale, ddim_eta=ddim_eta,
             )
             done = end
         return lat

@@ -309,6 +309,7 @@ class SD3Pipeline:
         crop_top: Optional[int] = None,
         crop_bottom: Optional[int] = None,
         crop_out: bool = False,
+        mask_blur: float = 0.0,
         strength: float = 1.0,
         n_steps: int = 28,
         guidance_scale: float = 7.0,
@@ -345,7 +346,7 @@ class SD3Pipeline:
                              "multiple of 16 (patchified 16-ch latent)")
         mask = build_latent_mask(height, width, mask_image, crop_left,
                                  crop_right, crop_top, crop_bottom,
-                                 crop_out)
+                                 crop_out, mask_blur=mask_blur)
 
         use_cfg = not (no_cfg or guidance_scale == 1.0)
         ctx, pooled = self.conditioning(prompts, negative_prompt)

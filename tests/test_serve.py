@@ -576,13 +576,17 @@ def test_flux_server_kontext_edit(tiny_flux_pipe_srv):
 
 
 def test_non_flux_server_rejects_edit(tiny_pipe):
+    """/v1/edit on a UNet family routes to InstructPix2Pix, which needs
+    an 8-channel edit checkpoint — a plain 4-channel UNet gets the
+    actionable ip2p error (the flux-only rejection predates ip2p
+    serving)."""
     cfg = GenConfig(width=64, height=64, steps=2)
     srv = GenerationServer(tiny_pipe, default_cfg=cfg)
     srv.start(warmup=False)
     bad = srv.submit(GenRequest("x", cfg, seed=0,
                                 edit_image=np.zeros((64, 64, 3), np.uint8)),
                      timeout=300)
-    assert bad.error is not None and "flux" in bad.error
+    assert bad.error is not None and "8-channel" in bad.error
     srv.stop()
 
 
