@@ -173,14 +173,10 @@ def build_unet_from_ldm(
             p["upsample"] = ks.conv(f"{b}.1.conv", cast)
         return p
 
-    return {
+    out = {
         "time_embed": {
             "lin1": ks.linear("time_embed.0", cast),
             "lin2": ks.linear("time_embed.2", cast),
-        },
-        "label_embed": {
-            "lin1": ks.linear("label_emb.0.0", cast),
-            "lin2": ks.linear("label_emb.0.2", cast),
         },
         "input_blocks": [in_block(i, s) for i, s in enumerate(in_plan)],
         "middle_block": {
@@ -192,6 +188,14 @@ def build_unet_from_ldm(
         "norm_out": ks.norm("out.0", cast),
         "conv_out": ks.conv("out.2", cast),
     }
+    # SD 1.x/2.x UNets carry no label embedding (adm_in_channels == 0;
+    # the key is omitted, matching the diffusers builders' convention)
+    if ks.has("label_emb.0.0.weight"):
+        out["label_embed"] = {
+            "lin1": ks.linear("label_emb.0.0", cast),
+            "lin2": ks.linear("label_emb.0.2", cast),
+        }
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -378,21 +382,44 @@ def build_clip_from_open_clip(
 # top-level
 # ---------------------------------------------------------------------------
 
+def _load_single_file_tensors(path: str):
+    """Tensors of a single-file checkpoint: `.safetensors`/`.sft`, or the
+    legacy torch-pickle `.ckpt`/`.pt`/`.pth` (the A1111-era format):
+    torch.load(weights_only=True — no arbitrary unpickling), unwrap the
+    usual {"state_dict": ...} nesting, drop non-tensor bookkeeping
+    entries (step counters etc.), bf16 -> f32 (numpy has no bf16)."""
+    if path.endswith((".safetensors", ".sft")):
+        from safetensors.numpy import load_file
+
+        return load_file(path)
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+    out = {}
+    for k, v in sd.items():
+        if not isinstance(v, torch.Tensor):
+            continue
+        if v.dtype == torch.bfloat16:
+            v = v.float()
+        out[k] = v.numpy()
+    return out
+
+
 def load_sdxl_safetensors(
     path: str,
     diffuser_cfg: DiffuserConfig,
     embedder_cfg=None,
     unet_dtype=jnp.bfloat16,
 ):
-    """Load a single-file sgm checkpoint (sd_xl_base/refiner_1.0.safetensors).
+    """Load a single-file sgm checkpoint (sd_xl_base/refiner_1.0
+    .safetensors, or the equivalent legacy .ckpt torch pickle).
 
     Returns (embedder_params | None, unet_params, vae_params). The refiner
     checkpoint carries only the bigG tower; its embedder slot is None here
     (base conditioning is reused, matching the reference pipeline).
     """
-    from safetensors.numpy import load_file
-
-    tensors = load_file(path)
+    tensors = _load_single_file_tensors(path)
 
     unet = build_unet_from_ldm(tensors, diffuser_cfg.unet_config(), unet_dtype)
     vae = build_vae_from_ldm(tensors)
@@ -408,3 +435,38 @@ def load_sdxl_safetensors(
             ),
         }
     return embedder, unet, vae
+
+
+def load_sd1_single_file(
+    path: str,
+    diffuser_cfg: DiffuserConfig,
+    clip_cfg: CLIPConfig,
+    unet_dtype=jnp.bfloat16,
+    vae_cfg=None,
+):
+    """Load a single-file SD 1.x/2.x checkpoint in the ldm layout
+    (v1-5-pruned.{ckpt,safetensors}, v2-1_768-ema-pruned, ...): UNet at
+    model.diffusion_model.*, VAE at first_stage_model.*, text tower at
+    cond_stage_model.transformer.* (SD1, HF CLIPTextModel layout) or
+    cond_stage_model.model.* (SD2, open_clip TextTransformer with fused
+    in_proj — auto-detected). Returns (clip_params, unet_params,
+    vae_params, diffuser_cfg) with in_channels corrected from conv_in
+    (9 for the runwayml inpainting checkpoints)."""
+    import dataclasses
+
+    tensors = _load_single_file_tensors(path)
+    cin = int(
+        tensors["model.diffusion_model.input_blocks.0.0.weight"].shape[1])
+    if cin != diffuser_cfg.in_channels:
+        diffuser_cfg = dataclasses.replace(diffuser_cfg, in_channels=cin)
+    unet = build_unet_from_ldm(tensors, diffuser_cfg.unet_config(),
+                               unet_dtype)
+    vae = build_vae_from_ldm(tensors, vae_cfg)
+    if any(k.startswith("cond_stage_model.model.") for k in tensors):
+        clip = build_clip_from_open_clip(tensors, clip_cfg,
+                                         prefix="cond_stage_model.model")
+    else:
+        clip = build_clip_from_hf(
+            tensors, clip_cfg,
+            prefix="cond_stage_model.transformer.text_model")
+    return clip, unet, vae, diffuser_cfg

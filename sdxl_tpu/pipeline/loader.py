@@ -135,7 +135,10 @@ def _apply_loras(loras, unet, e_params) -> None:
 
 
 def detect_format(model_dir: str) -> str:
-    if os.path.isfile(model_dir) and model_dir.endswith((".safetensors", ".sft")):
+    if os.path.isfile(model_dir) and model_dir.endswith(
+            (".safetensors", ".sft", ".ckpt", ".pt", ".pth")):
+        # single-file checkpoint: sgm safetensors or the legacy torch
+        # pickle (.ckpt) the A1111 era shipped
         return "sgm_single_file"
     if os.path.isfile(os.path.join(model_dir, "embedder.safetensors")):
         return "native"
@@ -150,7 +153,8 @@ def detect_format(model_dir: str) -> str:
         return "diffusers"
     import glob as _glob
 
-    single = _glob.glob(os.path.join(model_dir, "sd_xl_*.safetensors"))
+    single = (_glob.glob(os.path.join(model_dir, "sd_xl_*.safetensors"))
+              + _glob.glob(os.path.join(model_dir, "sd_xl_*.ckpt")))
     if single:
         return "sgm_single_file"
     raise FileNotFoundError(f"no known checkpoint layout in {model_dir}")
@@ -226,7 +230,9 @@ def load_pipeline(
             base_path = model_dir
             refiner_path = None
         else:
-            paths = sorted(_glob.glob(os.path.join(model_dir, "sd_xl_*.safetensors")))
+            paths = sorted(
+                _glob.glob(os.path.join(model_dir, "sd_xl_*.safetensors"))
+                + _glob.glob(os.path.join(model_dir, "sd_xl_*.ckpt")))
             base_path = next((p for p in paths if "refiner" not in p), paths[0])
             refiner_path = next((p for p in paths if "refiner" in p), None)
 

@@ -175,18 +175,34 @@ def load_sd1_pipeline(
     loras=None,
     quantize: Optional[str] = None,
 ) -> SD1Pipeline:
-    """Load a diffusers-layout SD 1.x/2.x directory (runwayml/
-    stable-diffusion-v1-5 style: unet/ vae/ text_encoder/ scheduler/).
+    """Load an SD 1.x/2.x checkpoint: a diffusers-layout directory
+    (runwayml/stable-diffusion-v1-5 style: unet/ vae/ text_encoder/
+    scheduler/) or a SINGLE FILE in the ldm layout —
+    v1-5-pruned.{safetensors,ckpt}, v2-1_768-ema-pruned, ... (the
+    legacy torch-pickle .ckpt loads via weights_only; the SD2 OpenCLIP
+    tower is auto-detected from its cond_stage_model.model.* keys).
     loras: list of (path, scale) LoRA files merged at load time;
     quantize="int8"|"int4" stores the UNet block linears weight-quantized
     (io/quantize.py), merged after LoRAs."""
-    from ..io.diffusers_sdxl import load_sd1_diffusers_dir
+    import os
+
     from ..models.unet import fuse_unet_qkv
 
-    log(f"loading SD1.x diffusers checkpoint from {model_dir}")
-    clip, unet, vae, alphas, scale, diffuser_cfg = load_sd1_diffusers_dir(
-        model_dir, diffuser_cfg, clip_cfg, compute_dtype
-    )
+    if os.path.isfile(model_dir):
+        from ..io.hf_sdxl import load_sd1_single_file
+
+        log(f"loading SD1.x single-file checkpoint from {model_dir}")
+        clip, unet, vae, diffuser_cfg = load_sd1_single_file(
+            model_dir, diffuser_cfg, clip_cfg, compute_dtype
+        )
+        alphas, scale = None, None
+    else:
+        from ..io.diffusers_sdxl import load_sd1_diffusers_dir
+
+        log(f"loading SD1.x diffusers checkpoint from {model_dir}")
+        clip, unet, vae, alphas, scale, diffuser_cfg = load_sd1_diffusers_dir(
+            model_dir, diffuser_cfg, clip_cfg, compute_dtype
+        )
     if clip is None:
         raise FileNotFoundError(f"text_encoder missing under {model_dir}")
     if loras:

@@ -216,3 +216,108 @@ def test_clip_open_clip_roundtrip():
 
     loaded = build_clip_from_open_clip(d, TINY_CLIP)
     assert_trees_close(params, loaded)
+
+
+# ---------------------------------------------------------------------------
+# legacy torch-pickle (.ckpt) single-file checkpoints
+# ---------------------------------------------------------------------------
+
+
+def test_ckpt_pickle_tensors_equal_safetensors(tmp_path):
+    """_load_single_file_tensors reads the legacy A1111-era .ckpt torch
+    pickle identically to safetensors: the usual {"state_dict": ...}
+    nesting is unwrapped, non-tensor bookkeeping entries dropped, and
+    every tensor comes back bitwise equal."""
+    import torch
+    from safetensors.numpy import save_file
+
+    from sdxl_tpu.io.hf_sdxl import _load_single_file_tensors
+
+    params = init_unet(jax.random.PRNGKey(0), TINY_UNET, jnp.float32)
+    d = make_ldm_unet_dict(TINY_UNET, params)
+    d.update(make_ldm_vae_dict(init_autoencoder(jax.random.PRNGKey(1),
+                                                TINY_VAE)))
+    d = {k: np.ascontiguousarray(v) for k, v in d.items()}
+
+    st = str(tmp_path / "m.safetensors")
+    save_file(d, st)
+    ck = str(tmp_path / "m.ckpt")
+    torch.save({"state_dict": {k: torch.from_numpy(v)
+                               for k, v in d.items()},
+                "global_step": 123, "epoch": 1}, ck)
+
+    a = _load_single_file_tensors(st)
+    b = _load_single_file_tensors(ck)
+    assert set(a) == set(b) == set(d)
+    for k in d:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_load_sd1_single_file_ckpt(tmp_path):
+    """load_sd1_single_file: ldm layout without label_emb (SD1-shaped
+    4-level UNet, adm_in_channels=0), CLIP at
+    cond_stage_model.transformer.*, via a real .ckpt file; conv_in width
+    is corrected from the checkpoint (9-channel inpainting models)."""
+    import dataclasses
+
+    import torch
+
+    from sdxl_tpu.configs import DiffuserConfig
+    from sdxl_tpu.io.hf_sdxl import load_sd1_single_file
+
+    sd1_cfg = DiffuserConfig(
+        adm_in_channels=0, model_channels=8, channel_mults=(1, 2, 4, 4),
+        num_head_channels=0, transformer_depths=(1, 1, 1, 1),
+        context_dim=16, transformer_levels=(0, 1, 2), n_heads=2,
+    )
+    ucfg = sd1_cfg.unet_config()
+    uparams = init_unet(jax.random.PRNGKey(0), ucfg, jnp.float32)
+    assert "label_embed" not in uparams
+    d = make_ldm_unet_dict_no_label(ucfg, uparams)
+    d.update(make_ldm_vae_dict(init_autoencoder(jax.random.PRNGKey(1),
+                                                TINY_VAE)))
+    clip_params = init_clip(jax.random.PRNGKey(2), TINY_CLIP)
+    prefix = "cond_stage_model.transformer.text_model"
+    d[f"{prefix}.embeddings.token_embedding.weight"] = np.asarray(
+        clip_params["token_embedding"])
+    d[f"{prefix}.embeddings.position_embedding.weight"] = np.asarray(
+        clip_params["position_embedding"])
+    for i, b in enumerate(clip_params["blocks"]):
+        s = f"{prefix}.encoder.layers.{i}"
+        inv_linear(d, f"{s}.self_attn.q_proj", b["attn"]["q"])
+        inv_linear(d, f"{s}.self_attn.k_proj", b["attn"]["k"])
+        inv_linear(d, f"{s}.self_attn.v_proj", b["attn"]["v"])
+        inv_linear(d, f"{s}.self_attn.out_proj", b["attn"]["out"])
+        inv_norm(d, f"{s}.layer_norm1", b["attn_ln"])
+        inv_linear(d, f"{s}.mlp.fc1", b["mlp"]["fc1"])
+        inv_linear(d, f"{s}.mlp.fc2", b["mlp"]["fc2"])
+        inv_norm(d, f"{s}.layer_norm2", b["mlp_ln"])
+    inv_norm(d, f"{prefix}.final_layer_norm", clip_params["layer_norm"])
+    d[f"{prefix}.text_projection.weight"] = np.asarray(
+        clip_params["text_projection"]).T
+
+    ck = str(tmp_path / "v1-5-pruned.ckpt")
+    torch.save({"state_dict": {k: torch.from_numpy(np.ascontiguousarray(v))
+                               for k, v in d.items()}}, ck)
+
+    clip, unet, vae, out_cfg = load_sd1_single_file(
+        ck, sd1_cfg, TINY_CLIP, jnp.float32, vae_cfg=TINY_VAE)
+    assert out_cfg == sd1_cfg  # in_channels already matched
+    assert_trees_close(uparams, unet)
+    assert_trees_close(clip_params, clip)
+
+
+def make_ldm_unet_dict_no_label(cfg, params, prefix="model.diffusion_model"):
+    """make_ldm_unet_dict for SD1-shaped UNets (no label_emb keys)."""
+    import copy
+
+    with_label = copy.copy(params)
+    with_label["label_embed"] = {
+        "lin1": {"w": jnp.zeros((1, 1)), "b": jnp.zeros((1,))},
+        "lin2": {"w": jnp.zeros((1, 1)), "b": jnp.zeros((1,))},
+    }
+    d = make_ldm_unet_dict(cfg, with_label, prefix)
+    for k in list(d):
+        if ".label_emb." in k:
+            del d[k]
+    return d
