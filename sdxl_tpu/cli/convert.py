@@ -27,6 +27,11 @@ def main(argv=None) -> int:
     src.add_argument("--mpk-dir", type=str, help="reference .mpk model dir")
     src.add_argument("--native-dir", type=str, help="native safetensors model dir")
     src.add_argument(
+        "--single-file", type=str, metavar="FILE",
+        help="single-file checkpoint (sgm/ldm layout): .safetensors or the "
+             "legacy torch-pickle .ckpt — with --family sd1|sd2 this is the "
+             "classic v1-5-pruned.ckpt -> diffusers conversion flow")
+    src.add_argument(
         "--inspect", type=str, metavar="FILE.mpk",
         help="dump a .mpk record tree (keys, shapes, dtype tags, wrapper "
              "variants) without building params — field diagnosis for "
@@ -35,6 +40,10 @@ def main(argv=None) -> int:
     p.add_argument("--output-dir", type=str)
     p.add_argument("--to", choices=["native", "mpk", "diffusers"],
                    default="native")
+    p.add_argument("--family", choices=["sdxl", "sd1", "sd2"],
+                   default="sdxl",
+                   help="Model family of --single-file (sd1/sd2 export to "
+                        "the diffusers StableDiffusionPipeline layout only)")
     p.add_argument("--skip-refiner", action="store_true")
     args = p.parse_args(argv)
 
@@ -62,7 +71,55 @@ def main(argv=None) -> int:
     os.makedirs(args.output_dir, exist_ok=True)
     out = args.output_dir
 
-    if args.native_dir:
+    if args.single_file and args.family in ("sd1", "sd2"):
+        # classic A1111-era flow: v1-5-pruned.ckpt -> diffusers dir
+        if args.to != "diffusers":
+            print("error: --family sd1|sd2 exports to the diffusers "
+                  "StableDiffusionPipeline layout only (--to diffusers)",
+                  file=sys.stderr)
+            return 1
+        from ..configs import (
+            CLIP_VIT_L_CONFIG,
+            OPEN_CLIP_VITH_CONFIG,
+            SD2_DIFFUSER,
+            SD15_DIFFUSER,
+            SD15_VAE_SCALE,
+        )
+        from ..io.diffusers_write import write_sd1_diffusers_pipeline_dir
+        from ..io.hf_sdxl import load_sd1_single_file
+        from ..tokenizer import ClipTokenizer
+
+        sd2 = args.family == "sd2"
+        clip_cfg = OPEN_CLIP_VITH_CONFIG if sd2 else CLIP_VIT_L_CONFIG
+        d_cfg = SD2_DIFFUSER if sd2 else SD15_DIFFUSER
+        log(f"loading {args.family} single-file checkpoint...")
+        clip, unet, vae, d_cfg = load_sd1_single_file(
+            args.single_file, d_cfg, clip_cfg, jnp.float16)
+        log("writing diffusers pipeline dir...")
+        write_sd1_diffusers_pipeline_dir(
+            out, d_cfg, unet, clip_cfg, clip, vae,
+            ClipTokenizer(), scale_factor=SD15_VAE_SCALE, sd2=sd2)
+        log(f"done -> {out}")
+        return 0
+
+    if args.single_file:
+        from ..io.hf_sdxl import load_sdxl_safetensors
+        from ..pipeline.sampler import scaled_linear_alphas_cumprod
+
+        e_cfg = SDXL_EMBEDDER
+        d_cfg = SDXL_BASE_DIFFUSER
+        log("loading SDXL single-file checkpoint...")
+        e_params, unet, vae = load_sdxl_safetensors(
+            args.single_file, d_cfg, e_cfg, jnp.float16)
+        if e_params is None:
+            print(f"error: conditioner weights missing in "
+                  f"{args.single_file} (refiner-only checkpoint?)",
+                  file=sys.stderr)
+            return 1
+        alphas = np.asarray(scaled_linear_alphas_cumprod(d_cfg.n_steps))
+        r_cfg, r_unet = None, None
+        l_cfg = LatentDecoderConfig()
+    elif args.native_dir:
         from ..configs import DiffuserConfig, EmbedderConfig, load_cfg
         from ..pipeline.sampler import scaled_linear_alphas_cumprod
 

@@ -477,6 +477,51 @@ def _write_tokenizer_dir(path: str, tokenizer, pad_token: str) -> None:
         }, f)
 
 
+def _write_vae_dir(out_dir: str, vae_params, vae_cfg, scale: float,
+                   dtype, sample_size: int) -> None:
+    """vae/ subdir: tensors + AutoencoderKL config. vae/config.json
+    carries only block_out_channels; diffusers derives the decoder from
+    its REVERSE (AutoencoderKL's up_blocks loop), so a decoder plan that
+    isn't that derivation cannot be represented — refuse rather than
+    write a config that silently mismatches the exported tensors."""
+    from safetensors.numpy import save_file
+
+    vae_dir = os.path.join(out_dir, "vae")
+    os.makedirs(vae_dir, exist_ok=True)
+    flat = vae_to_diffusers(vae_params)
+    if dtype is not None:
+        flat = {k: v.astype(dtype) for k, v in flat.items()}
+    save_file(flat,
+              os.path.join(vae_dir, "diffusion_pytorch_model.safetensors"))
+    v = vae_cfg
+    boc = [c[1] for c in v.encoder_channels]
+    rev = list(reversed(boc))
+    canonical = tuple((rev[j - 1] if j else rev[0], rev[j])
+                      for j in range(len(rev)))
+    if tuple(v.decoder_channels) != canonical:
+        raise ValueError(
+            f"decoder_channels {tuple(v.decoder_channels)} is not the "
+            f"diffusers-canonical derivation {canonical} of "
+            f"block_out_channels {boc}; this VAE cannot export to the "
+            f"AutoencoderKL config layout")
+    with open(os.path.join(vae_dir, "config.json"), "w") as f:
+        json.dump({
+            "_class_name": "AutoencoderKL",
+            "in_channels": 3,
+            "out_channels": 3,
+            "latent_channels": v.latent_channels,
+            "block_out_channels": boc,
+            "down_block_types": ["DownEncoderBlock2D"]
+            * len(v.encoder_channels),
+            "up_block_types": ["UpDecoderBlock2D"]
+            * len(v.decoder_channels),
+            "layers_per_block": 2,
+            "norm_num_groups": v.n_group,
+            "sample_size": sample_size,
+            "scaling_factor": scale,
+        }, f, indent=2)
+
+
 def write_diffusers_pipeline_dir(
     out_dir: str,
     pipe,
@@ -503,45 +548,8 @@ def write_diffusers_pipeline_dir(
     unet = unfold_unet_upsample(unfuse_unet_qkv(pipe.unet_params))
     write_diffusers_unet_dir(out_dir, unet, ucfg, dtype=dtype)
 
-    vae_dir = os.path.join(out_dir, "vae")
-    os.makedirs(vae_dir, exist_ok=True)
-    flat = vae_to_diffusers(pipe.vae_params)
-    if dtype is not None:
-        flat = {k: v.astype(dtype) for k, v in flat.items()}
-    save_file(flat,
-              os.path.join(vae_dir, "diffusion_pytorch_model.safetensors"))
-    v = pipe.vae_cfg
-    # vae/config.json carries only block_out_channels; diffusers derives
-    # the decoder from its REVERSE (AutoencoderKL's up_blocks loop), so a
-    # decoder plan that isn't that derivation cannot be represented —
-    # refuse rather than write a config that silently mismatches the
-    # exported tensors
-    boc = [c[1] for c in v.encoder_channels]
-    rev = list(reversed(boc))
-    canonical = tuple((rev[j - 1] if j else rev[0], rev[j])
-                      for j in range(len(rev)))
-    if tuple(v.decoder_channels) != canonical:
-        raise ValueError(
-            f"decoder_channels {tuple(v.decoder_channels)} is not the "
-            f"diffusers-canonical derivation {canonical} of "
-            f"block_out_channels {boc}; this VAE cannot export to the "
-            f"AutoencoderKL config layout")
-    with open(os.path.join(vae_dir, "config.json"), "w") as f:
-        json.dump({
-            "_class_name": "AutoencoderKL",
-            "in_channels": 3,
-            "out_channels": 3,
-            "latent_channels": 4,
-            "block_out_channels": [c[1] for c in v.encoder_channels],
-            "down_block_types": ["DownEncoderBlock2D"]
-            * len(v.encoder_channels),
-            "up_block_types": ["UpDecoderBlock2D"]
-            * len(v.decoder_channels),
-            "layers_per_block": 2,
-            "norm_num_groups": v.n_group,
-            "sample_size": 1024,
-            "scaling_factor": float(pipe.scale_factor),
-        }, f, indent=2)
+    _write_vae_dir(out_dir, pipe.vae_params, pipe.vae_cfg,
+                   float(pipe.scale_factor), dtype, sample_size=1024)
 
     e_cfg = pipe.embedder_cfg
     for sub, tower, cfgc, proj in (
@@ -602,6 +610,94 @@ def write_diffusers_pipeline_dir(
                                "CLIPTextModelWithProjection"],
             "tokenizer": ["transformers", "CLIPTokenizer"],
             "tokenizer_2": ["transformers", "CLIPTokenizer"],
+            "unet": ["diffusers", "UNet2DConditionModel"],
+            "vae": ["diffusers", "AutoencoderKL"],
+        }, f, indent=2)
+    return out_dir
+
+
+def write_sd1_diffusers_pipeline_dir(
+    out_dir: str,
+    diffuser_cfg,
+    unet_params: dict,
+    clip_cfg,
+    clip_params: dict,
+    vae_params: dict,
+    tokenizer,
+    vae_cfg=None,
+    scale_factor: float = 0.18215,
+    sd2: bool = False,
+    dtype: Optional[np.dtype] = None,
+) -> str:
+    """Export an SD 1.x/2.x pipeline to the diffusers
+    StableDiffusionPipeline layout (unet/ vae/ text_encoder/ tokenizer/
+    scheduler/ + model_index.json) — the single-tower sibling of
+    write_diffusers_pipeline_dir, completing the legacy
+    .ckpt -> diffusers conversion flow (cli/convert --single-file
+    --family sd1). The UNet must be unfused/unstacked (the single-file
+    loaders produce exactly that). sd2=True marks the v-prediction +
+    penultimate-hidden family: the tokenizer pads with "!" (id 0, the
+    stabilityai/stable-diffusion-2 convention) and the scheduler writes
+    prediction_type from diffuser_cfg."""
+    from safetensors.numpy import save_file
+
+    from ..configs import AutoencoderConfig
+
+    os.makedirs(out_dir, exist_ok=True)
+    write_diffusers_unet_dir(out_dir, unet_params,
+                             diffuser_cfg.unet_config(), dtype=dtype)
+    _write_vae_dir(out_dir, vae_params, vae_cfg or AutoencoderConfig(),
+                   float(scale_factor), dtype,
+                   sample_size=768 if sd2 else 512)
+
+    d = os.path.join(out_dir, "text_encoder")
+    os.makedirs(d, exist_ok=True)
+    flat = clip_to_hf(clip_params, with_projection=False)
+    if dtype is not None:
+        flat = {k: v.astype(dtype) for k, v in flat.items()}
+    save_file(flat, os.path.join(d, "model.safetensors"))
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump({
+            "architectures": ["CLIPTextModel"],
+            "model_type": "clip_text_model",
+            "hidden_size": clip_cfg.n_state,
+            "intermediate_size": clip_cfg.n_state * 4,
+            "num_attention_heads": clip_cfg.n_head,
+            "num_hidden_layers": clip_cfg.n_layer,
+            "max_position_embeddings": clip_cfg.n_ctx,
+            "vocab_size": clip_cfg.n_vocab,
+            "projection_dim": clip_cfg.embed_dim,
+            "hidden_act": ("quick_gelu" if clip_cfg.quick_gelu else "gelu"),
+        }, f, indent=2)
+
+    _write_tokenizer_dir(os.path.join(out_dir, "tokenizer"), tokenizer,
+                         "!" if sd2 else "<|endoftext|>")
+
+    sched_dir = os.path.join(out_dir, "scheduler")
+    os.makedirs(sched_dir, exist_ok=True)
+    with open(os.path.join(sched_dir, "scheduler_config.json"), "w") as f:
+        json.dump({
+            "_class_name": "EulerDiscreteScheduler",
+            "beta_schedule": "scaled_linear",
+            "beta_start": 0.00085,
+            "beta_end": 0.012,
+            "num_train_timesteps": diffuser_cfg.n_steps,
+            "prediction_type": ("v_prediction"
+                                if diffuser_cfg.prediction_type == "v"
+                                else "epsilon"),
+            "steps_offset": 1,
+            "timestep_spacing": "leading",
+        }, f, indent=2)
+
+    with open(os.path.join(out_dir, "model_index.json"), "w") as f:
+        json.dump({
+            "_class_name": "StableDiffusionPipeline",
+            "feature_extractor": [None, None],
+            "requires_safety_checker": False,
+            "safety_checker": [None, None],
+            "scheduler": ["diffusers", "EulerDiscreteScheduler"],
+            "text_encoder": ["transformers", "CLIPTextModel"],
+            "tokenizer": ["transformers", "CLIPTokenizer"],
             "unet": ["diffusers", "UNet2DConditionModel"],
             "vae": ["diffusers", "AutoencoderKL"],
         }, f, indent=2)

@@ -323,3 +323,55 @@ def test_exported_dir_loads_through_load_pipeline(tmp_path, tokenizer_dir):
     np.testing.assert_allclose(np.asarray(loaded.alphas_cumprod),
                                np.asarray(pipe.alphas_cumprod),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_sd1_pipeline_dir_roundtrip(tmp_path, tokenizer_dir):
+    """write_sd1_diffusers_pipeline_dir (the .ckpt -> diffusers flow's
+    writer) -> load_sd1_diffusers_dir reproduces the towers bitwise; the
+    scheduler carries the family's prediction_type and the model_index
+    is a StableDiffusionPipeline."""
+    from sdxl_tpu.configs import AutoencoderConfig, CLIPConfig, DiffuserConfig
+    from sdxl_tpu.io.diffusers_sdxl import load_sd1_diffusers_dir
+    from sdxl_tpu.io.diffusers_write import write_sd1_diffusers_pipeline_dir
+    from sdxl_tpu.models.clip import init_clip
+    from sdxl_tpu.models.unet import init_unet
+    from sdxl_tpu.models.vae import init_autoencoder
+    from sdxl_tpu.tokenizer import ClipTokenizer
+
+    d_cfg = DiffuserConfig(
+        adm_in_channels=0, model_channels=8, channel_mults=(1, 2, 4, 4),
+        num_head_channels=0, transformer_depths=(1, 1, 1, 1),
+        context_dim=16, transformer_levels=(0, 1, 2), n_heads=2,
+        prediction_type="v",
+    )
+    clip_cfg = CLIPConfig(n_state=16, embed_dim=16, n_head=2, n_layer=2)
+    vae_cfg = AutoencoderConfig(
+        encoder_channels=((16, 16), (16, 32), (32, 32), (32, 32)),
+        decoder_channels=((32, 32), (32, 32), (32, 32), (32, 16)),
+        n_group=4,
+    )
+    unet = init_unet(jax.random.PRNGKey(0), d_cfg.unet_config(),
+                     jnp.float32)
+    clip = init_clip(jax.random.PRNGKey(1), clip_cfg, jnp.float32)
+    clip["text_projection"] = None  # HF CLIPTextModel has no projection
+    vae = init_autoencoder(jax.random.PRNGKey(2), vae_cfg)
+
+    out = str(tmp_path / "sd1_exported")
+    write_sd1_diffusers_pipeline_dir(
+        out, d_cfg, unet, clip_cfg, clip, vae,
+        ClipTokenizer(tokenizer_dir), vae_cfg=vae_cfg, sd2=False)
+
+    for sub in ("unet", "vae", "text_encoder", "tokenizer", "scheduler"):
+        assert os.path.isdir(os.path.join(out, sub)), sub
+    with open(os.path.join(out, "model_index.json")) as f:
+        assert json.load(f)["_class_name"] == "StableDiffusionPipeline"
+    with open(os.path.join(out, "scheduler",
+                           "scheduler_config.json")) as f:
+        assert json.load(f)["prediction_type"] == "v_prediction"
+
+    got_clip, got_unet, got_vae, alphas, scale, got_cfg = (
+        load_sd1_diffusers_dir(out, d_cfg, clip_cfg, jnp.float32))
+    assert got_cfg == d_cfg
+    _tree_equal(unet, got_unet)
+    _tree_equal(vae, got_vae)
+    _tree_equal(clip, got_clip)
